@@ -1,0 +1,102 @@
+"""C2C correctness vs the numpy (FFTW-class) oracle — the analog of the
+reference precision samples 11/12/14/18
+(``sample_11_precision_VkFFT_single.cpp:289-323``: per-element diff norm vs
+data norm), as a size matrix covering pow-2, mixed radix, direct primes,
+Rader primes, and Bluestein sizes."""
+import numpy as np
+import pytest
+
+import vkfft_tpu as vt
+
+# pow-2 | mixed radix | direct primes | Rader primes | Bluestein
+SIZES_1D = [1, 2, 4, 8, 16, 64, 256, 1024, 4096,
+            6, 12, 15, 60, 120, 210, 360, 1000, 2310,
+            17, 31, 61,
+            67, 97, 101, 257, 641, 1009,
+            10006, 919 * 2]
+# 919: prime, 918=2*27*17 -> contains 17<=61 smooth -> Rader; 919*2 composite
+# with large prime factor -> Bluestein.
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+@pytest.mark.parametrize("n", SIZES_1D)
+def test_fft_1d_fp64(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    y = np.asarray(vt.fft(x, engine="jnp"))
+    assert rel_err(y, np.fft.fft(x)) < 1e-11
+
+
+@pytest.mark.parametrize("n", SIZES_1D)
+def test_ifft_roundtrip_fp64(n):
+    rng = np.random.default_rng(n + 1)
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    z = np.asarray(vt.ifft(vt.fft(x, engine="jnp"), engine="jnp"))
+    assert rel_err(z, x) < 1e-11
+
+
+@pytest.mark.parametrize("n", [8, 256, 4096, 360, 97, 101, 1009])
+def test_fft_1d_fp32(n):
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+    y = np.asarray(vt.fft(x, engine="jnp"))
+    assert y.dtype == np.complex64
+    # fp32 error grows ~log(n); bound matches reference FP32 precision curves
+    assert rel_err(y, np.fft.fft(x.astype(np.complex128))) < 2e-6
+
+
+@pytest.mark.parametrize("shape,axes", [
+    ((8, 16), None),
+    ((4, 6, 8), None),
+    ((32, 32), (0,)),
+    ((32, 32), (1,)),
+    ((5, 12, 7), (1, 2)),
+    ((16, 17, 4), None),
+])
+def test_fftn(shape, axes):
+    rng = np.random.default_rng(int(np.prod(shape)))
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    y = np.asarray(vt.fftn(x, axes=axes, engine="jnp"))
+    assert rel_err(y, np.fft.fftn(x, axes=axes)) < 1e-11
+    z = np.asarray(vt.ifftn(y, axes=axes, engine="jnp"))
+    assert rel_err(z, x) < 1e-11
+
+
+def test_batch_dims():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 32)) + 1j * rng.standard_normal((2, 3, 32))
+    y = np.asarray(vt.fft(x, engine="jnp"))
+    assert rel_err(y, np.fft.fft(x, axis=-1)) < 1e-11
+
+
+def test_fft2():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((3, 24, 16)) + 1j * rng.standard_normal((3, 24, 16))
+    y = np.asarray(vt.fft2(x, engine="jnp"))
+    assert rel_err(y, np.fft.fft2(x)) < 1e-11
+
+
+def test_application_reuse():
+    cfg = vt.FFTConfig(shape=(64,), normalize=True)
+    app = vt.FFTApplication(cfg, engine="jnp")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((5, 64)) + 1j * rng.standard_normal((5, 64))
+    y = np.asarray(app.forward(x))
+    assert rel_err(y, np.fft.fft(x)) < 1e-11
+    z = np.asarray(app.inverse(y))
+    assert rel_err(z, x) < 1e-11
+
+
+def test_zeropad_input():
+    # data outside [left, right) = [0, 8) is declared zero and ignored
+    cfg = vt.FFTConfig(shape=(32,), zeropad_input=((8, 32),))
+    app = vt.FFTApplication(cfg, engine="jnp")
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 32)) + 0j
+    ref = x.copy()
+    ref[:, 8:32] = 0
+    y = np.asarray(app.forward(x))
+    assert rel_err(y, np.fft.fft(ref)) < 1e-11

@@ -1,0 +1,186 @@
+"""Application layer — plan/execute lifecycle.
+
+``FFTApplication`` is the analog of ``VkFFTApplication`` +
+``initializeVkFFT``/``VkFFTAppend``/``deleteVkFFT``
+(``vkFFT_AppManagement/vkFFT_InitializeApp.h:1468``, ``vkFFT_RunApp.h:79``,
+``vkFFT_DeleteApp.h:28``): construction plans every transformed axis, the
+forward/inverse methods execute, and Python GC plays deleteVkFFT.  The
+module-level functional API (`fft`, `ifft`, ...) wraps a keyed application
+cache so repeated calls hit XLA's compiled executable, mirroring the
+reference's binary-cache ergonomics (``saveApplicationToString``).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkfft_tpu.config import FFTConfig, Precision, TransformKind
+from vkfft_tpu.errors import InvalidConfigError
+from vkfft_tpu.planner.plan import AxisPlan, plan_axis
+
+
+def _engine(name: str):
+    """Engine registry: 'jnp' reference path, 'pallas' TPU kernels."""
+    if name == "jnp":
+        from vkfft_tpu.ops import jnp_engine
+        return jnp_engine
+    if name == "pallas":
+        from vkfft_tpu.ops import pallas_engine
+        return pallas_engine
+    raise InvalidConfigError(f"unknown engine {name!r}")
+
+
+def default_engine() -> str:
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "pallas" if platform not in ("cpu",) else "jnp"
+
+
+def _complex_dtype(precision: Precision):
+    if precision == Precision.DOUBLE:
+        return jnp.complex128 if jax.config.jax_enable_x64 else jnp.complex64
+    return jnp.complex64
+
+
+class FFTApplication:
+    """Planned, reusable FFT executor for a fixed configuration."""
+
+    def __init__(self, config: FFTConfig, engine: Optional[str] = None):
+        self.config = config
+        self.engine_name = engine or default_engine()
+        self.axis_plans: dict[int, AxisPlan] = {
+            ax: plan_axis(config.shape[ax]) for ax in config.axes
+        }
+        self._fwd = jax.jit(functools.partial(self._transform, inverse=False))
+        self._inv = jax.jit(functools.partial(self._transform, inverse=True))
+
+    # -- execution ---------------------------------------------------------
+
+    def _eng(self, n_axis_len: int):
+        """Pick the execution engine for one axis (pallas engines may decline
+        shapes they don't support yet; jnp always works)."""
+        eng = _engine(self.engine_name)
+        return eng
+
+    def _apply_zeropad(self, x, spec, ndim):
+        """Zero the configured [left, right) window per axis (reference
+        zero-pad read elision, ``vkFFT_Zeropad.h``; here expressed as an
+        explicit mask the compiler folds into the read)."""
+        if spec is None:
+            return x
+        offset = x.ndim - ndim
+        for ax, window in enumerate(spec):
+            if window is None:
+                continue
+            left, right = window
+            idx = jnp.arange(x.shape[offset + ax])
+            mask = (idx < left) | (idx >= right)
+            shape = [1] * x.ndim
+            shape[offset + ax] = x.shape[offset + ax]
+            x = jnp.where(mask.reshape(shape), x, jnp.zeros((), x.dtype))
+        return x
+
+    def _transform(self, x: jax.Array, inverse: bool) -> jax.Array:
+        cfg = self.config
+        ndim = len(cfg.shape)
+        if x.shape[-ndim:] != cfg.shape:
+            raise InvalidConfigError(
+                f"input trailing shape {x.shape[-ndim:]} != configured {cfg.shape}")
+        eng = _engine(self.engine_name)
+        if not inverse:
+            x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
+        axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
+        for ax in axes:
+            plan = self.axis_plans[ax]
+            x = eng.fft_axis(x, x.ndim - ndim + ax, plan, inverse)
+        if inverse:
+            if cfg.normalize:
+                total = 1
+                for ax in cfg.axes:
+                    total *= cfg.shape[ax]
+                x = x * np.asarray(1.0 / total, dtype=x.dtype)
+            x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
+        else:
+            x = self._apply_zeropad(x, cfg.zeropad_output, ndim)
+        return x
+
+    def forward(self, x: jax.Array) -> jax.Array:
+        """``VkFFTAppend(app, -1, ...)`` analog (forward transform)."""
+        return self._fwd(x)
+
+    def inverse(self, x: jax.Array) -> jax.Array:
+        """``VkFFTAppend(app, 1, ...)`` analog (inverse transform)."""
+        return self._inv(x)
+
+
+# ---------------------------------------------------------------------------
+# Functional numpy-style façade with an application cache.
+# ---------------------------------------------------------------------------
+
+@functools.lru_cache(maxsize=512)
+def _cached_app(config: FFTConfig, engine: Optional[str]) -> FFTApplication:
+    return FFTApplication(config, engine=engine)
+
+
+def get_application(config: FFTConfig, engine: Optional[str] = None) -> FFTApplication:
+    return _cached_app(config, engine)
+
+
+def _axes_config(x_shape, axes, n_axes_from_end=None, engine=None, **kw):
+    ndim = len(x_shape)
+    if axes is None:
+        axes = tuple(range(ndim))
+    else:
+        axes = tuple(a % ndim for a in (axes if isinstance(axes, (tuple, list)) else (axes,)))
+    return axes
+
+
+def _as_complex(x):
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.complexfloating):
+        x = x.astype(jnp.complex64 if x.dtype != jnp.float64 else jnp.complex128)
+    return x
+
+
+def fftn(x, axes=None, engine: Optional[str] = None, inverse: bool = False,
+         normalize: Optional[bool] = None):
+    """N-D complex-to-complex DFT over ``axes`` (default all)."""
+    x = _as_complex(x)
+    axes = _axes_config(x.shape, axes)
+    # Configuration covers the trailing block of dims containing every
+    # transformed axis; leading dims are batch.
+    lead = min(axes)
+    shape = tuple(x.shape[lead:])
+    cfg_axes = tuple(a - lead for a in axes)
+    norm = True if normalize is None else normalize
+    cfg = FFTConfig(shape=shape, fft_axes=cfg_axes, normalize=norm)
+    app = get_application(cfg, engine)
+    return app.inverse(x) if inverse else app.forward(x)
+
+
+def fft(x, axis: int = -1, engine: Optional[str] = None):
+    """1-D forward DFT along ``axis`` (unnormalized, numpy convention)."""
+    return fftn(x, axes=(axis,), engine=engine)
+
+
+def ifft(x, axis: int = -1, engine: Optional[str] = None):
+    """1-D inverse DFT along ``axis`` (normalized by 1/n, numpy convention)."""
+    return fftn(x, axes=(axis,), engine=engine, inverse=True)
+
+
+def fft2(x, axes=(-2, -1), engine: Optional[str] = None):
+    return fftn(x, axes=axes, engine=engine)
+
+
+def ifft2(x, axes=(-2, -1), engine: Optional[str] = None):
+    return fftn(x, axes=axes, engine=engine, inverse=True)
+
+
+def ifftn(x, axes=None, engine: Optional[str] = None):
+    return fftn(x, axes=axes, engine=engine, inverse=True)

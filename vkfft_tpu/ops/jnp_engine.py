@@ -1,0 +1,126 @@
+"""Reference execution engine: plan-driven mixed-radix FFT in pure jnp.
+
+This is the TPU-framework analog of the reference's generated-kernel execution
+path, expressed as traced XLA ops instead of generated source strings
+(reference kernel composer: ``vkFFT_KernelsLevel2/vkFFT_FFT.h:48``).  Every
+radix stage is a constant DFT-matrix contraction (MXU) plus a twiddle
+elementwise multiply (VPU), which XLA fuses; the Pallas engine reproduces the
+same dataflow with explicit VMEM residency.
+
+Stockham recurrence implemented here (self-sorting, natural order in and out):
+with ``L`` = product of processed radices, ``M`` = remaining length, and the
+invariant
+
+    A[k, m] = sum_p x[p*M + m] * w_L^(k*p) * w_N^(k*m),   k < L, m < M,
+
+one radix-``r`` stage maps ``A[l, j*Mp + m'] -> A'[i*L + l, m']`` via
+
+    A'[i*L + l, m'] = sum_j w_r^(i*j) * w_M^(i*m') * A[l, j*Mp + m'],
+
+i.e. reshape ``(B, L, r, Mp)``, contract the DFT matrix over ``j``, multiply
+the ``(r, Mp)`` twiddle, merge ``(i, l)`` with ``i`` major.  This is the same
+math as the reference's staged Stockham loop (``vkFFT_FFT.h:156-239``) with
+the shared-memory shuffle replaced by a layout change XLA is free to fuse.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkfft_tpu.planner.factorize import Algorithm
+from vkfft_tpu import luts
+from vkfft_tpu.planner.plan import AxisPlan, plan_axis
+
+# Complex matmuls in fp32 must run the 6-pass bf16 decomposition to keep fp32
+# accuracy on the MXU.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _cast_tables(tables, dtype):
+    return [(jnp.asarray(D.astype(dtype)), jnp.asarray(tw.astype(dtype))) for D, tw in tables]
+
+
+def apply_stages(x: jax.Array, plan: AxisPlan, tables) -> jax.Array:
+    """Run the Stockham core over the last axis of ``x`` (shape (B, core_n))."""
+    B = x.shape[0]
+    tabs = _cast_tables(tables, x.dtype)
+    for stage, (D, tw) in zip(plan.stages, tabs):
+        x = x.reshape(B, stage.L, stage.r, stage.Mp)
+        x = jnp.einsum("ij,bljm->bilm", D, x, precision=_PRECISION)
+        x = x * tw[None, :, None, :]
+        x = x.reshape(B, stage.L * stage.r, stage.Mp)
+    return x.reshape(B, -1)
+
+
+def _fft_direct(x, plan, tabs, inverse):
+    del inverse  # sign baked into the tables
+    return apply_stages(x, plan, tabs["stages"])
+
+
+def _fft_bluestein(x, plan, tabs, inverse):
+    """Chirp-z: pad to smooth M, convolve with the chirp in frequency domain
+    (reference pre/post multipliers: ``PrePostProcessing/vkFFT_Bluestein.h``)."""
+    del inverse  # chirp sign baked into the tables
+    B, n = x.shape
+    m = plan.decomp.bluestein_size
+    a, b_fft = tabs["bluestein"]
+    a = jnp.asarray(a.astype(x.dtype))
+    b_fft = jnp.asarray(b_fft.astype(x.dtype))
+    y = x * a[None, :]
+    y = jnp.pad(y, ((0, 0), (0, m - n)))
+    Y = apply_stages(y, plan, tabs["stages"])
+    Y = Y * b_fft[None, :]
+    y = apply_stages(Y, plan, tabs["inv_stages"]) * x.dtype.type(1.0 / m)
+    return y[:, :n] * a[None, :]
+
+
+def _fft_rader(x, plan, tabs, inverse):
+    """Rader prime FFT via length-(p-1) cyclic convolution (reference FFT-Rader
+    stage: ``vkFFT_RaderKernels.h:30``). Inverse handled by conjugation."""
+    if inverse:
+        return jnp.conj(_fft_rader(jnp.conj(x), plan, tabs, False))
+    perm, inv_perm, b_fft = tabs["rader"]
+    b_fft = jnp.asarray(b_fft.astype(x.dtype))
+    x0 = x[:, :1]
+    X0 = jnp.sum(x, axis=1, keepdims=True)
+    a = x[:, perm]
+    A = apply_stages(a, plan, tabs["stages"])
+    c = apply_stages(A * b_fft[None, :], plan, tabs["inv_stages"])
+    c = c * x.dtype.type(1.0 / (plan.n - 1))
+    out = jnp.zeros_like(x)
+    out = out.at[:, 0:1].set(X0)
+    out = out.at[:, inv_perm].set(x0 + c)
+    return out
+
+
+_DISPATCH = {
+    Algorithm.DIRECT: _fft_direct,
+    Algorithm.BLUESTEIN: _fft_bluestein,
+    Algorithm.RADER: _fft_rader,
+}
+
+
+def fft_lines(x: jax.Array, plan: AxisPlan, inverse: bool = False) -> jax.Array:
+    """Unnormalized DFT over the last axis of a (B, n) complex array."""
+    if plan.n == 1:
+        return x
+    tabs = luts.axis_tables(plan, inverse)
+    return _DISPATCH[plan.algorithm](x, plan, tabs, inverse)
+
+
+def fft_axis(x: jax.Array, axis: int, plan: AxisPlan, inverse: bool = False) -> jax.Array:
+    """Unnormalized DFT along ``axis`` of an N-D complex array."""
+    axis = axis % x.ndim
+    if x.shape[axis] != plan.n:
+        raise ValueError(f"axis {axis} has length {x.shape[axis]}, plan is for {plan.n}")
+    if axis != x.ndim - 1:
+        x = jnp.moveaxis(x, axis, -1)
+    shape = x.shape
+    y = fft_lines(x.reshape(-1, plan.n), plan, inverse).reshape(shape)
+    if axis != x.ndim - 1:
+        y = jnp.moveaxis(y, -1, axis)
+    return y
