@@ -1,0 +1,106 @@
+"""Convolution tests — identity-kernel and oracle checks (analog of reference
+functional samples 50-52, e.g.
+``sample_50_convolution_VkFFT_single_1d_matrix.cpp``)."""
+import numpy as np
+import pytest
+
+import vkfft_tpu as vt
+from vkfft_tpu.config import FFTConfig
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+def test_fftconvolve_vs_numpy():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal(64) + 0j
+    h = rng.standard_normal(64) + 0j
+    y = np.asarray(vt.fftconvolve(x, h, engine="jnp"))
+    ref = np.fft.ifft(np.fft.fft(x) * np.fft.fft(h))
+    assert rel_err(y, ref) < 1e-11
+
+
+def test_identity_kernel_scalar():
+    # delta kernel -> circular convolution is the identity (sample 50 pattern)
+    n = 32
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, n)) + 0j
+    delta = np.zeros(n)
+    delta[0] = 1.0
+    cfg = FFTConfig(shape=(n,), convolution=True)
+    app = vt.ConvolutionApplication(cfg, delta, engine="jnp")
+    y = np.asarray(app(x))
+    assert rel_err(y, x) < 1e-11
+
+
+def test_identity_kernel_matrix_3x3():
+    # 3x3 identity matrix kernel (sample 50: identity-matrix convolution)
+    n = 16
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, n)) + 0j  # (coord=3, n)
+    kern = np.zeros((3, 3, n))
+    for c in range(3):
+        kern[c, c, 0] = 1.0
+    cfg = FFTConfig(shape=(n,), convolution=True, matrix_convolution=3,
+                    coordinate_features=3)
+    app = vt.ConvolutionApplication(cfg, kern, engine="jnp")
+    y = np.asarray(app(x))
+    assert rel_err(y, x) < 1e-11
+
+
+def test_matrix_convolution_oracle():
+    n = 8
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    kern = rng.standard_normal((2, 2, n)) + 0j
+    cfg = FFTConfig(shape=(n,), convolution=True, matrix_convolution=2,
+                    coordinate_features=2)
+    app = vt.ConvolutionApplication(cfg, kern, engine="jnp")
+    y = np.asarray(app(x))
+    Kf = np.fft.fft(kern, axis=-1)
+    Xf = np.fft.fft(x, axis=-1)
+    Yf = np.einsum("oiu,iu->ou", Kf, Xf)
+    ref = np.fft.ifft(Yf, axis=-1)
+    assert rel_err(y, ref) < 1e-11
+
+
+def test_multi_kernel_batch():
+    n = 16
+    K = 3
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(n) + 0j
+    kerns = rng.standard_normal((K, n)) + 0j
+    cfg = FFTConfig(shape=(n,), convolution=True, number_kernels=K)
+    app = vt.ConvolutionApplication(cfg, kerns, engine="jnp")
+    y = np.asarray(app(x))
+    assert y.shape == (K, n)
+    for k in range(K):
+        ref = np.fft.ifft(np.fft.fft(x) * np.fft.fft(kerns[k]))
+        assert rel_err(y[k], ref) < 1e-11
+
+
+def test_conjugate_and_cross_power():
+    # phase correlation: x correlated with a rolled copy peaks at the shift
+    n = 64
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(n)
+    shift = 11
+    moved = np.roll(x, shift)
+    cfg = FFTConfig(shape=(n,), convolution=True, conjugate_convolution=1,
+                    cross_power_spectrum_normalization=True)
+    app = vt.ConvolutionApplication(cfg, x + 0j, engine="jnp")
+    corr = np.asarray(app(moved + 0j))
+    assert int(np.argmax(np.abs(corr))) == shift
+
+
+def test_2d_convolution():
+    shape = (8, 16)
+    rng = np.random.default_rng(6)
+    x = rng.standard_normal(shape) + 0j
+    h = rng.standard_normal(shape) + 0j
+    cfg = FFTConfig(shape=shape, convolution=True)
+    app = vt.ConvolutionApplication(cfg, h, engine="jnp")
+    y = np.asarray(app(x))
+    ref = np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(h))
+    assert rel_err(y, ref) < 1e-11

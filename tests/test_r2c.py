@@ -1,0 +1,59 @@
+"""R2C/C2R correctness vs numpy (analog of reference precision sample 15,
+``sample_15_precision_VkFFT_single_r2c.cpp``)."""
+import numpy as np
+import pytest
+
+import vkfft_tpu as vt
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+# even (fast packed path), odd (fallback), prime, Bluestein-sized
+SIZES = [2, 4, 8, 16, 64, 256, 1024, 6, 12, 60, 360, 1000,
+         3, 5, 9, 15, 17, 97, 101, 254]
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_rfft(n):
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n))
+    y = np.asarray(vt.rfft(x, engine="jnp"))
+    assert y.shape == (3, n // 2 + 1)
+    assert rel_err(y, np.fft.rfft(x)) < 1e-11
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_irfft_roundtrip(n):
+    rng = np.random.default_rng(n + 7)
+    x = rng.standard_normal((2, n))
+    X = np.fft.rfft(x)
+    z = np.asarray(vt.irfft(X, n=n, engine="jnp"))
+    assert z.shape == (2, n)
+    assert rel_err(z, x) < 1e-11
+
+
+def test_rfft_axis():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 5))
+    y = np.asarray(vt.rfft(x, axis=0, engine="jnp"))
+    assert rel_err(y, np.fft.rfft(x, axis=0)) < 1e-11
+
+
+@pytest.mark.parametrize("shape", [(8, 16), (4, 6, 8), (16, 17)])
+def test_rfftn_irfftn(shape):
+    rng = np.random.default_rng(int(np.prod(shape)))
+    x = rng.standard_normal(shape)
+    y = np.asarray(vt.rfftn(x, engine="jnp"))
+    assert rel_err(y, np.fft.rfftn(x)) < 1e-11
+    z = np.asarray(vt.irfftn(y, s=shape, engine="jnp"))
+    assert rel_err(z, x) < 1e-11
+
+
+def test_rfft_fp32():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((4, 256)).astype(np.float32)
+    y = np.asarray(vt.rfft(x, engine="jnp"))
+    assert y.dtype == np.complex64
+    assert rel_err(y, np.fft.rfft(x.astype(np.float64))) < 2e-6

@@ -1,0 +1,111 @@
+"""DCT/DST I-IV vs naive fp64 matmul oracles (analog of reference precision
+samples 16/17, ``sample_16_precision_VkFFT_single_dct.cpp`` — which use FFTW
+REDFT/RODFT; the naive definitions below are the same conventions)."""
+import numpy as np
+import pytest
+
+import vkfft_tpu as vt
+
+
+def naive_dct(x, type):
+    n = x.shape[-1]
+    j = np.arange(n)
+    k = np.arange(n)[:, None]
+    if type == 1:
+        jj = np.arange(1, n - 1)
+        M = 2 * np.cos(np.pi * jj * k / (n - 1))
+        core = x[..., 1:-1] @ M.T
+        return x[..., :1] + ((-1.0) ** k[:, 0]) * x[..., -1:] + core
+    if type == 2:
+        M = 2 * np.cos(np.pi * (2 * j + 1) * k / (2 * n))
+        return x @ M.T
+    if type == 3:
+        jj = np.arange(1, n)
+        M = 2 * np.cos(np.pi * jj * (2 * k + 1) / (2 * n))
+        return x[..., :1] + x[..., 1:] @ M.T
+    if type == 4:
+        M = 2 * np.cos(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n))
+        return x @ M.T
+    raise ValueError(type)
+
+
+def naive_dst(x, type):
+    n = x.shape[-1]
+    j = np.arange(n)
+    k = np.arange(n)[:, None]
+    if type == 1:
+        M = 2 * np.sin(np.pi * (j + 1) * (k + 1) / (n + 1))
+        return x @ M.T
+    if type == 2:
+        M = 2 * np.sin(np.pi * (2 * j + 1) * (k + 1) / (2 * n))
+        return x @ M.T
+    if type == 3:
+        jj = np.arange(n - 1)
+        M = 2 * np.sin(np.pi * (jj + 1) * (2 * k + 1) / (2 * n))
+        return ((-1.0) ** k[:, 0]) * x[..., -1:] + x[..., :-1] @ M.T
+    if type == 4:
+        M = 2 * np.sin(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n))
+        return x @ M.T
+    raise ValueError(type)
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+SIZES = [2, 3, 4, 8, 15, 16, 32, 60, 64, 100, 128, 256]
+
+
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", SIZES)
+def test_dct(type, n):
+    rng = np.random.default_rng(n * 10 + type)
+    x = rng.standard_normal((3, n))
+    y = np.asarray(vt.dct(x, type=type, engine="jnp"))
+    assert rel_err(y, naive_dct(x, type)) < 1e-10
+
+
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+@pytest.mark.parametrize("n", SIZES)
+def test_dst(type, n):
+    rng = np.random.default_rng(n * 10 + type)
+    x = rng.standard_normal((3, n))
+    y = np.asarray(vt.dst(x, type=type, engine="jnp"))
+    assert rel_err(y, naive_dst(x, type)) < 1e-10
+
+
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+def test_idct_roundtrip(type):
+    n = 32
+    rng = np.random.default_rng(type)
+    x = rng.standard_normal((2, n))
+    y = np.asarray(vt.idct(vt.dct(x, type=type, engine="jnp"), type=type, engine="jnp"))
+    assert rel_err(y, x) < 1e-10
+
+
+@pytest.mark.parametrize("type", [1, 2, 3, 4])
+def test_idst_roundtrip(type):
+    n = 24
+    rng = np.random.default_rng(type)
+    x = rng.standard_normal((2, n))
+    y = np.asarray(vt.idst(vt.dst(x, type=type, engine="jnp"), type=type, engine="jnp"))
+    assert rel_err(y, x) < 1e-10
+
+
+def test_dct_axis_and_nd():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((8, 12))
+    y = np.asarray(vt.dct(x, type=2, axis=0, engine="jnp"))
+    ref = naive_dct(x.T, 2).T
+    assert rel_err(y, ref) < 1e-10
+    y2 = np.asarray(vt.dctn(x, type=2, engine="jnp"))
+    ref2 = naive_dct(naive_dct(x, 2).swapaxes(-1, -2), 2).swapaxes(-1, -2)
+    assert rel_err(y2, ref2) < 1e-10
+
+
+def test_dct_fp32():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((4, 128)).astype(np.float32)
+    y = np.asarray(vt.dct(x, type=2, engine="jnp"))
+    assert y.dtype == np.float32
+    assert rel_err(y, naive_dct(x.astype(np.float64), 2)) < 5e-5

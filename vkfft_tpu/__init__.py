@@ -21,6 +21,22 @@ from vkfft_tpu.api import (
     fftn,
     ifftn,
 )
+from vkfft_tpu.transforms import (
+    rfft,
+    irfft,
+    rfft2,
+    irfft2,
+    rfftn,
+    irfftn,
+    dct,
+    idct,
+    dst,
+    idst,
+    dctn,
+    dstn,
+    fftconvolve,
+    ConvolutionApplication,
+)
 
 __version__ = "0.1.0"
 
