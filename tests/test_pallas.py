@@ -1,0 +1,71 @@
+"""Pallas engine correctness in interpreter mode (CPU-runnable; real-TPU
+compilation is exercised by bench.py / __graft_entry__.py on hardware)."""
+import numpy as np
+import pytest
+
+import vkfft_tpu as vt
+from vkfft_tpu.ops import pallas_engine
+from vkfft_tpu.planner import plan_axis
+
+
+@pytest.fixture(autouse=True)
+def _interpret():
+    pallas_engine.set_interpret(True)
+    yield
+    pallas_engine.set_interpret(False)
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+def test_split_two_factors():
+    assert pallas_engine.split_two_factors(4096) == (64, 64)
+    assert pallas_engine.split_two_factors(1024) == (32, 32)
+    assert pallas_engine.split_two_factors(96) == (1, 96)
+    assert pallas_engine.split_two_factors(128 * 128) == (128, 128)
+    assert pallas_engine.split_two_factors(2 * 127 * 127) is None  # 127*254
+    assert pallas_engine.split_two_factors(97 * 64) == (64, 97)
+    assert pallas_engine.split_two_factors(1 << 20) is None
+
+
+# direct two-factor sizes incl. prime factors the matmul eats directly,
+# plus Rader (97) and Bluestein (10006 -> core 20250 unsupported... use small)
+@pytest.mark.parametrize("n", [8, 64, 128, 256, 360, 1024, 97 * 64, 101])
+def test_pallas_fft_vs_numpy(n):
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))).astype(np.complex64)
+    y = np.asarray(pallas_engine.fft_lines(__import__("jax").numpy.asarray(x), plan_axis(n)))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(y, ref) < 5e-6
+
+
+@pytest.mark.parametrize("n", [64, 256, 360])
+def test_pallas_roundtrip(n):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    plan = plan_axis(n)
+    y = pallas_engine.fft_lines(jnp.asarray(x), plan)
+    z = np.asarray(pallas_engine.fft_lines(y, plan, inverse=True)) / n
+    assert rel_err(z, x) < 5e-6
+
+
+def test_pallas_axis_and_fallback():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((8, 16)) + 1j * rng.standard_normal((8, 16))).astype(np.complex64)
+    plan = plan_axis(8)
+    y = np.asarray(pallas_engine.fft_axis(jnp.asarray(x), 0, plan))
+    assert rel_err(y, np.fft.fft(x.astype(np.complex128), axis=0)) < 5e-6
+    # complex128 falls back to jnp engine
+    x64 = x.astype(np.complex128)
+    y64 = np.asarray(pallas_engine.fft_axis(jnp.asarray(x64), 0, plan))
+    assert rel_err(y64, np.fft.fft(x64, axis=0)) < 1e-11
+
+
+def test_api_engine_pallas():
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((4, 256)) + 1j * rng.standard_normal((4, 256))).astype(np.complex64)
+    y = np.asarray(vt.fft(x, engine="pallas"))
+    assert rel_err(y, np.fft.fft(x.astype(np.complex128))) < 5e-6

@@ -1,0 +1,101 @@
+"""Multi-chip decomposition tests on the 8-device virtual CPU mesh — the
+"multi-node without a cluster" capability the reference has no analog for
+(its multi-GPU support is future work, README.md:24-25)."""
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+import vkfft_tpu as vt
+from vkfft_tpu.parallel import DistributedFFT, fft_mesh, pfft, pfftn, pifftn
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+def test_mesh_helper():
+    m = fft_mesh()
+    assert m.devices.size == 8
+    m2 = fft_mesh((4, 2), ("x", "y"))
+    assert m2.devices.shape == (4, 2)
+
+
+def test_batch_sharded_pfft():
+    mesh = fft_mesh()
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((16, 64)) + 1j * rng.standard_normal((16, 64))
+    y = np.asarray(pfft(x, mesh, engine="jnp"))
+    assert rel_err(y, np.fft.fft(x)) < 1e-11
+
+
+@pytest.mark.parametrize("shape", [(16, 32), (8, 16, 12), (16, 8, 8)])
+def test_slab_fftn(shape):
+    mesh = fft_mesh()
+    rng = np.random.default_rng(int(np.prod(shape)))
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    app = DistributedFFT(shape, mesh, engine="jnp")
+    y = np.asarray(app.forward(app.shard_input(x)))
+    assert rel_err(y, np.fft.fftn(x)) < 1e-11
+
+
+def test_slab_roundtrip():
+    mesh = fft_mesh()
+    shape = (16, 16, 8)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    app = DistributedFFT(shape, mesh, engine="jnp")
+    y = app.forward(app.shard_input(x))
+    z = np.asarray(app.inverse(y))
+    assert rel_err(z, x) < 1e-11
+
+
+def test_slab_transpose_back_sharding():
+    mesh = fft_mesh()
+    shape = (16, 16)
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    app = DistributedFFT(shape, mesh, engine="jnp", transpose_back=True)
+    y = app.forward(app.shard_input(x))
+    assert rel_err(np.asarray(y), np.fft.fftn(x)) < 1e-11
+    # output sharding matches input sharding (axis 0 sharded)
+    assert y.sharding.spec == P(mesh.axis_names[0], None)
+
+
+def test_pencil_fftn():
+    mesh = fft_mesh((4, 2), ("px", "py"))
+    shape = (8, 8, 16)
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    app = DistributedFFT(shape, mesh, engine="jnp")
+    y = np.asarray(app.forward(app.shard_input(x)))
+    assert rel_err(y, np.fft.fftn(x)) < 1e-11
+    z = np.asarray(app.inverse(app.forward(app.shard_input(x))))
+    assert rel_err(z, x) < 1e-11
+
+
+def test_pencil_transpose_back():
+    mesh = fft_mesh((2, 2), ("px", "py"), devices=jax.devices()[:4])
+    shape = (4, 4, 8)
+    rng = np.random.default_rng(4)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    app = DistributedFFT(shape, mesh, engine="jnp", transpose_back=True)
+    y = np.asarray(app.forward(app.shard_input(x)))
+    assert rel_err(y, np.fft.fftn(x)) < 1e-11
+
+
+def test_pfftn_facade():
+    mesh = fft_mesh()
+    shape = (8, 8)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    y = pfftn(x, mesh, engine="jnp")
+    assert rel_err(np.asarray(y), np.fft.fftn(x)) < 1e-11
+    z = np.asarray(pifftn(y, mesh, engine="jnp"))
+    assert rel_err(z, x) < 1e-11
+
+
+def test_divisibility_validation():
+    mesh = fft_mesh()
+    with pytest.raises(vt.FFTError):
+        DistributedFFT((12, 16), mesh, engine="jnp")  # 12 % 8 != 0

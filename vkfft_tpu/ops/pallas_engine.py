@@ -1,0 +1,240 @@
+"""Pallas TPU execution engine.
+
+This is the performance path: one fused kernel per transform keeps every stage
+VMEM-resident, so a batched FFT costs exactly one HBM read + one HBM write —
+the TPU realization of the reference's "single upload" regime (a VkFFT axis
+whose whole sequence fits in shared memory, ``vkFFT_Scheduler.h:2590-2650``).
+
+Algorithm: Bailey four-step with a near-square split N = N1 * N2
+(N1, N2 <= 128) so each half-transform is a dense DFT-matrix matmul on the
+MXU:
+
+    x[n1, n2] --(R1: DFT over n1)--> A[k1, n2]
+              --(twiddle w_N^(k1*n2), VPU)-->
+              --(in-VMEM transpose)--> A^T[n2, k1]
+              --(R2: DFT over n2)--> X[k2, k1]
+
+and the (k2, k1) output block flattens to the natural frequency order
+X[k2*N1 + k1], so no output reorder is needed.  Complex arithmetic is packed
+into real matmuls: with z = [re; im] stacked on the contracted axis, the
+complex matrix C acts as the real matrix [[Cr, -Ci], [Ci, Cr]] — one MXU op
+per step instead of four (reference radix butterflies + shared-memory
+shuffles: ``vkFFT_RadixKernels.h:30``, ``vkFFT_RadixShuffle.h``).
+
+Because a dense length-m DFT costs m MACs/point and the MXU crossover against
+HBM bandwidth sits near ~10^2 MACs/point in fp32, any m <= 128 rides free —
+this engine needs no Rader at all for N <= 16384, and covers *every* N that
+splits into two factors <= 128 (all smooth sizes and prime factors <= 127).
+Bigger or unsplittable sizes fall back to the jnp engine (api dispatch) or to
+Bluestein composition over this core.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from vkfft_tpu import luts
+from vkfft_tpu.planner.factorize import Algorithm, prime_factors
+from vkfft_tpu.planner.plan import AxisPlan
+
+_PRECISION = jax.lax.Precision.HIGHEST
+MAX_FACTOR = 128
+MAX_SINGLE_KERNEL_N = MAX_FACTOR * MAX_FACTOR
+
+# Interpreter mode for CPU testing (set by tests / auto-detected off-TPU).
+_INTERPRET = False
+
+
+def set_interpret(value: bool) -> None:
+    global _INTERPRET
+    _INTERPRET = value
+
+
+@functools.lru_cache(maxsize=1024)
+def split_two_factors(n: int) -> Optional[tuple[int, int]]:
+    """Best (N1, N2) with N1*N2 == n, both <= MAX_FACTOR, near-square with
+    N2 >= N1 (N2 feeds the lane dimension of step A, so bigger is better).
+    Analog of the reference's 2-upload axisSplit sqrt search
+    (``vkFFT_Scheduler.h:2710-2888``)."""
+    if n > MAX_SINGLE_KERNEL_N:
+        return None
+    if n <= MAX_FACTOR:
+        return (1, n)
+    best = None
+    for n1 in range(2, MAX_FACTOR + 1):
+        if n % n1 == 0:
+            n2 = n // n1
+            if n2 <= MAX_FACTOR and n1 <= n2:
+                if best is None or abs(n1 - n2) < abs(best[0] - best[1]):
+                    best = (n1, n2)
+    return best
+
+
+def supports(plan: AxisPlan) -> bool:
+    """Whether the Pallas path can run this axis plan's core length."""
+    return split_two_factors(plan.core_n) is not None
+
+
+def _pack_complex_matrix(C: np.ndarray) -> np.ndarray:
+    """[[Cr, -Ci], [Ci, Cr]] — complex matmul as one real matmul."""
+    Cr, Ci = np.real(C), np.imag(C)
+    return np.block([[Cr, -Ci], [Ci, Cr]]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=512)
+def _four_step_tables(n: int, inverse: bool):
+    n1, n2 = split_two_factors(n)
+    D1 = luts.dft_matrix(n1, inverse) if n1 > 1 else np.ones((1, 1), dtype=complex)
+    D2 = luts.dft_matrix(n2, inverse)
+    sign = 2.0j if inverse else -2.0j
+    k1 = np.arange(n1)[:, None]
+    nn2 = np.arange(n2)[None, :]
+    tw = np.exp(sign * np.pi / n * ((k1 * nn2) % n))
+    return (
+        _pack_complex_matrix(D1),
+        _pack_complex_matrix(D2),
+        np.real(tw).astype(np.float32),
+        np.imag(tw).astype(np.float32),
+    )
+
+
+def _fft_kernel(n1, n2, xr_ref, xi_ref, r1_ref, r2_ref, twr_ref, twi_ref,
+                or_ref, oi_ref):
+    """One line per program: blocks are (1, N1, N2) in / (1, N2, N1) out."""
+    xr = xr_ref[0]
+    xi = xi_ref[0]
+    if n1 > 1:
+        z = jnp.concatenate([xr, xi], axis=0)                       # (2N1, N2)
+        y = jnp.dot(r1_ref[:], z, preferred_element_type=jnp.float32,
+                    precision=_PRECISION)
+        ar, ai = y[:n1], y[n1:]
+        twr, twi = twr_ref[:], twi_ref[:]
+        tr = ar * twr - ai * twi
+        ti = ar * twi + ai * twr
+    else:
+        tr, ti = xr, xi
+    tr = tr.T                                                        # (N2, N1)
+    ti = ti.T
+    z2 = jnp.concatenate([tr, ti], axis=0)                          # (2N2, N1)
+    y2 = jnp.dot(r2_ref[:], z2, preferred_element_type=jnp.float32,
+                 precision=_PRECISION)
+    or_ref[0] = y2[:n2]
+    oi_ref[0] = y2[n2:]
+
+
+@functools.lru_cache(maxsize=512)
+def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool):
+    """Compile-cached pallas_call for a (batch, n) planar fp32 transform —
+    the XLA-trace-cache analog of the reference's compiled-kernel dictionary
+    (``VkFFT_CompileKernel`` + binary cache)."""
+    n1, n2 = split_two_factors(n)
+    r1, r2, twr, twi = _four_step_tables(n, inverse)
+
+    kernel = functools.partial(_fft_kernel, n1, n2)
+    line_spec_in = pl.BlockSpec((1, n1, n2), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    line_spec_out = pl.BlockSpec((1, n2, n1), lambda b: (b, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(batch,),
+        in_specs=[
+            line_spec_in, line_spec_in,
+            const(r1.shape), const(r2.shape),
+            const(twr.shape), const(twi.shape),
+        ],
+        out_specs=[line_spec_out, line_spec_out],
+        out_shape=[
+            jax.ShapeDtypeStruct((batch, n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((batch, n2, n1), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        orr, oi = call(xr.reshape(batch, n1, n2), xi.reshape(batch, n1, n2),
+                       jnp.asarray(r1), jnp.asarray(r2),
+                       jnp.asarray(twr), jnp.asarray(twi))
+        return orr.reshape(batch, n), oi.reshape(batch, n)
+
+    return run
+
+
+def core_fft_planar(xr: jax.Array, xi: jax.Array, n: int, inverse: bool):
+    """Unnormalized DFT of planar fp32 lines (B, n) -> (B, n)."""
+    batch = xr.shape[0]
+    run = _build_fft_call(n, inverse, batch, _INTERPRET)
+    return run(xr, xi)
+
+
+def _core_fft(x: jax.Array, n: int, inverse: bool) -> jax.Array:
+    """Unnormalized DFT over (B, n) complex64 via the planar core."""
+    xr = jnp.real(x).astype(jnp.float32)
+    xi = jnp.imag(x).astype(jnp.float32)
+    orr, oi = core_fft_planar(xr, xi, n, inverse)
+    return jax.lax.complex(orr, oi).astype(x.dtype)
+
+
+def fft_lines(x: jax.Array, plan: AxisPlan, inverse: bool = False) -> jax.Array:
+    """Unnormalized DFT over the last axis of (B, n), Pallas-accelerated.
+
+    DIRECT sizes run the fused four-step kernel; BLUESTEIN/RADER reuse it for
+    their internal convolution FFTs with jnp-level pre/post passes (the
+    reference similarly reuses its own generated kernels for the chirp FFT,
+    ``vkFFT_RecursiveFFTGenerators.h:241``)."""
+    n = plan.n
+    if n == 1:
+        return x
+    alg = plan.algorithm
+    if alg is Algorithm.DIRECT:
+        return _core_fft(x, n, inverse)
+    if alg is Algorithm.BLUESTEIN:
+        m = plan.decomp.bluestein_size
+        a, b_fft = luts.bluestein_chirp(n, m, inverse)
+        a = jnp.asarray(a.astype(np.complex64)).astype(x.dtype)
+        b_fft = jnp.asarray(b_fft.astype(np.complex64)).astype(x.dtype)
+        y = x * a[None, :]
+        y = jnp.pad(y, ((0, 0), (0, m - n)))
+        Y = _core_fft(y, m, False)
+        y = _core_fft(Y * b_fft[None, :], m, True) * x.dtype.type(1.0 / m)
+        return y[:, :n] * a[None, :]
+    # RADER: inverse by conjugation, p-1 convolution via the core
+    if inverse:
+        return jnp.conj(fft_lines(jnp.conj(x), plan, False))
+    p = plan.n
+    perm, inv_perm, b_fft = luts.rader_tables(p)
+    b_fft = jnp.asarray(b_fft.astype(np.complex64)).astype(x.dtype)
+    x0 = x[:, :1]
+    X0 = jnp.sum(x, axis=1, keepdims=True)
+    a = x[:, perm]
+    A = _core_fft(a, p - 1, False)
+    c = _core_fft(A * b_fft[None, :], p - 1, True) * x.dtype.type(1.0 / (p - 1))
+    out = jnp.zeros_like(x)
+    out = out.at[:, 0:1].set(X0)
+    out = out.at[:, inv_perm].set(x0 + c)
+    return out
+
+
+def fft_axis(x: jax.Array, axis: int, plan: AxisPlan, inverse: bool = False) -> jax.Array:
+    """Pallas DFT along ``axis``; falls back to the jnp engine for shapes the
+    kernel does not support yet."""
+    if not supports(plan) or x.dtype == jnp.complex128:
+        from vkfft_tpu.ops import jnp_engine
+        return jnp_engine.fft_axis(x, axis, plan, inverse)
+    axis = axis % x.ndim
+    if axis != x.ndim - 1:
+        x = jnp.moveaxis(x, axis, -1)
+    shape = x.shape
+    y = fft_lines(x.reshape(-1, plan.n), plan, inverse).reshape(shape)
+    if axis != x.ndim - 1:
+        y = jnp.moveaxis(y, -1, axis)
+    return y
