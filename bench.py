@@ -1,0 +1,105 @@
+"""Benchmark harness — prints one JSON line with the headline metric.
+
+Methodology mirrors the reference suite (``sample_0_benchmark_VkFFT_single.cpp``
+:202-276): batch each system to fill a large buffer, run many consecutive
+forward+inverse transforms, and report effective bandwidth = moved bytes /
+time, where moved bytes counts one read + one write of the full planar data
+per transform direction per axis upload (num_tot_transfers analog, :234-241).
+
+Headline metric: mean effective GB/s over the benchmark systems, and
+vs_baseline = fraction of the chip's HBM roofline (v5e: ~819 GB/s), matching
+the BASELINE.json north-star target (>= 90% of roofline).
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+HBM_ROOFLINE_GBS = {
+    # peak HBM bandwidth per chip
+    "TPU v5 lite": 819.0,   # v5e
+    "TPU v5e": 819.0,
+    "TPU v4": 1228.0,
+    "TPU v6 lite": 1640.0,  # v6e
+    "cpu": 50.0,            # nominal, for CI runs on CPU
+}
+
+
+def _roofline(device) -> float:
+    name = getattr(device, "device_kind", "cpu")
+    for k, v in HBM_ROOFLINE_GBS.items():
+        if k.lower() in str(name).lower():
+            return v
+    return HBM_ROOFLINE_GBS["cpu"]
+
+
+def bench_system(n: int, batch: int, iters: int = 30, warmup: int = 3):
+    """Effective bandwidth of a batched 1-D C2C fp32 FFT (forward+inverse)."""
+    import jax
+    from vkfft_tpu.pcomplex import Planar
+    from vkfft_tpu.planner import plan_axis
+    from vkfft_tpu import api
+
+    eng = api._engine(api.default_engine())
+    plan = plan_axis(n)
+    rng = np.random.default_rng(0)
+    xr = jax.numpy.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+    xi = jax.numpy.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+
+    @jax.jit
+    def fwd_inv(r, i):
+        p = Planar(r, i)
+        y = eng.fft_lines_p(p, plan, False) if hasattr(eng, "fft_lines_p") else None
+        z = eng.fft_lines_p(y, plan, True)
+        return z.re, z.im
+
+    r, i = fwd_inv(xr, xi)
+    jax.block_until_ready((r, i))
+    for _ in range(warmup):
+        jax.block_until_ready(fwd_inv(xr, xi))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r, i = fwd_inv(xr, xi)
+    jax.block_until_ready((r, i))
+    dt = (time.perf_counter() - t0) / iters
+
+    # bytes: fwd (read+write) + inv (read+write) of planar complex data
+    data_bytes = 2 * batch * n * 4  # re+im planes
+    moved = 4 * data_bytes
+    return moved / dt / 1e9, dt
+
+
+def main():
+    import jax
+
+    device = jax.devices()[0]
+    roof = _roofline(device)
+    # size sweep batched to ~128 MB planar data per system (reference pattern:
+    # batch to 500MB-1GB; kept smaller for driver time limits)
+    target_bytes = 128 * 1024 * 1024
+    systems = [256, 1024, 4096]
+    results = {}
+    for n in systems:
+        batch = max(1, target_bytes // (8 * n))
+        gbs, dt = bench_system(n, batch)
+        results[n] = (gbs, dt, batch)
+
+    mean_gbs = float(np.mean([v[0] for v in results.values()]))
+    out = {
+        "metric": "batched 1D C2C fp32 FFT effective bandwidth (fwd+inv, mean over N=256/1024/4096)",
+        "value": round(mean_gbs, 2),
+        "unit": "GB/s",
+        "vs_baseline": round(mean_gbs / roof, 4),
+        "detail": {str(n): {"GBs": round(v[0], 2), "ms": round(v[1] * 1e3, 3),
+                            "batch": v[2]} for n, v in results.items()},
+        "device": str(getattr(device, "device_kind", device.platform)),
+        "roofline_GBs": roof,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Planar (complex-free) path tests — the representation used on TPU backends
+without complex-dtype support (axon).  Runs on CPU against the complex
+oracle."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import vkfft_tpu as vt
+from vkfft_tpu.pcomplex import Planar, from_complex, to_numpy
+from vkfft_tpu.ops import jnp_engine, pallas_engine
+from vkfft_tpu.planner import plan_axis
+
+
+def rel_err(a, b):
+    return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
+
+
+def _mk(n, batch=3, seed=0, dtype=np.float64):
+    rng = np.random.default_rng(seed + n)
+    x = rng.standard_normal((batch, n)) + 1j * rng.standard_normal((batch, n))
+    if dtype == np.float32:
+        x = x.astype(np.complex64)
+    return x
+
+
+@pytest.mark.parametrize("n", [8, 60, 256, 97, 101, 1009, 10006, 254])
+def test_planar_jnp_engine(n):
+    x = _mk(n)
+    p = from_complex(x)
+    y = to_numpy(jnp_engine.fft_lines_p(p, plan_axis(n)))
+    assert rel_err(y, np.fft.fft(x)) < 1e-11
+
+
+@pytest.mark.parametrize("n", [8, 64, 360, 97, 101])
+def test_planar_pallas_engine(n):
+    pallas_engine.set_interpret(True)
+    try:
+        x = _mk(n, dtype=np.float32)
+        p = from_complex(x)
+        y = to_numpy(pallas_engine.fft_lines_p(p, plan_axis(n)))
+        assert rel_err(y, np.fft.fft(x.astype(np.complex128))) < 5e-6
+    finally:
+        pallas_engine.set_interpret(False)
+
+
+def test_planar_roundtrip_axis():
+    x = _mk(32, batch=4)
+    p = from_complex(x.reshape(4, 32))
+    plan = plan_axis(4)
+    y = jnp_engine.fft_axis_p(p, 0, plan)
+    ref = np.fft.fft(x.reshape(4, 32), axis=0)
+    assert rel_err(to_numpy(y), ref) < 1e-11
+
+
+def test_planar_api_fftn():
+    x = _mk(64)
+    p = from_complex(x)
+    y = vt.fftn(p, axes=(-1,), engine="jnp")
+    assert isinstance(y, Planar)
+    assert rel_err(to_numpy(y), np.fft.fft(x)) < 1e-11
+    z = vt.fftn(y, axes=(-1,), engine="jnp", inverse=True)
+    assert rel_err(to_numpy(z), x) < 1e-11
+
+
+def test_planar_pytree():
+    p = Planar(jnp.ones((2, 4)), jnp.zeros((2, 4)))
+    q = jax.jit(lambda v: v * 2.0)(p)
+    assert isinstance(q, Planar)
+    assert np.allclose(np.asarray(q.re), 2.0)
+
+
+def test_planar_application():
+    cfg = vt.FFTConfig(shape=(16, 8), normalize=True)
+    app = vt.FFTApplication(cfg, engine="jnp")
+    x = _mk(16 * 8, batch=1).reshape(16, 8)
+    p = from_complex(x)
+    y = app.forward(p)
+    assert rel_err(to_numpy(y), np.fft.fftn(x)) < 1e-11
+    z = app.inverse(y)
+    assert rel_err(to_numpy(z), x) < 1e-11

@@ -20,6 +20,7 @@ import numpy as np
 
 from vkfft_tpu.config import FFTConfig, Precision, TransformKind
 from vkfft_tpu.errors import InvalidConfigError
+from vkfft_tpu.pcomplex import Planar, from_complex, to_numpy
 from vkfft_tpu.planner.plan import AxisPlan, plan_axis
 
 
@@ -34,12 +35,23 @@ def _engine(name: str):
     raise InvalidConfigError(f"unknown engine {name!r}")
 
 
-def default_engine() -> str:
+@functools.lru_cache(maxsize=1)
+def _platform() -> str:
     try:
-        platform = jax.devices()[0].platform
+        return jax.devices()[0].platform
     except RuntimeError:
-        platform = "cpu"
-    return "pallas" if platform not in ("cpu",) else "jnp"
+        return "cpu"
+
+
+def default_engine() -> str:
+    return "pallas" if _platform() != "cpu" else "jnp"
+
+
+@functools.lru_cache(maxsize=1)
+def complex_supported() -> bool:
+    """Whether the active backend supports complex dtypes (the axon TPU
+    backend does not — everything runs planar there)."""
+    return _platform() in ("cpu", "gpu", "cuda", "rocm")
 
 
 def _complex_dtype(precision: Precision):
@@ -83,22 +95,29 @@ class FFTApplication:
             mask = (idx < left) | (idx >= right)
             shape = [1] * x.ndim
             shape[offset + ax] = x.shape[offset + ax]
-            x = jnp.where(mask.reshape(shape), x, jnp.zeros((), x.dtype))
+            m = mask.reshape(shape)
+            if isinstance(x, Planar):
+                zero = jnp.zeros((), x.dtype)
+                x = Planar(jnp.where(m, x.re, zero), jnp.where(m, x.im, zero))
+            else:
+                x = jnp.where(m, x, jnp.zeros((), x.dtype))
         return x
 
-    def _transform(self, x: jax.Array, inverse: bool) -> jax.Array:
+    def _transform(self, x, inverse: bool):
         cfg = self.config
         ndim = len(cfg.shape)
+        planar = isinstance(x, Planar)
         if x.shape[-ndim:] != cfg.shape:
             raise InvalidConfigError(
                 f"input trailing shape {x.shape[-ndim:]} != configured {cfg.shape}")
         eng = _engine(self.engine_name)
+        fft_axis = eng.fft_axis_p if planar else eng.fft_axis
         if not inverse:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
         for ax in axes:
             plan = self.axis_plans[ax]
-            x = eng.fft_axis(x, x.ndim - ndim + ax, plan, inverse)
+            x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
         if inverse:
             if cfg.normalize:
                 total = 1
@@ -110,11 +129,13 @@ class FFTApplication:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)
         return x
 
-    def forward(self, x: jax.Array) -> jax.Array:
-        """``VkFFTAppend(app, -1, ...)`` analog (forward transform)."""
+    def forward(self, x):
+        """``VkFFTAppend(app, -1, ...)`` analog (forward transform).
+        Accepts a complex array (complex-capable backends) or a ``Planar``
+        pair (any backend, the TPU-native format)."""
         return self._fwd(x)
 
-    def inverse(self, x: jax.Array) -> jax.Array:
+    def inverse(self, x):
         """``VkFFTAppend(app, 1, ...)`` analog (inverse transform)."""
         return self._inv(x)
 
@@ -150,8 +171,18 @@ def _as_complex(x):
 
 def fftn(x, axes=None, engine: Optional[str] = None, inverse: bool = False,
          normalize: Optional[bool] = None):
-    """N-D complex-to-complex DFT over ``axes`` (default all)."""
-    x = _as_complex(x)
+    """N-D complex-to-complex DFT over ``axes`` (default all).
+
+    Accepts a complex array, a ``Planar`` re/im pair, or (on complex-free
+    backends like axon TPU) a host numpy complex array, which is converted to
+    planes on the host and back after the transform."""
+    host_complex = False
+    if not isinstance(x, Planar):
+        if complex_supported():
+            x = _as_complex(x)
+        else:
+            x = from_complex(np.asarray(x))
+            host_complex = True
     axes = _axes_config(x.shape, axes)
     # Configuration covers the trailing block of dims containing every
     # transformed axis; leading dims are batch.
@@ -161,7 +192,8 @@ def fftn(x, axes=None, engine: Optional[str] = None, inverse: bool = False,
     norm = True if normalize is None else normalize
     cfg = FFTConfig(shape=shape, fft_axes=cfg_axes, normalize=norm)
     app = get_application(cfg, engine)
-    return app.inverse(x) if inverse else app.forward(x)
+    out = app.inverse(x) if inverse else app.forward(x)
+    return to_numpy(out) if host_complex else out
 
 
 def fft(x, axis: int = -1, engine: Optional[str] = None):

@@ -124,3 +124,102 @@ def fft_axis(x: jax.Array, axis: int, plan: AxisPlan, inverse: bool = False) -> 
     if axis != x.ndim - 1:
         y = jnp.moveaxis(y, -1, axis)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Planar (complex-free) path — required on TPU backends without complex-dtype
+# support.  Same math as above with complex packed into real ops: each stage's
+# DFT contraction uses the real matrix [[Dr, -Di], [Di, Dr]] acting on
+# re/im stacked along the contracted axis.
+# ---------------------------------------------------------------------------
+
+from vkfft_tpu.pcomplex import Planar, planar_table  # noqa: E402
+
+
+def _pack_real(D: np.ndarray) -> np.ndarray:
+    Dr, Di = np.real(D), np.imag(D)
+    return np.block([[Dr, -Di], [Di, Dr]])
+
+
+def apply_stages_p(x: Planar, plan: AxisPlan, tables) -> Planar:
+    """Planar Stockham core over (B, core_n) planes."""
+    B = x.shape[0]
+    dt = x.dtype
+    xr, xi = x.re, x.im
+    for stage, (D, tw) in zip(plan.stages, tables):
+        r, L, Mp = stage.r, stage.L, stage.Mp
+        R = jnp.asarray(_pack_real(D).astype(dt))
+        xr = xr.reshape(B, L, r, Mp)
+        xi = xi.reshape(B, L, r, Mp)
+        z = jnp.concatenate([xr, xi], axis=2)
+        y = jnp.einsum("ij,bljm->bilm", R, z, precision=_PRECISION)
+        yr, yi = y[:, :r], y[:, r:]
+        twr = jnp.asarray(np.real(tw).astype(dt))[None, :, None, :]
+        twi = jnp.asarray(np.imag(tw).astype(dt))[None, :, None, :]
+        xr = yr * twr - yi * twi
+        xi = yr * twi + yi * twr
+        xr = xr.reshape(B, L * r, Mp)
+        xi = xi.reshape(B, L * r, Mp)
+    return Planar(xr.reshape(B, -1), xi.reshape(B, -1))
+
+
+def _pad_tail_p(x: Planar, pad: int) -> Planar:
+    if pad == 0:
+        return x
+    z = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
+    return Planar(jnp.concatenate([x.re, z], axis=-1),
+                  jnp.concatenate([x.im, z], axis=-1))
+
+
+def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
+    """Unnormalized planar DFT over the last axis of (B, n) planes."""
+    if plan.n == 1:
+        return x
+    tabs = luts.axis_tables(plan, inverse)
+    alg = plan.algorithm
+    if alg is Algorithm.DIRECT:
+        return apply_stages_p(x, plan, tabs["stages"])
+    if alg is Algorithm.BLUESTEIN:
+        n = plan.n
+        m = plan.decomp.bluestein_size
+        a_t, b_t = tabs["bluestein"]
+        a = planar_table(a_t, x.dtype)
+        b_fft = planar_table(b_t, x.dtype)
+        y = x * a[None, :]
+        y = _pad_tail_p(y, m - n)
+        Y = apply_stages_p(y, plan, tabs["stages"])
+        y = apply_stages_p(Y * b_fft[None, :], plan, tabs["inv_stages"])
+        y = y * np.asarray(1.0 / m, dtype=x.dtype)
+        return y[:, :n] * a[None, :]
+    # RADER via conjugation for the inverse
+    if inverse:
+        return fft_lines_p(x.conj(), plan, False).conj()
+    p = plan.n
+    perm, inv_perm, b_t = tabs["rader"]
+    b_fft = planar_table(b_t, x.dtype)
+    x0 = x[:, :1]
+    X0 = Planar(jnp.sum(x.re, axis=1, keepdims=True),
+                jnp.sum(x.im, axis=1, keepdims=True))
+    a = x[:, perm]
+    A = apply_stages_p(a, plan, tabs["stages"])
+    c = apply_stages_p(A * b_fft[None, :], plan, tabs["inv_stages"])
+    c = c * np.asarray(1.0 / (p - 1), dtype=x.dtype)
+    val = x0 + c
+    out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0.re).at[:, inv_perm].set(val.re)
+    out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0.im).at[:, inv_perm].set(val.im)
+    return Planar(out_r, out_i)
+
+
+def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> Planar:
+    """Unnormalized planar DFT along ``axis`` of N-D planes."""
+    axis = axis % x.ndim
+    if x.shape[axis] != plan.n:
+        raise ValueError(f"axis {axis} has length {x.shape[axis]}, plan is for {plan.n}")
+    moved = axis != x.ndim - 1
+    if moved:
+        x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
+    shape = x.shape
+    y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse).reshape(*shape)
+    if moved:
+        y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
+    return y

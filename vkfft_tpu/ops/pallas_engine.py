@@ -238,3 +238,74 @@ def fft_axis(x: jax.Array, axis: int, plan: AxisPlan, inverse: bool = False) -> 
     if axis != x.ndim - 1:
         y = jnp.moveaxis(y, -1, axis)
     return y
+
+
+# ---------------------------------------------------------------------------
+# Planar (complex-free) entry points — the native path on TPU backends
+# without complex-dtype support.
+# ---------------------------------------------------------------------------
+
+from vkfft_tpu.pcomplex import Planar, planar_table  # noqa: E402
+
+
+def _core_fft_p(x: Planar, n: int, inverse: bool) -> Planar:
+    orr, oi = core_fft_planar(x.re, x.im, n, inverse)
+    return Planar(orr, oi)
+
+
+def _pad_tail_p(x: Planar, pad: int) -> Planar:
+    if pad == 0:
+        return x
+    z = jnp.zeros(x.shape[:-1] + (pad,), x.dtype)
+    return Planar(jnp.concatenate([x.re, z], axis=-1),
+                  jnp.concatenate([x.im, z], axis=-1))
+
+
+def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
+    """Unnormalized planar DFT over (B, n) planes, Pallas-accelerated."""
+    n = plan.n
+    if n == 1:
+        return x
+    alg = plan.algorithm
+    if alg is Algorithm.DIRECT:
+        return _core_fft_p(x, n, inverse)
+    if alg is Algorithm.BLUESTEIN:
+        m = plan.decomp.bluestein_size
+        a_t, b_t = luts.bluestein_chirp(n, m, inverse)
+        a = planar_table(a_t, x.dtype)
+        b_fft = planar_table(b_t, x.dtype)
+        y = _pad_tail_p(x * a[None, :], m - n)
+        Y = _core_fft_p(y, m, False)
+        y = _core_fft_p(Y * b_fft[None, :], m, True) * np.asarray(1.0 / m, x.dtype)
+        return y[:, :n] * a[None, :]
+    if inverse:
+        return fft_lines_p(x.conj(), plan, False).conj()
+    p = plan.n
+    perm, inv_perm, b_t = luts.rader_tables(p)
+    b_fft = planar_table(b_t, x.dtype)
+    x0 = x[:, :1]
+    X0 = Planar(jnp.sum(x.re, axis=1, keepdims=True),
+                jnp.sum(x.im, axis=1, keepdims=True))
+    A = _core_fft_p(x[:, perm], p - 1, False)
+    c = _core_fft_p(A * b_fft[None, :], p - 1, True) * np.asarray(1.0 / (p - 1), x.dtype)
+    val = x0 + c
+    out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0.re).at[:, inv_perm].set(val.re)
+    out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0.im).at[:, inv_perm].set(val.im)
+    return Planar(out_r, out_i)
+
+
+def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> Planar:
+    """Planar pallas DFT along ``axis``; jnp-engine fallback for unsupported
+    core sizes."""
+    if not supports(plan):
+        from vkfft_tpu.ops import jnp_engine
+        return jnp_engine.fft_axis_p(x, axis, plan, inverse)
+    axis = axis % x.ndim
+    moved = axis != x.ndim - 1
+    if moved:
+        x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
+    shape = x.shape
+    y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse).reshape(*shape)
+    if moved:
+        y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
+    return y
