@@ -1,0 +1,426 @@
+"""CLI benchmark / precision / functional suite.
+
+TPU analog of the reference's test-suite driver (``VkFFT_TestSuite.cpp:548``
+flag dispatch, ``:124`` launchVkFFT) with the same sample taxonomy:
+
+  0-10    benchmarks          (``sample_0..10_benchmark_*.cpp``)
+  11-19   precision vs oracle (``sample_11..19_precision_*.cpp``)
+  50-52   convolution checks  (``sample_50..52_convolution_*.cpp``)
+  100-101 DCT benchmarks      (``sample_100/101_benchmark_*_dct.cpp``)
+  1000+   size sweeps         (``sample_1000..1004_*_2_4096.cpp``)
+  200     user benchmark      (``user_benchmark_VkFFT.cpp``, flags
+                               -X/-Y/-Z/-P/-B/-N/-R2C/-DCT)
+
+Metrics match the reference: per-system avg ms over ``num_iter`` runs,
+"benchmark score" = sum(bufferSize_KB / avg_ms) / num_systems
+(``sample_0...cpp:242,268``), and estimated bandwidth from bytes moved
+(``:234-241``).  Precision metrics: avg/max absolute difference and relative
+eps vs the fp64 numpy oracle (``sample_11...cpp:289-323``).
+
+Usage:  python -m vkfft_tpu.cli -vkfft 0 [-o results.txt] [--engine jnp]
+"""
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+_SAMPLES = {}
+
+
+def sample(num, desc):
+    def deco(fn):
+        _SAMPLES[num] = (fn, desc)
+        return fn
+    return deco
+
+
+class Ctx:
+    def __init__(self, args):
+        self.args = args
+        self.engine = args.engine
+        self.out = open(args.output, "a") if args.output else None
+
+    def log(self, msg=""):
+        print(msg)
+        if self.out:
+            self.out.write(msg + "\n")
+            self.out.flush()
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+def _rand_complex(shape, seed=0, dtype=np.complex64):
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(dtype)
+
+
+def _time_fwd_inv(app, x, iters=20, warmup=2):
+    """Reference ``performVulkanFFTiFFT`` analog (utils_VkFFT.cpp:868):
+    time iters x (forward + inverse)."""
+    import jax
+    from vkfft_tpu import api
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+
+    planar = not api.complex_supported()
+    xd = from_complex(x) if planar else jax.numpy.asarray(x)
+    y = app.inverse(app.forward(xd))
+    jax.block_until_ready(jax.tree_util.tree_leaves(y))
+    for _ in range(warmup):
+        y = app.inverse(app.forward(xd))
+    jax.block_until_ready(jax.tree_util.tree_leaves(y))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        y = app.inverse(app.forward(xd))
+    jax.block_until_ready(jax.tree_util.tree_leaves(y))
+    return (time.perf_counter() - t0) / iters
+
+
+def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
+    """Reference sample-0 pattern: sweep systems, batch each to target size,
+    print ms + bandwidth + aggregate score."""
+    import vkfft_tpu as vt
+
+    score = 0.0
+    itemsize = np.dtype(dtype).itemsize
+    for shape in systems:
+        n_elems = int(np.prod(shape))
+        batch = max(1, target_mb * 1024 * 1024 // (itemsize * n_elems))
+        x = _rand_complex((batch,) + shape, seed=n_elems, dtype=dtype)
+        cfg = vt.FFTConfig(shape=shape, normalize=False)
+        app = vt.get_application(cfg, ctx.engine)
+        dt = _time_fwd_inv(app, x)
+        buf_kb = x.nbytes / 1024
+        uploads = 2 * len(shape)  # fwd+inv, one read+write per axis pass
+        gbs = x.nbytes * 2 * uploads / dt / 1e9
+        score += buf_kb / (dt * 1e3)
+        ctx.log(f"  {label}{'x'.join(map(str, shape)):>16} batch {batch:6d}: "
+                f"{dt * 1e3:8.3f} ms  est {gbs:7.1f} GB/s")
+    ctx.log(f"  benchmark score: {score / len(systems):.1f}")
+
+
+def _precision_report(ctx, name, got, ref):
+    diff = np.abs(got - ref)
+    data_norm = np.abs(ref)
+    eps = diff / np.maximum(data_norm.max(), 1e-300)
+    ctx.log(f"  {name}: avg_diff {diff.mean():.3e}  max_diff {diff.max():.3e}  "
+            f"avg_eps {eps.mean():.3e}  max_eps {eps.max():.3e}")
+    return eps.max()
+
+
+def _run_fft_host(x, engine, axes=None, inverse=False):
+    import vkfft_tpu as vt
+    from vkfft_tpu import api
+    from vkfft_tpu.pcomplex import to_numpy, Planar
+
+    y = vt.fftn(x, axes=axes, engine=engine, inverse=inverse)
+    if isinstance(y, Planar):
+        return to_numpy(y)
+    return np.asarray(y)
+
+
+# ---------------------------------------------------------------------------
+# benchmark samples
+# ---------------------------------------------------------------------------
+
+@sample(0, "benchmark 1D batched C2C FP32 (pow-2)")
+def sample_0(ctx):
+    _bench_systems(ctx, [(1 << k,) for k in range(6, 13)])
+
+
+@sample(1, "benchmark 1D batched C2C FP64 (CPU) / double-double (TPU)")
+def sample_1(ctx):
+    from vkfft_tpu import api
+    if api.complex_supported():
+        _bench_systems(ctx, [(1 << k,) for k in range(6, 12)], dtype=np.complex128)
+    else:
+        ctx.log("  (fp64 path on TPU = double-double; see sample 9)")
+
+
+@sample(3, "benchmark 3D C2C FP32")
+def sample_3(ctx):
+    _bench_systems(ctx, [(32, 32, 32), (64, 64, 64), (128, 128, 128)], target_mb=32)
+
+
+@sample(6, "benchmark R2C/C2R FP32")
+def sample_6(ctx):
+    import vkfft_tpu as vt
+    import jax
+    for n in (256, 1024, 4096):
+        batch = max(1, 32 * 1024 * 1024 // (4 * n))
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        f = jax.jit(lambda v: vt.irfft(vt.rfft(v, engine=ctx.engine), n=n, engine=ctx.engine))
+        y = f(x)
+        jax.block_until_ready(y)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = f(x)
+        jax.block_until_ready(y)
+        dt = (time.perf_counter() - t0) / 10
+        ctx.log(f"  R2C+C2R n={n:6d} batch {batch:6d}: {dt * 1e3:8.3f} ms")
+
+
+@sample(7, "benchmark Bluestein (primes) FP32")
+def sample_7(ctx):
+    _bench_systems(ctx, [(10007,), (7919,), (2 * 5003,)], target_mb=16)
+
+
+# ---------------------------------------------------------------------------
+# precision samples
+# ---------------------------------------------------------------------------
+
+_PRECISION_SYSTEMS_1D = [(1 << k,) for k in range(3, 15)] + [
+    (6,), (12,), (60,), (120,), (360,), (1000,), (2310,),
+]
+_PRECISION_SYSTEMS_ND = [(8, 16), (32, 32), (16, 17, 4), (8, 8, 8)]
+
+
+@sample(11, "precision C2C FP32 vs fp64 oracle")
+def sample_11(ctx):
+    worst = 0.0
+    for shape in _PRECISION_SYSTEMS_1D + _PRECISION_SYSTEMS_ND:
+        x = _rand_complex(shape, seed=1, dtype=np.complex64)
+        got = _run_fft_host(x, ctx.engine)
+        ref = np.fft.fftn(x.astype(np.complex128))
+        worst = max(worst, _precision_report(ctx, f"{'x'.join(map(str, shape))}", got, ref))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-4 else 'FAIL'})")
+
+
+@sample(12, "precision C2C FP64 vs fp64 oracle (CPU backends)")
+def sample_12(ctx):
+    from vkfft_tpu import api
+    if not api.complex_supported():
+        ctx.log("  fp64 unsupported on this backend (see double-double tier)")
+        return
+    worst = 0.0
+    for shape in _PRECISION_SYSTEMS_1D:
+        x = _rand_complex(shape, seed=2, dtype=np.complex128)
+        got = _run_fft_host(x, ctx.engine)
+        ref = np.fft.fftn(x)
+        worst = max(worst, _precision_report(ctx, f"{shape[0]}", got, ref))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-12 else 'FAIL'})")
+
+
+@sample(14, "precision non-pow2 + primes (Rader/Bluestein paths)")
+def sample_14(ctx):
+    worst = 0.0
+    for n in [17, 31, 61, 67, 97, 101, 257, 641, 1009, 10007, 10006, 919]:
+        x = _rand_complex((3, n), seed=n, dtype=np.complex64)
+        got = _run_fft_host(x, ctx.engine, axes=(-1,))
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        worst = max(worst, _precision_report(ctx, f"n={n}", got, ref))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-3 else 'FAIL'})")
+
+
+@sample(15, "precision R2C/C2R")
+def sample_15(ctx):
+    import vkfft_tpu as vt
+    worst = 0.0
+    for n in [8, 64, 256, 1024, 60, 1000, 17, 101]:
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((3, n)).astype(np.float32)
+        got = np.asarray(vt.rfft(x, engine=ctx.engine))
+        ref = np.fft.rfft(x.astype(np.float64))
+        worst = max(worst, _precision_report(ctx, f"n={n}", got, ref))
+        back = np.asarray(vt.irfft(got, n=n, engine=ctx.engine))
+        worst = max(worst, _precision_report(ctx, f"n={n} inv", back, x.astype(np.float64)))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-4 else 'FAIL'})")
+
+
+@sample(16, "precision DCT I-IV FP32")
+def sample_16(ctx):
+    import vkfft_tpu as vt
+    worst = 0.0
+    for t in (1, 2, 3, 4):
+        for n in (16, 64, 100, 256):
+            rng = np.random.default_rng(n * t)
+            x = rng.standard_normal((3, n)).astype(np.float32)
+            got = np.asarray(vt.dct(x, type=t, engine=ctx.engine))
+            j = np.arange(n)
+            k = np.arange(n)[:, None]
+            if t == 1:
+                jj = np.arange(1, n - 1)
+                M = 2 * np.cos(np.pi * jj * k / (n - 1))
+                ref = x[..., :1] + ((-1.0) ** k[:, 0]) * x[..., -1:] + x[..., 1:-1] @ M.T
+            elif t == 2:
+                ref = x @ (2 * np.cos(np.pi * (2 * j + 1) * k / (2 * n))).T
+            elif t == 3:
+                jj = np.arange(1, n)
+                ref = x[..., :1] + x[..., 1:] @ (2 * np.cos(np.pi * jj * (2 * k + 1) / (2 * n))).T
+            else:
+                ref = x @ (2 * np.cos(np.pi * (2 * j + 1) * (2 * k + 1) / (4 * n))).T
+            worst = max(worst, _precision_report(ctx, f"DCT-{t} n={n}", got, ref))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-3 else 'FAIL'})")
+
+
+@sample(17, "precision DST I-IV FP32")
+def sample_17(ctx):
+    import vkfft_tpu as vt
+    worst = 0.0
+    for t in (1, 2, 3, 4):
+        for n in (16, 64, 100):
+            rng = np.random.default_rng(n * t + 7)
+            x = rng.standard_normal((2, n)).astype(np.float32)
+            got = np.asarray(vt.dst(x, type=t, engine=ctx.engine))
+            back = np.asarray(vt.idst(got, type=t, engine=ctx.engine))
+            worst = max(worst, _precision_report(ctx, f"DST-{t} n={n} roundtrip",
+                                                 back, x.astype(np.float64)))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-3 else 'FAIL'})")
+
+
+# ---------------------------------------------------------------------------
+# convolution samples
+# ---------------------------------------------------------------------------
+
+@sample(50, "convolution: 1D 3x3 identity matrix kernel")
+def sample_50(ctx):
+    import vkfft_tpu as vt
+    n = 32
+    x = _rand_complex((3, n), seed=5)
+    kern = np.zeros((3, 3, n))
+    for c in range(3):
+        kern[c, c, 0] = 1.0
+    cfg = vt.FFTConfig(shape=(n,), convolution=True, matrix_convolution=3,
+                       coordinate_features=3)
+    app = vt.ConvolutionApplication(cfg, kern, engine=ctx.engine)
+    y = np.asarray(app(x))
+    err = np.abs(y - x).max()
+    ctx.log(f"  identity 3x3 matrix conv max err: {err:.3e} "
+            f"({'PASS' if err < 1e-4 else 'FAIL'})")
+
+
+@sample(52, "convolution: 2D batched scalar kernel vs oracle")
+def sample_52(ctx):
+    import vkfft_tpu as vt
+    shape = (16, 32)
+    x = _rand_complex((4,) + shape, seed=6)
+    h = _rand_complex(shape, seed=7)
+    cfg = vt.FFTConfig(shape=shape, convolution=True)
+    app = vt.ConvolutionApplication(cfg, h, engine=ctx.engine)
+    y = np.asarray(app(x))
+    ref = np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(h))
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    ctx.log(f"  2D conv rel err: {err:.3e} ({'PASS' if err < 1e-4 else 'FAIL'})")
+
+
+@sample(100, "benchmark multidim DCT-2 FP32")
+def sample_100(ctx):
+    import vkfft_tpu as vt
+    import jax
+    for n in (256, 1024):
+        batch = max(1, 16 * 1024 * 1024 // (4 * n))
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((batch, n)).astype(np.float32)
+        f = jax.jit(lambda v: vt.dct(v, type=2, engine=ctx.engine))
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = f(x)
+        jax.block_until_ready(y)
+        ctx.log(f"  DCT-2 n={n} batch {batch}: {(time.perf_counter() - t0) / 10 * 1e3:.3f} ms")
+
+
+@sample(1000, "sweep: all smooth systems 2..4096 FP32 precision")
+def sample_1000(ctx):
+    from vkfft_tpu.planner import decompose, Algorithm
+    worst = 0.0
+    count = 0
+    for n in range(2, 4097):
+        if decompose(n).algorithm is Algorithm.DIRECT and n % 37 == 0 or n in (
+                2, 3, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
+                6, 12, 60, 120, 360, 1000, 2310, 97, 101, 1009):
+            x = _rand_complex((2, n), seed=n, dtype=np.complex64)
+            got = _run_fft_host(x, ctx.engine, axes=(-1,))
+            ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+            eps = np.abs(got - ref).max() / np.abs(ref).max()
+            worst = max(worst, eps)
+            count += 1
+    ctx.log(f"  {count} systems, worst rel err {worst:.3e} "
+            f"({'PASS' if worst < 1e-4 else 'FAIL'})")
+
+
+@sample(200, "user benchmark (-X/-Y/-Z/-P/-B/-N/-R2C/-DCT)")
+def sample_200(ctx):
+    import vkfft_tpu as vt
+    a = ctx.args
+    shape = tuple(s for s in (a.Z, a.Y, a.X) if s > 1) or (a.X,)
+    dtype = np.complex128 if a.P else np.complex64
+    batch = a.B
+    if a.DCT:
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((batch,) + shape).astype(np.float32)
+        import jax
+        f = jax.jit(lambda v: vt.dctn(v, type=a.DCT, engine=ctx.engine))
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(a.N):
+            y = f(x)
+        jax.block_until_ready(y)
+        ctx.log(f"  DCT-{a.DCT} {shape} batch {batch}: {(time.perf_counter() - t0) / a.N * 1e3:.3f} ms")
+        return
+    x = _rand_complex((batch,) + shape, dtype=dtype)
+    cfg = vt.FFTConfig(shape=shape, normalize=False)
+    app = vt.get_application(cfg, ctx.engine)
+    dt = _time_fwd_inv(app, x, iters=a.N)
+    gbs = x.nbytes * 2 * 2 * len(shape) / dt / 1e9
+    ctx.log(f"  {shape} batch {batch}: {dt * 1e3:.3f} ms  est {gbs:.1f} GB/s")
+
+
+# ---------------------------------------------------------------------------
+# driver
+# ---------------------------------------------------------------------------
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        description="vkfft_tpu test/benchmark suite (VkFFT_TestSuite analog)")
+    ap.add_argument("-vkfft", "-sample", dest="sample", type=int, default=None,
+                    help="sample number to run (see -list)")
+    ap.add_argument("-list", action="store_true", help="list samples")
+    ap.add_argument("-devices", action="store_true", help="list devices")
+    ap.add_argument("-o", dest="output", default=None, help="append results to file")
+    ap.add_argument("--engine", default=None, choices=["jnp", "pallas"],
+                    help="execution engine (default: auto)")
+    ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("-X", type=int, default=1024)
+    ap.add_argument("-Y", type=int, default=1)
+    ap.add_argument("-Z", type=int, default=1)
+    ap.add_argument("-P", type=int, default=0, help="0 fp32, 1 fp64")
+    ap.add_argument("-B", type=int, default=1, help="batch")
+    ap.add_argument("-N", type=int, default=10, help="iterations")
+    ap.add_argument("-R2C", type=int, default=0)
+    ap.add_argument("-DCT", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+
+    if args.list or args.sample is None and not args.devices:
+        print("available samples:")
+        for num in sorted(_SAMPLES):
+            print(f"  {num:5d}  {_SAMPLES[num][1]}")
+        return 0
+
+    if args.devices:
+        import jax
+        for i, d in enumerate(jax.devices()):
+            print(f"  device {i}: {d.device_kind} ({d.platform})")
+        return 0
+
+    ctx = Ctx(args)
+    fn, desc = _SAMPLES[args.sample]
+    ctx.log(f"sample {args.sample}: {desc}")
+    t0 = time.time()
+    fn(ctx)
+    ctx.log(f"  done in {time.time() - t0:.1f} s")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
