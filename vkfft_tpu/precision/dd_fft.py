@@ -1,0 +1,162 @@
+"""Double-double FFT engine — the TPU "fp64" transform tier.
+
+Runs the same Stockham recurrence as the fp32 engines but with every complex
+MAC expanded into double-double error-free transformations on the VPU (the
+MXU has no use here: dd products cannot ride a bf16 systolic array).  This
+mirrors how the reference implements its quad tier: the same generated kernel
+structure with ``PfQuadSum/PfQuadProd`` emitted for every arithmetic op
+(``vkFFT_MathUtils.h``), at a large constant-factor cost over native
+precision — the price of 2^-48-class accuracy on fp32-only hardware.
+
+Twiddles/DFT coefficients are split exactly from host fp64 (hi = f32(x),
+lo = f32(x - hi)), the analog of the reference's FP64-precomputed LUTs that
+make its FP32 Bluestein/Rader more accurate than cuFFT (README.md:72-79).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vkfft_tpu import luts
+from vkfft_tpu.planner.factorize import Algorithm, decompose, _group_radices, prime_factors
+from vkfft_tpu.planner.plan import Stage, build_stages
+from vkfft_tpu.precision.doubledouble import (
+    DD,
+    DDComplex,
+    dd_from_f64,
+    ddc_from_complex128,
+    ddc_to_complex128,
+)
+
+# dd stages unroll r^2 scalar MACs in the trace; keep radices small so the
+# HLO stays compilable (radix 8 -> 64 MACs/stage).
+_DD_MAX_RADIX = 8
+
+
+def _dd_scalar(v: complex) -> DDComplex:
+    re_hi = np.float32(v.real)
+    re_lo = np.float32(v.real - np.float64(re_hi))
+    im_hi = np.float32(v.imag)
+    im_lo = np.float32(v.imag - np.float64(im_hi))
+    return DDComplex(DD(re_hi, re_lo), DD(im_hi, im_lo))
+
+
+def _dd_table(tab: np.ndarray) -> DDComplex:
+    return DDComplex(dd_from_f64(np.real(tab)), dd_from_f64(np.imag(tab)))
+
+
+@functools.lru_cache(maxsize=256)
+def _dd_radices(n: int) -> tuple[int, ...]:
+    primes = prime_factors(n)
+    big = tuple(sorted((p for p in primes if p > _DD_MAX_RADIX), reverse=True))
+    small = [p for p in primes if p <= _DD_MAX_RADIX]
+    return big + tuple(_group_radices(small, _DD_MAX_RADIX))
+
+
+def _apply_stages_dd(x: DDComplex, stages, inverse: bool) -> DDComplex:
+    B = x.shape[0]
+    for st in stages:
+        r, L, Mp = st.r, st.L, st.Mp
+        D = luts.dft_matrix(r, inverse)
+        TW = luts.stage_twiddle(r, Mp, inverse)
+        xs = x.reshape(B, L, r, Mp)
+        cols = [xs[:, :, j, :] for j in range(r)]
+        outs = []
+        for i in range(r):
+            acc = cols[0] * _dd_scalar(complex(D[i, 0]))
+            for j in range(1, r):
+                acc = acc + cols[j] * _dd_scalar(complex(D[i, j]))
+            tw_i = _dd_table(TW[i])  # (Mp,)
+            tw_b = DDComplex(
+                DD(tw_i.re.hi[None, None, :], tw_i.re.lo[None, None, :]),
+                DD(tw_i.im.hi[None, None, :], tw_i.im.lo[None, None, :]))
+            outs.append(acc * tw_b)
+        # stack i as a new axis before l -> (B, r, L, Mp), merge (i, l)
+        planes = []
+        for get in (lambda c: c.re.hi, lambda c: c.re.lo,
+                    lambda c: c.im.hi, lambda c: c.im.lo):
+            planes.append(jnp.stack([get(o) for o in outs], axis=1).reshape(B, r * L, Mp))
+        x = DDComplex(DD(planes[0], planes[1]), DD(planes[2], planes[3]))
+    return x.reshape(B, -1)
+
+
+def _core_fft_dd(x: DDComplex, n: int, inverse: bool) -> DDComplex:
+    stages = build_stages(n, _dd_radices(n))
+    return _apply_stages_dd(x, stages, inverse)
+
+
+def _pad_tail_dd(x: DDComplex, pad: int) -> DDComplex:
+    if pad == 0:
+        return x
+    z = jnp.zeros(x.shape[:-1] + (pad,), x.re.hi.dtype)
+
+    def cat(p):
+        return jnp.concatenate([p, z], axis=-1)
+
+    return DDComplex(DD(cat(x.re.hi), cat(x.re.lo)), DD(cat(x.im.hi), cat(x.im.lo)))
+
+
+def fft_lines_dd(x: DDComplex, n: int, inverse: bool = False) -> DDComplex:
+    """Unnormalized double-double DFT over (B, n) quad planes."""
+    if n == 1:
+        return x
+    d = decompose(n, allow_rader=False)
+    if d.algorithm is Algorithm.DIRECT:
+        return _core_fft_dd(x, n, inverse)
+    # Bluestein with fp64-split chirp tables
+    m = d.bluestein_size
+    a_t, b_t = luts.bluestein_chirp(n, m, inverse)
+    a = _dd_table(a_t)
+    b = _dd_table(b_t)
+
+    def bcast(t: DDComplex) -> DDComplex:
+        return DDComplex(DD(t.re.hi[None, :], t.re.lo[None, :]),
+                         DD(t.im.hi[None, :], t.im.lo[None, :]))
+
+    y = _pad_tail_dd(x * bcast(a), m - n)
+    Y = _core_fft_dd(y, m, False)
+    y = _core_fft_dd(Y * bcast(b), m, True)
+    inv_m = _dd_scalar(complex(1.0 / m))
+    y = y * inv_m
+    return y[:, :n] * bcast(a)
+
+
+@functools.lru_cache(maxsize=256)
+def _dd_compiled(n: int, inverse: bool, batch: int):
+    """Compile the dd transform with the guilty optimization disabled.
+
+    The XLA:CPU fusion emitter evaluates fused elementwise chains with excess
+    precision / contraction even across optimization_barrier, which silently
+    destroys the error-free transforms (verified by pass bisection: only
+    ``fusion`` off restores 1e-15 accuracy).  dd executables therefore disable
+    HLO fusion on CPU; the arithmetic is elementwise VPU work, so the cost is
+    acceptable for the precision tier."""
+    fn = jax.jit(functools.partial(fft_lines_dd, n=n, inverse=inverse))
+    z = jnp.zeros((batch, n), jnp.float32)
+    example = DDComplex(DD(z, z), DD(z, z))
+    platform = jax.devices()[0].platform
+    if platform == "cpu":
+        return fn.lower(example).compile(
+            compiler_options={"xla_disable_hlo_passes": "fusion"})
+    return fn
+
+
+def fft_dd(x: np.ndarray, inverse: bool = False, normalize: bool = False) -> np.ndarray:
+    """Host convenience: complex128 (B, n) -> complex128 via the dd engine."""
+    x = np.asarray(x, dtype=np.complex128)
+    squeeze = x.ndim == 1
+    if squeeze:
+        x = x[None]
+    n = x.shape[-1]
+    lead = x.shape[:-1]
+    flat = x.reshape(-1, n)
+    xd = ddc_from_complex128(flat)
+    fn = _dd_compiled(n, inverse, flat.shape[0])
+    y = fn(xd)
+    out = ddc_to_complex128(y).reshape(*lead, n)
+    if inverse and normalize:
+        out = out / n
+    return out[0] if squeeze else out
