@@ -36,9 +36,18 @@ def _roofline(device) -> float:
     return HBM_ROOFLINE_GBS["cpu"]
 
 
-def bench_system(n: int, batch: int, iters: int = 30, warmup: int = 3):
-    """Effective bandwidth of a batched 1-D C2C fp32 FFT (forward+inverse)."""
+def bench_system(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
+    """Effective bandwidth of a batched 1-D C2C fp32 FFT (forward+inverse).
+
+    Timing uses a *chained two-point fit*: iterate z = fwd_inv(z) for n_lo and
+    n_hi steps, force the value, and take the slope — this removes the large
+    fixed host-sync overhead of tunneled TPU runtimes where
+    ``block_until_ready`` does not actually wait for remote completion
+    (measured: ~39 ms fixed cost, which would otherwise swamp sub-ms
+    kernels).  Chaining also defeats result-caching of repeated identical
+    dispatches."""
     import jax
+    import jax.numpy as jnp
     from vkfft_tpu.pcomplex import Planar
     from vkfft_tpu.planner import plan_axis
     from vkfft_tpu import api
@@ -46,25 +55,29 @@ def bench_system(n: int, batch: int, iters: int = 30, warmup: int = 3):
     eng = api._engine(api.default_engine())
     plan = plan_axis(n)
     rng = np.random.default_rng(0)
-    xr = jax.numpy.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-    xi = jax.numpy.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+    inv_n = np.float32(1.0 / n)
 
     @jax.jit
-    def fwd_inv(r, i):
-        p = Planar(r, i)
-        y = eng.fft_lines_p(p, plan, False) if hasattr(eng, "fft_lines_p") else None
+    def fwd_inv(p):
+        y = eng.fft_lines_p(p, plan, False)
         z = eng.fft_lines_p(y, plan, True)
-        return z.re, z.im
+        return Planar(z.re * inv_n, z.im * inv_n)
 
-    r, i = fwd_inv(xr, xi)
-    jax.block_until_ready((r, i))
-    for _ in range(warmup):
-        jax.block_until_ready(fwd_inv(xr, xi))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r, i = fwd_inv(xr, xi)
-    jax.block_until_ready((r, i))
-    dt = (time.perf_counter() - t0) / iters
+    p0 = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
+                jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
+
+    z = fwd_inv(p0)
+    float(np.asarray(z.re[0, 0]))  # warm compile + force completion
+
+    def run(iters):
+        t0 = time.perf_counter()
+        z = p0
+        for _ in range(iters):
+            z = fwd_inv(z)
+        float(np.asarray(z.re[0, 0]))
+        return time.perf_counter() - t0
+
+    dt = (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
 
     # bytes: fwd (read+write) + inv (read+write) of planar complex data
     data_bytes = 2 * batch * n * 4  # re+im planes

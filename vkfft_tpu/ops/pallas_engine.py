@@ -104,28 +104,41 @@ def _four_step_tables(n: int, inverse: bool):
     )
 
 
-def _fft_kernel(n1, n2, xr_ref, xi_ref, r1_ref, r2_ref, twr_ref, twi_ref,
+def _fft_kernel(n1, n2, gb, xr_ref, xi_ref, r1_ref, r2_ref, twr_ref, twi_ref,
                 or_ref, oi_ref):
-    """One line per program: blocks are (1, N1, N2) in / (1, N2, N1) out."""
-    xr = xr_ref[0]
-    xi = xi_ref[0]
-    if n1 > 1:
-        z = jnp.concatenate([xr, xi], axis=0)                       # (2N1, N2)
-        y = jnp.dot(r1_ref[:], z, preferred_element_type=jnp.float32,
-                    precision=_PRECISION)
-        ar, ai = y[:n1], y[n1:]
-        twr, twi = twr_ref[:], twi_ref[:]
-        tr = ar * twr - ai * twi
-        ti = ar * twi + ai * twr
-    else:
-        tr, ti = xr, xi
-    tr = tr.T                                                        # (N2, N1)
-    ti = ti.T
-    z2 = jnp.concatenate([tr, ti], axis=0)                          # (2N2, N1)
-    y2 = jnp.dot(r2_ref[:], z2, preferred_element_type=jnp.float32,
-                 precision=_PRECISION)
-    or_ref[0] = y2[:n2]
-    oi_ref[0] = y2[n2:]
+    """``gb`` lines per program (unrolled): blocks are (gb, N1, N2) in /
+    (gb, N2, N1) out.  Line batching amortizes per-program dispatch + DMA
+    latency — the analog of the reference's grouped-batch threadblocks
+    (``groupedBatch``, ``vkFFT_AxisBlockSplitter.h:27-38``)."""
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    for g in range(gb):
+        xr = xr_ref[g]
+        xi = xi_ref[g]
+        if n1 > 1:
+            z = jnp.concatenate([xr, xi], axis=0)                   # (2N1, N2)
+            y = jnp.dot(r1_ref[:], z, preferred_element_type=jnp.float32,
+                        precision=_PRECISION)
+            ar, ai = y[:n1], y[n1:]
+            tr = ar * twr - ai * twi
+            ti = ar * twi + ai * twr
+        else:
+            tr, ti = xr, xi
+        tr = tr.T                                                    # (N2, N1)
+        ti = ti.T
+        z2 = jnp.concatenate([tr, ti], axis=0)                      # (2N2, N1)
+        y2 = jnp.dot(r2_ref[:], z2, preferred_element_type=jnp.float32,
+                     precision=_PRECISION)
+        or_ref[g] = y2[:n2]
+        oi_ref[g] = y2[n2:]
+
+
+def _lines_per_block(n: int) -> int:
+    """Lines per program: target ~512KB of planar data per block (DMA
+    efficiency) while keeping in+out+temps well under VMEM."""
+    bytes_per_line = 2 * n * 4
+    gb = max(1, (512 * 1024) // bytes_per_line)
+    return int(min(gb, 128))
 
 
 @functools.lru_cache(maxsize=512)
@@ -135,18 +148,21 @@ def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool):
     (``VkFFT_CompileKernel`` + binary cache)."""
     n1, n2 = split_two_factors(n)
     r1, r2, twr, twi = _four_step_tables(n, inverse)
+    gb = _lines_per_block(n)
+    pad = (-batch) % gb
+    padded = batch + pad
 
-    kernel = functools.partial(_fft_kernel, n1, n2)
-    line_spec_in = pl.BlockSpec((1, n1, n2), lambda b: (b, 0, 0),
+    kernel = functools.partial(_fft_kernel, n1, n2, gb)
+    line_spec_in = pl.BlockSpec((gb, n1, n2), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
-    line_spec_out = pl.BlockSpec((1, n2, n1), lambda b: (b, 0, 0),
+    line_spec_out = pl.BlockSpec((gb, n2, n1), lambda b: (b, 0, 0),
                                  memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
     call = pl.pallas_call(
         kernel,
-        grid=(batch,),
+        grid=(padded // gb,),
         in_specs=[
             line_spec_in, line_spec_in,
             const(r1.shape), const(r2.shape),
@@ -154,17 +170,21 @@ def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool):
         ],
         out_specs=[line_spec_out, line_spec_out],
         out_shape=[
-            jax.ShapeDtypeStruct((batch, n2, n1), jnp.float32),
-            jax.ShapeDtypeStruct((batch, n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((padded, n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((padded, n2, n1), jnp.float32),
         ],
         interpret=interpret,
     )
 
     def run(xr, xi):
-        orr, oi = call(xr.reshape(batch, n1, n2), xi.reshape(batch, n1, n2),
-                       jnp.asarray(r1), jnp.asarray(r2),
+        xr = xr.reshape(batch, n1, n2)
+        xi = xi.reshape(batch, n1, n2)
+        if pad:
+            xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad), (0, 0), (0, 0)))
+        orr, oi = call(xr, xi, jnp.asarray(r1), jnp.asarray(r2),
                        jnp.asarray(twr), jnp.asarray(twi))
-        return orr.reshape(batch, n), oi.reshape(batch, n)
+        return (orr[:batch].reshape(batch, n), oi[:batch].reshape(batch, n))
 
     return run
 
