@@ -1,0 +1,86 @@
+"""Native C++ planner core parity tests: every native entry point must be
+bit-identical to the pure-Python fallback over a broad sweep."""
+import os
+
+import numpy as np
+import pytest
+
+from vkfft_tpu.planner import native
+
+
+pytestmark = pytest.mark.skipif(native.get_lib() is None,
+                                reason="native planner core not built")
+
+
+def _py_prime_factors(n):
+    out = []
+    for p in (2, 3, 5, 7, 11, 13):
+        while n % p == 0:
+            out.append(p)
+            n //= p
+    f = 17
+    while f * f <= n:
+        while n % f == 0:
+            out.append(f)
+            n //= f
+        f += 2
+    if n > 1:
+        out.append(n)
+    return out
+
+
+def test_prime_factors_parity():
+    for n in list(range(1, 2000)) + [10007, 2 * 5003, 1 << 20, 3 ** 10]:
+        if n == 1:
+            continue
+        assert native.prime_factors(n) == _py_prime_factors(n), n
+
+
+def test_is_prime_parity():
+    def py_is_prime(n):
+        return n >= 2 and all(n % d for d in range(2, int(n ** 0.5) + 1))
+    for n in list(range(0, 500)) + [10007, 10006, 99991]:
+        assert native.is_prime(n) == py_is_prime(n), n
+
+
+def test_next_smooth_parity():
+    from vkfft_tpu.planner.factorize import next_smooth
+    for n in list(range(1, 300)) + [1000, 4099, 12345, 65537]:
+        nat = native.next_smooth(n)
+        # validate directly: >= n and 13-smooth and minimal-ish
+        assert nat >= n
+        assert all(p <= 13 for p in _py_prime_factors(nat)) or nat == 1
+        # cross-check with python search (which itself delegates — reorder the
+        # primes tuple so the cache key differs and the python path runs)
+        py = next_smooth(n, (13, 11, 7, 5, 3, 2))
+        assert nat == py, n
+
+
+def test_group_radices_parity():
+    from vkfft_tpu.planner.factorize import _group_radices
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        primes = []
+        for p, maxc in ((2, 12), (3, 4), (5, 3), (7, 2), (11, 1), (13, 1)):
+            primes += [p] * int(rng.integers(0, maxc))
+        if not primes:
+            continue
+        for max_radix in (8, 16, 32):
+            nat = native.group_radices(sorted(primes), max_radix)
+            py = _group_radices(sorted(primes), max_radix)
+            assert nat == py, (primes, max_radix)
+
+
+def test_primitive_root_parity():
+    from vkfft_tpu.luts import _primitive_root
+    for p in (3, 5, 7, 17, 97, 101, 257, 641, 1009, 10007):
+        assert native.primitive_root(p) == _primitive_root(p)
+
+
+def test_bluestein_size_parity():
+    from vkfft_tpu.planner.factorize import (
+        MAX_DIRECT_PRIME, MAX_GROUP_RADIX, _bluestein_padded_size)
+    for n in (17, 101, 127, 997, 10007, 65537, 1031):
+        nat = native.bluestein_size(n, MAX_DIRECT_PRIME, MAX_GROUP_RADIX)
+        py = _bluestein_padded_size(n)
+        assert nat == py, n

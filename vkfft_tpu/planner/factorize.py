@@ -45,9 +45,16 @@ MAX_STAGE_RADIX = 64
 
 def prime_factors(n: int) -> list[int]:
     """Ascending prime factorization by trial division (reference:
-    ``vkFFT_Scheduler.h:2295-2301`` does registered-radix division 2..13)."""
+    ``vkFFT_Scheduler.h:2295-2301`` does registered-radix division 2..13).
+
+    Delegates to the native C++ planner core when built (same algorithm,
+    ``native/planner_core.cpp``); this Python body is the fallback."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
+    from vkfft_tpu.planner import native
+    nat = native.prime_factors(n)
+    if nat is not None:
+        return nat
     out: list[int] = []
     for p in (2, 3, 5, 7, 11, 13):
         while n % p == 0:
@@ -159,6 +166,11 @@ def next_smooth(n: int, smooth_primes: tuple[int, ...] = (2, 3, 5, 7, 11, 13)) -
     stage cost directly over smooth candidates."""
     if n <= 1:
         return 1
+    if smooth_primes == (2, 3, 5, 7, 11, 13):
+        from vkfft_tpu.planner import native
+        nat = native.next_smooth(n)
+        if nat is not None:
+            return nat
     best = 1 << (n - 1).bit_length()  # next power of two always works
 
     def rec(value: int, idx: int) -> None:

@@ -1,0 +1,112 @@
+"""ctypes binding to the native C++ planner core.
+
+Loads ``vkfft_tpu/native/libplanner_core.so`` when present (``make -C
+vkfft_tpu/native``), building it on first import if a compiler is available;
+every entry point has a pure-Python fallback in ``factorize.py``, and tests
+assert bit-identical parity between the two.  Disable with
+``VKFFT_TPU_NATIVE=0``.
+"""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SO = os.path.join(_DIR, "libplanner_core.so")
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def _try_build() -> None:
+    try:
+        subprocess.run(["make", "-C", _DIR, "-s"], check=True, capture_output=True,
+                       timeout=120)
+    except Exception:
+        pass
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if os.environ.get("VKFFT_TPU_NATIVE", "1") == "0":
+        return None
+    if not os.path.exists(_SO):
+        _try_build()
+    if not os.path.exists(_SO):
+        return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    i64 = ctypes.c_int64
+    p64 = ctypes.POINTER(ctypes.c_int64)
+    lib.vt_prime_factors.restype = i64
+    lib.vt_prime_factors.argtypes = [i64, p64, i64]
+    lib.vt_is_prime.restype = ctypes.c_int32
+    lib.vt_is_prime.argtypes = [i64]
+    lib.vt_next_smooth.restype = i64
+    lib.vt_next_smooth.argtypes = [i64]
+    lib.vt_group_radices.restype = i64
+    lib.vt_group_radices.argtypes = [p64, i64, i64, p64, i64]
+    lib.vt_primitive_root.restype = i64
+    lib.vt_primitive_root.argtypes = [i64]
+    lib.vt_bluestein_size.restype = i64
+    lib.vt_bluestein_size.argtypes = [i64, i64, i64]
+    _lib = lib
+    return _lib
+
+
+def prime_factors(n: int) -> Optional[list[int]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    buf = (ctypes.c_int64 * 64)()
+    cnt = lib.vt_prime_factors(n, buf, 64)
+    if cnt < 0:
+        return None
+    return [int(buf[i]) for i in range(cnt)]
+
+
+def is_prime(n: int) -> Optional[bool]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return bool(lib.vt_is_prime(n))
+
+
+def next_smooth(n: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    return int(lib.vt_next_smooth(n))
+
+
+def group_radices(primes: list[int], max_radix: int) -> Optional[list[int]]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    arr = (ctypes.c_int64 * max(1, len(primes)))(*primes)
+    out = (ctypes.c_int64 * 64)()
+    cnt = lib.vt_group_radices(arr, len(primes), max_radix, out, 64)
+    if cnt < 0:
+        return None
+    return [int(out[i]) for i in range(cnt)]
+
+
+def primitive_root(p: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    g = lib.vt_primitive_root(p)
+    return int(g) if g > 0 else None
+
+
+def bluestein_size(n: int, max_direct_prime: int, group_radix: int) -> Optional[int]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    m = lib.vt_bluestein_size(n, max_direct_prime, group_radix)
+    return int(m) if m > 0 else None
