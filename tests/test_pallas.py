@@ -69,3 +69,66 @@ def test_api_engine_pallas():
     x = (rng.standard_normal((4, 256)) + 1j * rng.standard_normal((4, 256))).astype(np.complex64)
     y = np.asarray(vt.fft(x, engine="pallas"))
     assert rel_err(y, np.fft.fft(x.astype(np.complex128))) < 5e-6
+
+
+# -- v2 lane-major kernel ----------------------------------------------------
+
+def test_split_lane_major():
+    assert pallas_engine.split_lane_major(1024) == (128, 8)
+    assert pallas_engine.split_lane_major(4096) == (128, 32)
+    assert pallas_engine.split_lane_major(360) == (120, 3)
+    assert pallas_engine.split_lane_major(96) == (96, 1)
+    assert pallas_engine.split_lane_major(127) == (127, 1)
+    assert pallas_engine.split_lane_major(131) is None or \
+        pallas_engine.split_lane_major(131) == (1, 131)
+
+
+@pytest.mark.parametrize("n", [64, 256, 360, 1024, 4096])
+def test_v2_natural_fwd_inv(n):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((5, n)) + 1j * rng.standard_normal((5, n))).astype(np.complex64)
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    yr, yi = pallas_engine.core_fft_planar_v2(xr, xi, n, False, order="natural")
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(got, ref) < 5e-6
+    zr, zi = pallas_engine.core_fft_planar_v2(yr, yi, n, True, order="natural")
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x) < 5e-6
+
+
+@pytest.mark.parametrize("n", [256, 1024])
+def test_v2_swapped_roundtrip(n):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n + 1)
+    x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))).astype(np.complex64)
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    # swapped fwd -> swapped inv == identity*n with no reorder passes
+    yr, yi = pallas_engine.core_fft_planar_v2(xr, xi, n, False, order="swapped")
+    zr, zi = pallas_engine.core_fft_planar_v2(yr, yi, n, True, order="swapped")
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x) < 5e-6
+    # swapped output is the digit-transposed natural output
+    n1, n2 = pallas_engine.split_lane_major(n)
+    nat = np.fft.fft(x.astype(np.complex128))
+    sw = (np.asarray(yr) + 1j * np.asarray(yi))
+    assert rel_err(sw.reshape(3, n2, n1),
+                   nat.reshape(3, n1, n2).swapaxes(1, 2)) < 5e-6
+
+
+def test_v2_bf16_storage():
+    import jax.numpy as jnp
+    n = 256
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((4, n)).astype(np.float32)
+    xr = jnp.asarray(x).astype(jnp.bfloat16)
+    xi = jnp.zeros_like(xr)
+    yr, yi = pallas_engine.core_fft_planar_v2(xr, xi, n, False)
+    assert yr.dtype == jnp.bfloat16
+    got = np.asarray(yr.astype(jnp.float32)) + 1j * np.asarray(yi.astype(jnp.float32))
+    ref = np.fft.fft(x.astype(np.float64))
+    # bf16 storage: ~3 decimal digits
+    assert rel_err(got, ref) < 3e-2

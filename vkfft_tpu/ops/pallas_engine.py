@@ -104,17 +104,21 @@ def _four_step_tables(n: int, inverse: bool):
     )
 
 
-def _fft_kernel(n1, n2, gb, xr_ref, xi_ref, r1_ref, r2_ref, twr_ref, twi_ref,
-                or_ref, oi_ref):
+def _fft_kernel(n1, n2, gb, out_dtype, xr_ref, xi_ref, r1_ref, r2_ref,
+                twr_ref, twi_ref, or_ref, oi_ref):
     """``gb`` lines per program (unrolled): blocks are (gb, N1, N2) in /
     (gb, N2, N1) out.  Line batching amortizes per-program dispatch + DMA
     latency — the analog of the reference's grouped-batch threadblocks
-    (``groupedBatch``, ``vkFFT_AxisBlockSplitter.h:27-38``)."""
+    (``groupedBatch``, ``vkFFT_AxisBlockSplitter.h:27-38``).
+
+    Storage dtype may be bf16/f16 (the reference's halfPrecisionMemoryOnly
+    mode, vkFFT_Structs.h:189): blocks are loaded in the narrow type and
+    upcast in VMEM, halving HBM traffic while computing in fp32."""
     twr = twr_ref[:]
     twi = twi_ref[:]
     for g in range(gb):
-        xr = xr_ref[g]
-        xi = xi_ref[g]
+        xr = xr_ref[g].astype(jnp.float32)
+        xi = xi_ref[g].astype(jnp.float32)
         if n1 > 1:
             z = jnp.concatenate([xr, xi], axis=0)                   # (2N1, N2)
             y = jnp.dot(r1_ref[:], z, preferred_element_type=jnp.float32,
@@ -129,8 +133,8 @@ def _fft_kernel(n1, n2, gb, xr_ref, xi_ref, r1_ref, r2_ref, twr_ref, twi_ref,
         z2 = jnp.concatenate([tr, ti], axis=0)                      # (2N2, N1)
         y2 = jnp.dot(r2_ref[:], z2, preferred_element_type=jnp.float32,
                      precision=_PRECISION)
-        or_ref[g] = y2[:n2]
-        oi_ref[g] = y2[n2:]
+        or_ref[g] = y2[:n2].astype(out_dtype)
+        oi_ref[g] = y2[n2:].astype(out_dtype)
 
 
 def _lines_per_block(n: int) -> int:
@@ -142,17 +146,20 @@ def _lines_per_block(n: int) -> int:
 
 
 @functools.lru_cache(maxsize=512)
-def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool):
-    """Compile-cached pallas_call for a (batch, n) planar fp32 transform —
+def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool,
+                    dtype_name: str = "float32"):
+    """Compile-cached pallas_call for a (batch, n) planar transform —
     the XLA-trace-cache analog of the reference's compiled-kernel dictionary
-    (``VkFFT_CompileKernel`` + binary cache)."""
+    (``VkFFT_CompileKernel`` + binary cache).  ``dtype_name`` is the storage
+    dtype of the data planes (float32/bfloat16/float16); compute is fp32."""
+    dtype = jnp.dtype(dtype_name)
     n1, n2 = split_two_factors(n)
     r1, r2, twr, twi = _four_step_tables(n, inverse)
     gb = _lines_per_block(n)
     pad = (-batch) % gb
     padded = batch + pad
 
-    kernel = functools.partial(_fft_kernel, n1, n2, gb)
+    kernel = functools.partial(_fft_kernel, n1, n2, gb, dtype)
     line_spec_in = pl.BlockSpec((gb, n1, n2), lambda b: (b, 0, 0),
                                 memory_space=pltpu.VMEM)
     line_spec_out = pl.BlockSpec((gb, n2, n1), lambda b: (b, 0, 0),
@@ -170,8 +177,8 @@ def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool):
         ],
         out_specs=[line_spec_out, line_spec_out],
         out_shape=[
-            jax.ShapeDtypeStruct((padded, n2, n1), jnp.float32),
-            jax.ShapeDtypeStruct((padded, n2, n1), jnp.float32),
+            jax.ShapeDtypeStruct((padded, n2, n1), dtype),
+            jax.ShapeDtypeStruct((padded, n2, n1), dtype),
         ],
         interpret=interpret,
     )
@@ -189,10 +196,19 @@ def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool):
     return run
 
 
+def _use_v2(n: int) -> bool:
+    s = split_lane_major(n)
+    return s is not None and s[0] >= 8
+
+
 def core_fft_planar(xr: jax.Array, xi: jax.Array, n: int, inverse: bool):
-    """Unnormalized DFT of planar fp32 lines (B, n) -> (B, n)."""
+    """Unnormalized DFT of planar lines (B, n) -> (B, n); storage dtype of
+    the planes (f32/bf16/f16) is preserved, compute is fp32.  Dispatches to
+    the lane-major v2 kernel when its lane fill is adequate."""
     batch = xr.shape[0]
-    run = _build_fft_call(n, inverse, batch, _INTERPRET)
+    if _use_v2(n):
+        return core_fft_planar_v2(xr, xi, n, inverse, order="natural")
+    run = _build_fft_call(n, inverse, batch, _INTERPRET, str(xr.dtype))
     return run(xr, xi)
 
 
@@ -281,6 +297,27 @@ def _pad_tail_p(x: Planar, pad: int) -> Planar:
                   jnp.concatenate([x.im, z], axis=-1))
 
 
+def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
+    """Unnormalized IDFT(DFT(y) * b) of (B, m) planes.
+
+    Uses swapped-digit-order forward/inverse pairs when the v2 kernel
+    applies: the pointwise table is permuted host-side into swapped order, so
+    the whole convolution runs with zero reorder passes (reference:
+    bit-reversed-order convolutions under disableReorderFourStep,
+    README.md:16)."""
+    if _use_v2(m):
+        n1, n2 = split_lane_major(m)
+        b_sw = np.ascontiguousarray(b_table.reshape(n1, n2).T).reshape(-1)
+        bp = planar_table(b_sw, y.dtype)
+        fr, fi = core_fft_planar_v2(y.re, y.im, m, False, order="swapped")
+        F = Planar(fr, fi) * bp[None, :]
+        ir, ii = core_fft_planar_v2(F.re, F.im, m, True, order="swapped")
+        return Planar(ir, ii)
+    bp = planar_table(b_table, y.dtype)
+    F = _core_fft_p(y, m, False) * bp[None, :]
+    return _core_fft_p(F, m, True)
+
+
 def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
     """Unnormalized planar DFT over (B, n) planes, Pallas-accelerated."""
     n = plan.n
@@ -293,21 +330,17 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
         m = plan.decomp.bluestein_size
         a_t, b_t = luts.bluestein_chirp(n, m, inverse)
         a = planar_table(a_t, x.dtype)
-        b_fft = planar_table(b_t, x.dtype)
         y = _pad_tail_p(x * a[None, :], m - n)
-        Y = _core_fft_p(y, m, False)
-        y = _core_fft_p(Y * b_fft[None, :], m, True) * np.asarray(1.0 / m, x.dtype)
+        y = _conv_roundtrip_p(y, m, b_t) * np.asarray(1.0 / m, x.dtype)
         return y[:, :n] * a[None, :]
     if inverse:
         return fft_lines_p(x.conj(), plan, False).conj()
     p = plan.n
     perm, inv_perm, b_t = luts.rader_tables(p)
-    b_fft = planar_table(b_t, x.dtype)
     x0 = x[:, :1]
     X0 = Planar(jnp.sum(x.re, axis=1, keepdims=True),
                 jnp.sum(x.im, axis=1, keepdims=True))
-    A = _core_fft_p(x[:, perm], p - 1, False)
-    c = _core_fft_p(A * b_fft[None, :], p - 1, True) * np.asarray(1.0 / (p - 1), x.dtype)
+    c = _conv_roundtrip_p(x[:, perm], p - 1, b_t) * np.asarray(1.0 / (p - 1), x.dtype)
     val = x0 + c
     out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0.re).at[:, inv_perm].set(val.re)
     out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0.im).at[:, inv_perm].set(val.im)
@@ -329,3 +362,190 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> P
     if moved:
         y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
     return y
+
+
+# ---------------------------------------------------------------------------
+# Kernel v2: lane-major four-step, transpose-free.
+#
+# Layout: a line n = n2*N1 + n1 is viewed as an (N2, N1) matrix — N1 in
+# lanes (<=128), N2 in sublanes.  With output digit order k = k1*N2 + k2:
+#
+#   X[k1*N2 + k2] = sum_{n1} w_N1^{n1 k1} w_N^{n1 k2}
+#                     [ sum_{n2} w_N2^{n2 k2} x[n2*N1 + n1] ]
+#
+# forward:  sublane matmul (contract n2) -> twiddle(k2, n1) -> lane matmul
+#           (contract n1); output stored [k2, k1] ("swapped" digit order).
+# inverse:  the mirror image — lane matmul (contract k1) -> conj twiddle ->
+#           sublane matmul (contract k2); consumes swapped order, emits
+#           natural order.
+#
+# No transposes anywhere; a forward+inverse pair (or a convolution with a
+# swapped-order kernel table) is entirely reorder-free — the TPU realization
+# of the reference's disableReorderFourStep contract (vkFFT_Structs.h:221).
+# Natural-order standalone results add one XLA transpose pass.
+#
+# Complex packing: re/im stacked along the contracted dim.  Sublane side uses
+# R = [[Dr, -Di], [Di, Dr]] acting on [re; im] rows; lane side uses
+# M = [[Dr, Di], [-Di, Dr]] acting on [re | im] columns.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=1024)
+def split_lane_major(n: int) -> Optional[tuple[int, int]]:
+    """(n1, n2): n1 = largest divisor of n <= 128 (lane dim), n2 = n//n1
+    (sublane dim), requiring n2 <= 128."""
+    best = None
+    for n1 in range(min(n, MAX_FACTOR), 0, -1):
+        if n % n1 == 0:
+            best = (n1, n // n1)
+            break
+    if best is None or best[1] > MAX_FACTOR:
+        return None
+    return best
+
+
+def _pack_lane_matrix(C: np.ndarray) -> np.ndarray:
+    """[[Cr, Ci], [-Ci, Cr]] for right-multiplication of [re | im] columns."""
+    Cr, Ci = np.real(C), np.imag(C)
+    return np.block([[Cr, Ci], [-Ci, Cr]]).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=512)
+def _v2_tables(n: int, inverse: bool):
+    n1, n2 = split_lane_major(n)
+    sign = 2.0j if inverse else -2.0j
+    D1 = luts.dft_matrix(n1, inverse)            # lane side (n1 x n1)
+    D2 = luts.dft_matrix(n2, inverse)            # sublane side (n2 x n2)
+    k2 = np.arange(n2)[:, None]
+    nn1 = np.arange(n1)[None, :]
+    tw = np.exp(sign * np.pi / n * ((k2 * nn1) % n))   # (n2, n1): w_N^(n1*k2)
+    return (
+        _pack_complex_matrix(D2),     # (2n2, 2n2) sublane matmul
+        _pack_lane_matrix(D1),        # (2n1, 2n1) lane matmul
+        np.real(tw).astype(np.float32),
+        np.imag(tw).astype(np.float32),
+    )
+
+
+def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
+                   xr_ref, xi_ref, rsub_ref, mlane_ref, twr_ref, twi_ref,
+                   or_ref, oi_ref):
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    for g in range(tb):
+        xr = xr_ref[g].astype(jnp.float32)        # (N2, N1)
+        xi = xi_ref[g].astype(jnp.float32)
+        if not inverse:
+            if n2 > 1:
+                z = jnp.concatenate([xr, xi], axis=0)          # (2N2, N1)
+                y = jnp.dot(rsub_ref[:], z, preferred_element_type=jnp.float32,
+                            precision=_PRECISION)
+                ar, ai = y[:n2], y[n2:]
+            else:
+                ar, ai = xr, xi
+            tr = ar * twr - ai * twi
+            ti = ar * twi + ai * twr
+            if n1 > 1:
+                z2 = jnp.concatenate([tr, ti], axis=1)         # (N2, 2N1)
+                y2 = jnp.dot(z2, mlane_ref[:], preferred_element_type=jnp.float32,
+                             precision=_PRECISION)
+                outr, outi = y2[:, :n1], y2[:, n1:]
+            else:
+                outr, outi = tr, ti
+        else:
+            if n1 > 1:
+                z2 = jnp.concatenate([xr, xi], axis=1)         # (N2, 2N1)
+                y2 = jnp.dot(z2, mlane_ref[:], preferred_element_type=jnp.float32,
+                             precision=_PRECISION)
+                ar, ai = y2[:, :n1], y2[:, n1:]
+            else:
+                ar, ai = xr, xi
+            tr = ar * twr - ai * twi
+            ti = ar * twi + ai * twr
+            if n2 > 1:
+                z = jnp.concatenate([tr, ti], axis=0)          # (2N2, N1)
+                y = jnp.dot(rsub_ref[:], z, preferred_element_type=jnp.float32,
+                            precision=_PRECISION)
+                outr, outi = y[:n2], y[n2:]
+            else:
+                outr, outi = tr, ti
+        or_ref[g] = outr.astype(out_dtype)
+        oi_ref[g] = outi.astype(out_dtype)
+
+
+def _v2_lines_per_block(n: int) -> int:
+    bytes_per_line = 2 * n * 4
+    return int(min(64, max(1, (1024 * 1024) // bytes_per_line)))
+
+
+@functools.lru_cache(maxsize=512)
+def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
+                       dtype_name: str = "float32"):
+    dtype = jnp.dtype(dtype_name)
+    n1, n2 = split_lane_major(n)
+    rsub, mlane, twr, twi = _v2_tables(n, inverse)
+    tb = _v2_lines_per_block(n)
+    pad = (-batch) % tb
+    padded = batch + pad
+
+    kernel = functools.partial(_fft_kernel_v2, n1, n2, tb, inverse, dtype)
+    spec = pl.BlockSpec((tb, n2, n1), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(padded // tb,),
+        in_specs=[spec, spec, const(rsub.shape), const(mlane.shape),
+                  const(twr.shape), const(twi.shape)],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((padded, n2, n1), dtype),
+                   jax.ShapeDtypeStruct((padded, n2, n1), dtype)],
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        xr = xr.reshape(batch, n2, n1)
+        xi = xi.reshape(batch, n2, n1)
+        if pad:
+            xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad), (0, 0), (0, 0)))
+        orr, oi = call(xr, xi, jnp.asarray(rsub), jnp.asarray(mlane),
+                       jnp.asarray(twr), jnp.asarray(twi))
+        return (orr[:batch].reshape(batch, n), oi[:batch].reshape(batch, n))
+
+    return run
+
+
+def _v2_supported(n: int) -> bool:
+    s = split_lane_major(n)
+    return s is not None and n >= 2
+
+
+def _swap_digits(x: jax.Array, rows: int, cols: int) -> jax.Array:
+    """View flat (B, rows*cols) as [row][col] and emit [col][row] — the
+    digit-order reorder between natural and swapped layouts (one XLA
+    transpose pass)."""
+    B = x.shape[0]
+    return x.reshape(B, rows, cols).swapaxes(1, 2).reshape(B, rows * cols)
+
+
+def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural"):
+    """v2 core.  Forward: natural in; 'swapped' order skips the output
+    reorder.  Inverse: natural out; 'swapped' means the *input* is in swapped
+    order (as produced by a swapped forward)."""
+    n1, n2 = split_lane_major(n)
+    run = _build_fft_call_v2(n, inverse, xr.shape[0], _INTERPRET, str(xr.dtype))
+    if not inverse:
+        orr, oi = run(xr, xi)
+        if order == "natural":
+            # stored [k2][k1] -> natural flat k1*N2 + k2
+            orr = _swap_digits(orr, n2, n1)
+            oi = _swap_digits(oi, n2, n1)
+        return orr, oi
+    if order == "natural":
+        # natural flat [k1][k2] -> swapped [k2][k1] expected by the kernel
+        xr = _swap_digits(xr, n1, n2)
+        xi = _swap_digits(xi, n1, n2)
+    return run(xr, xi)
