@@ -112,3 +112,25 @@ def planar_table(tab: np.ndarray, dtype=np.float32) -> Planar:
     """Host constant table -> planar jnp constants."""
     return Planar(jnp.asarray(np.real(tab).astype(dtype)),
                   jnp.asarray(np.imag(tab).astype(dtype)))
+
+
+def mul_i(p: Planar) -> Planar:
+    """Multiply by +i: (a+bi)*i = -b + ai."""
+    return Planar(-p.im, p.re)
+
+
+def mul_neg_i(p: Planar) -> Planar:
+    """Multiply by -i."""
+    return Planar(p.im, -p.re)
+
+
+def real_planar(x) -> Planar:
+    """Wrap a real array as a planar complex with zero imaginary part."""
+    x = jnp.asarray(x)
+    return Planar(x, jnp.zeros_like(x))
+
+
+def is_complex_input(x) -> bool:
+    return not isinstance(x, Planar) and (
+        np.iscomplexobj(x) if isinstance(x, np.ndarray)
+        else jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating))

@@ -1,4 +1,4 @@
-"""Fused frequency-domain convolution.
+"""Fused frequency-domain convolution (planar-internal).
 
 TPU analog of ``PrePostProcessing/vkFFT_Convolution.h`` (scalar and 2x2/3x3
 matrix kernels, multi-kernel batching, conjugate and cross-power-spectrum
@@ -7,8 +7,10 @@ options, ``appendKernelConvolution`` :125): forward transform -> per-frequency
 stage into the surrounding passes.  The reference fuses the multiply into the
 last-axis kernel and replays the inverse plan (``vkFFT_RunApp.h:323-464``).
 
-Like the reference, convolutions are circular; linear convolution is obtained
-by configuring zero padding (``performZeropadding``, README.md:15-16).
+All arithmetic is planar (re/im plane pairs) so convolutions run on
+complex-free TPU backends; complex arrays are accepted and returned on
+complex-capable ones.  Like the reference, convolutions are circular; linear
+convolution is obtained by configuring zero padding (README.md:15-16).
 """
 from __future__ import annotations
 
@@ -21,17 +23,41 @@ import numpy as np
 from vkfft_tpu import api
 from vkfft_tpu.config import FFTConfig
 from vkfft_tpu.errors import InvalidConfigError
+from vkfft_tpu.pcomplex import Planar, from_complex, real_planar, to_complex
+
+
+def _as_planar(x) -> Planar:
+    if isinstance(x, Planar):
+        return x
+    if isinstance(x, np.ndarray):
+        if np.iscomplexobj(x):
+            return from_complex(x)
+        return real_planar(jnp.asarray(x))
+    xj = jnp.asarray(x)
+    if jnp.issubdtype(xj.dtype, jnp.complexfloating):
+        return Planar(jnp.real(xj), jnp.imag(xj))
+    return real_planar(xj)
 
 
 def fftconvolve(x, h, axes: Optional[Sequence[int]] = None, engine: Optional[str] = None):
     """Circular convolution of ``x`` with ``h`` over ``axes`` via the FFT."""
-    x = jnp.asarray(x)
-    h = jnp.asarray(h)
+    complex_out = not isinstance(x, Planar) and api.complex_supported()
+    xp, hp = _as_planar(x), _as_planar(h)
     if axes is None:
-        axes = tuple(range(-h.ndim, 0))
-    X = api.fftn(x, axes=axes, engine=engine)
-    H = api.fftn(h, axes=axes, engine=engine)
-    return api.ifftn(X * H, axes=axes, engine=engine)
+        axes = tuple(range(-hp.ndim, 0))
+    X = api.fftn(xp, axes=axes, engine=engine)
+    H = api.fftn(hp, axes=axes, engine=engine)
+    out = api.ifftn(X * H, axes=axes, engine=engine)
+    return to_complex(out) if complex_out else out
+
+
+def _planar_einsum(subs: str, K: Planar, X: Planar) -> Planar:
+    """Complex einsum via four real einsums."""
+    rr = jnp.einsum(subs, K.re, X.re)
+    ii = jnp.einsum(subs, K.im, X.im)
+    ri = jnp.einsum(subs, K.re, X.im)
+    ir = jnp.einsum(subs, K.im, X.re)
+    return Planar(rr - ii, ri + ir)
 
 
 class ConvolutionApplication:
@@ -65,27 +91,25 @@ class ConvolutionApplication:
         m = config.matrix_convolution
         shape = config.shape
         ndim = len(shape)
-        kernel = jnp.asarray(kernel)
-        if not jnp.issubdtype(kernel.dtype, jnp.complexfloating):
-            kernel = kernel.astype(jnp.complex64)
+        kp = _as_planar(kernel)
 
-        if m > 1 and kernel.shape[-ndim - 2: -ndim] != (m, m):
+        if m > 1 and kp.shape[-ndim - 2: -ndim] != (m, m):
             raise InvalidConfigError(
-                f"matrix kernel must have shape (..., {m}, {m}, *{shape}), got {kernel.shape}")
-        if kernel.shape[-ndim:] != shape:
+                f"matrix kernel must have shape (..., {m}, {m}, *{shape}), got {kp.shape}")
+        if kp.shape[-ndim:] != shape:
             raise InvalidConfigError(
-                f"kernel must end with transform shape {shape}, got {kernel.shape}")
-        if config.number_kernels > 1 and kernel.shape[0] != config.number_kernels:
+                f"kernel must end with transform shape {shape}, got {kp.shape}")
+        if config.number_kernels > 1 and kp.shape[0] != config.number_kernels:
             raise InvalidConfigError(
                 f"kernel leading dim must be number_kernels={config.number_kernels}")
 
         if kernel_in_freq_domain:
-            self.kernel_f = kernel
+            self.kernel_f = kp
         else:
-            self.kernel_f = api.fftn(kernel, axes=tuple(range(-ndim, 0)), engine=engine)
+            self.kernel_f = api.fftn(kp, axes=tuple(range(-ndim, 0)), engine=engine)
         self._call = jax.jit(self._convolve)
 
-    def _convolve(self, x):
+    def _convolve(self, x: Planar) -> Planar:
         cfg = self.config
         ndim = len(cfg.shape)
         m = cfg.matrix_convolution
@@ -93,31 +117,34 @@ class ConvolutionApplication:
         axes = tuple(range(-ndim, 0))
 
         X = api.fftn(x, axes=axes, engine=self.engine)
-        Kf = self.kernel_f.astype(X.dtype)
+        Kf = self.kernel_f
         if cfg.conjugate_convolution == 1:
-            Kf = jnp.conj(Kf)
+            Kf = Kf.conj()
         elif cfg.conjugate_convolution == 2:
-            X = jnp.conj(X)
+            X = X.conj()
 
         freq = "uvw"[:ndim]
         if m > 1:
-            if multi:
-                Y = jnp.einsum(f"koi{freq},...i{freq}->k...o{freq}", Kf, X)
-            else:
-                Y = jnp.einsum(f"oi{freq},...i{freq}->...o{freq}", Kf, X)
+            subs = (f"koi{freq},...i{freq}->k...o{freq}" if multi
+                    else f"oi{freq},...i{freq}->...o{freq}")
+            Y = _planar_einsum(subs, Kf, X)
         else:
             if multi:
-                # broadcast kernel batch against data batch dims
                 pad = X.ndim - (Kf.ndim - 1)
-                Y = X[None] * Kf.reshape(Kf.shape[:1] + (1,) * pad + Kf.shape[1:])
+                Kb = Kf.reshape(*(Kf.shape[:1] + (1,) * pad + Kf.shape[1:]))
+                Y = Planar(X.re[None], X.im[None])  # add kernel-batch dim
+                Y = Kb * Y
             else:
-                Y = X * Kf  # trailing-dim broadcasting covers coord features
+                Y = Kf * X  # trailing-dim broadcasting covers coord features
 
         if cfg.cross_power_spectrum_normalization:
-            mag = jnp.abs(Y)
+            mag = jnp.sqrt(Y.re * Y.re + Y.im * Y.im)
             eps = np.asarray(1e-30, dtype=mag.dtype)
-            Y = Y / jnp.maximum(mag, eps)
+            inv = 1.0 / jnp.maximum(mag, eps)
+            Y = Planar(Y.re * inv, Y.im * inv)
         return api.ifftn(Y, axes=axes, engine=self.engine)
 
     def __call__(self, x):
-        return self._call(jnp.asarray(x))
+        complex_out = not isinstance(x, Planar) and api.complex_supported()
+        out = self._call(_as_planar(x))
+        return to_complex(out) if complex_out else out

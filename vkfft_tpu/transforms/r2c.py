@@ -1,4 +1,4 @@
-"""Real-to-complex / complex-to-real transforms.
+"""Real-to-complex / complex-to-real transforms (planar-internal).
 
 TPU analog of the reference R2C machinery (``PrePostProcessing/vkFFT_R2C.h``:
 ``appendC2R_read`` :178, ``appendR2C_write`` :450, and the even-length
@@ -7,8 +7,11 @@ computed as a length-n/2 complex FFT of the packed even/odd samples plus an
 O(n) untangling post-pass — half the flops and bandwidth of a complex
 transform, the same 2x win the reference advertises (README.md:13).
 
-Odd lengths fall back to a complex transform of the real input (the reference
-similarly restricts its fast path to even sizes).
+All internal arithmetic is planar (re/im plane pairs), so the full surface
+runs on complex-free TPU backends; on complex-capable backends the public
+functions still accept and return complex arrays.  Odd lengths fall back to a
+complex transform of the real input (the reference similarly restricts its
+fast path to even sizes).
 """
 from __future__ import annotations
 
@@ -19,112 +22,148 @@ import jax.numpy as jnp
 import numpy as np
 
 from vkfft_tpu import api, luts
+from vkfft_tpu.pcomplex import (
+    Planar,
+    from_complex,
+    planar_table,
+    real_planar,
+    to_complex,
+)
 
 
-def _real_dtype(x):
-    return jnp.float64 if x.dtype in (jnp.float64, jnp.complex128) else jnp.float32
-
-
-def _complex_dtype(x):
-    return jnp.complex128 if x.dtype in (jnp.float64, jnp.complex128) else jnp.complex64
+def _wants_complex_out(x) -> bool:
+    """Emit complex arrays when the backend supports them and the caller
+    passed a plain array (numpy-style usage)."""
+    return not isinstance(x, Planar) and api.complex_supported()
 
 
 def _move_last(x, axis):
     axis = axis % x.ndim
     if axis != x.ndim - 1:
-        x = jnp.moveaxis(x, axis, -1)
+        if isinstance(x, Planar):
+            x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
+        else:
+            x = jnp.moveaxis(x, axis, -1)
     return x, axis
 
 
-def _move_back(x, axis):
-    if axis != x.ndim - 1:
-        x = jnp.moveaxis(x, -1, axis)
+def _move_back(x, axis, ndim):
+    if axis != ndim - 1:
+        if isinstance(x, Planar):
+            x = Planar(jnp.moveaxis(x.re, -1, axis), jnp.moveaxis(x.im, -1, axis))
+        else:
+            x = jnp.moveaxis(x, -1, axis)
     return x
+
+
+def _fftn_p(p: Planar, axes, inverse=False, engine=None) -> Planar:
+    out = api.fftn(p, axes=axes, engine=engine, inverse=inverse)
+    return out
 
 
 def rfft(x, axis: int = -1, engine: Optional[str] = None):
     """Forward real FFT along ``axis``; returns the n//2+1 half spectrum
-    (numpy ``rfft`` convention, unnormalized)."""
-    x = jnp.asarray(x)
-    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+    (numpy ``rfft`` convention, unnormalized).  Returns a complex array on
+    complex-capable backends, a ``Planar`` pair otherwise."""
+    complex_out = _wants_complex_out(x)
+    xr = x.re if isinstance(x, Planar) else jnp.asarray(x)
+    if not isinstance(x, Planar) and jnp.issubdtype(xr.dtype, jnp.complexfloating):
         raise TypeError("rfft input must be real")
-    x, axis = _move_last(x, axis)
-    n = x.shape[-1]
-    cdt = _complex_dtype(x)
+    xr, axis = _move_last(xr, axis)
+    ndim = xr.ndim
+    n = xr.shape[-1]
     if n % 2 or n < 4:
-        y = api.fft(x.astype(cdt), engine=engine)[..., : n // 2 + 1]
-        return _move_back(y, axis)
-    half = n // 2
-    # Pack even/odd real samples into a half-length complex sequence.
-    z = (x[..., 0::2] + 1j * x[..., 1::2]).astype(cdt)
-    Z = api.fft(z, engine=engine)
-    # Untangle: E[k] = (Z[k]+conj(Z[-k]))/2, O[k] = (Z[k]-conj(Z[-k]))/(2i),
-    # X[k] = E[k] + w_n^k O[k]  (reference post-twiddle: vkFFT_R2C.h:450).
-    idx = (-jnp.arange(half + 1)) % half
-    Zk = Z[..., jnp.arange(half + 1) % half]
-    Zr = jnp.conj(Z[..., idx])
-    E = 0.5 * (Zk + Zr)
-    O = -0.5j * (Zk - Zr)
-    tw = jnp.asarray(luts.r2c_post_twiddle(n).astype(cdt))
-    X = E + tw * O
-    return _move_back(X, axis)
+        # complex transform of the real input, truncated half-spectrum
+        X = _fftn_p(real_planar(xr), axes=(-1,), engine=engine)[..., : n // 2 + 1]
+    else:
+        half = n // 2
+        # pack even/odd samples: z = x[0::2] + i x[1::2]  (no complex dtype!)
+        z = Planar(xr[..., 0::2], xr[..., 1::2])
+        Z = _fftn_p(z, axes=(-1,), engine=engine)
+        # untangle: E = (Z[k]+conj(Z[-k]))/2, O = -i/2 (Z[k]-conj(Z[-k])),
+        # X[k] = E + w_n^k O   (reference post-twiddle: vkFFT_R2C.h:450)
+        idx_k = np.arange(half + 1) % half
+        idx_r = (-np.arange(half + 1)) % half
+        Zk = Z[..., idx_k]
+        Zr = Z[..., idx_r].conj()
+        E = (Zk + Zr) * np.float32(0.5)
+        D = (Zk - Zr) * np.float32(0.5)
+        O = Planar(D.im, -D.re)  # -i * D
+        tw = planar_table(luts.r2c_post_twiddle(n), xr.dtype)
+        X = E + tw[(None,) * (ndim - 1)] * O
+    X = _move_back(X, axis, ndim)
+    return to_complex(X) if complex_out else X
 
 
 def irfft(X, n: Optional[int] = None, axis: int = -1, engine: Optional[str] = None):
     """Inverse real FFT (numpy ``irfft`` convention: normalized by 1/n,
     returns a real array of length ``n``; reference C2R read pass:
     ``appendC2R_read``, vkFFT_R2C.h:178)."""
-    X = jnp.asarray(X)
-    X, axis = _move_last(X, axis)
-    m = X.shape[-1]
+    if isinstance(X, Planar):
+        p = X
+    elif isinstance(X, np.ndarray):
+        p = from_complex(X)
+    else:
+        Xj = jnp.asarray(X)
+        p = Planar(jnp.real(Xj), jnp.imag(Xj))
+    p, axis = _move_last(p, axis)
+    ndim = p.ndim
+    m = p.shape[-1]
     if n is None:
         n = 2 * (m - 1)
-    rdt = _real_dtype(X)
-    cdt = _complex_dtype(X)
     if n % 2 or n < 4:
-        # rebuild the full Hermitian spectrum and run a complex inverse
-        tail = jnp.conj(X[..., 1 : n - m + 1][..., ::-1])
-        full = jnp.concatenate([X.astype(cdt), tail.astype(cdt)], axis=-1)
-        y = api.ifft(full, engine=engine)
-        return _move_back(jnp.real(y).astype(rdt), axis)
-    half = n // 2
-    X = X.astype(cdt)
-    # Retangle into the half-length spectrum: Z[k] = E[k] + i*O[k] with
-    # E[k] = (X[k]+conj(X[half-k]))/2, O[k] = w_n^{-k} (X[k]-conj(X[half-k]))/2.
-    k = jnp.arange(half)
-    Xk = X[..., :half]
-    Xr = jnp.conj(X[..., half - k])
-    E = 0.5 * (Xk + Xr)
-    tw = jnp.asarray(np.conj(luts.r2c_post_twiddle(n))[:half].astype(np.complex128)).astype(cdt)
-    O = 0.5 * tw * (Xk - Xr)
-    Z = E + 1j * O
-    z = api.ifft(Z, engine=engine)
-    out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1).reshape(*z.shape[:-1], n)
-    return _move_back(out.astype(rdt), axis)
+        # rebuild the full Hermitian spectrum, complex inverse, take re
+        tail = p[..., 1 : n - m + 1][..., ::-1].conj()
+        full = Planar(jnp.concatenate([p.re, tail.re], axis=-1),
+                      jnp.concatenate([p.im, tail.im], axis=-1))
+        y = _fftn_p(full, axes=(-1,), inverse=True, engine=engine)
+        out = y.re
+    else:
+        half = n // 2
+        k = np.arange(half)
+        Xk = p[..., :half]
+        Xr = p[..., half - k].conj()
+        E = (Xk + Xr) * np.float32(0.5)
+        tw = planar_table(np.conj(luts.r2c_post_twiddle(n))[:half], p.dtype)
+        O = tw[(None,) * (ndim - 1)] * ((Xk - Xr) * np.float32(0.5))
+        # Z = E + i O
+        Z = Planar(E.re - O.im, E.im + O.re)
+        z = _fftn_p(Z, axes=(-1,), inverse=True, engine=engine)
+        # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
+        out = jnp.stack([z.re, z.im], axis=-1).reshape(*z.shape[:-1], n)
+    return _move_back(out, axis, ndim)
 
 
 def rfftn(x, axes: Optional[Sequence[int]] = None, engine: Optional[str] = None):
     """N-D real FFT: real transform along the last given axis, complex along
     the rest (numpy convention)."""
-    x = jnp.asarray(x)
+    complex_out = _wants_complex_out(x)
+    ndim = x.ndim if isinstance(x, Planar) else jnp.asarray(x).ndim
     if axes is None:
-        axes = tuple(range(x.ndim))
-    axes = tuple(a % x.ndim for a in axes)
+        axes = tuple(range(ndim))
+    axes = tuple(a % ndim for a in axes)
     y = rfft(x, axis=axes[-1], engine=engine)
+    if not isinstance(y, Planar):
+        y = Planar(jnp.real(y), jnp.imag(y))
     for a in axes[:-1]:
-        y = api.fftn(y, axes=(a,), engine=engine)
-    return y
+        y = _fftn_p(y, axes=(a,), engine=engine)
+    return to_complex(y) if complex_out else y
 
 
 def irfftn(X, s: Optional[Sequence[int]] = None, axes: Optional[Sequence[int]] = None,
            engine: Optional[str] = None):
-    X = jnp.asarray(X)
+    if isinstance(X, np.ndarray):
+        X = from_complex(X)
+    elif not isinstance(X, Planar):
+        Xj = jnp.asarray(X)
+        X = Planar(jnp.real(Xj), jnp.imag(Xj))
+    ndim = X.ndim
     if axes is None:
-        axes = tuple(range(X.ndim))
-    axes = tuple(a % X.ndim for a in axes)
+        axes = tuple(range(ndim))
+    axes = tuple(a % ndim for a in axes)
     n_last = None if s is None else s[-1]
     for a in axes[:-1]:
-        X = api.ifftn(X, axes=(a,), engine=engine)
+        X = _fftn_p(X, axes=(a,), inverse=True, engine=engine)
     return irfft(X, n=n_last, axis=axes[-1], engine=engine)
 
 
