@@ -104,12 +104,39 @@ class FFTApplication:
         return x
 
     def _transform(self, x, inverse: bool):
+        from vkfft_tpu.precision.doubledouble import DDComplex
         cfg = self.config
         ndim = len(cfg.shape)
-        planar = isinstance(x, Planar)
         if x.shape[-ndim:] != cfg.shape:
             raise InvalidConfigError(
                 f"input trailing shape {x.shape[-ndim:]} != configured {cfg.shape}")
+
+        ddc = isinstance(x, DDComplex)
+        planar = isinstance(x, Planar)
+        if ddc or cfg.precision == Precision.DOUBLE and not complex_supported():
+            # the TPU "fp64" tier: double-double quad planes
+            from vkfft_tpu.precision import dd_fft
+            if not ddc:
+                raise InvalidConfigError(
+                    "DOUBLE precision on this backend requires DDComplex input "
+                    "(see vkfft_tpu.precision.ddc_from_complex128)")
+            axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
+            for ax in axes:
+                x = dd_fft.fft_axis_dd(x, x.ndim - ndim + ax, cfg.shape[ax], inverse)
+            if inverse and cfg.normalize:
+                total = 1
+                for ax in cfg.axes:
+                    total *= cfg.shape[ax]
+                x = dd_fft.dd_scale(x, 1.0 / total)
+            return x
+
+        # bf16/fp16 storage tiers: narrow the planes so kernels load half the
+        # bytes (reference halfPrecisionMemoryOnly, vkFFT_Structs.h:189)
+        storage = None
+        if planar and cfg.precision in (Precision.HALF, Precision.BFLOAT16):
+            storage = jnp.float16 if cfg.precision == Precision.HALF else jnp.bfloat16
+            x = x.astype(storage)
+
         eng = _engine(self.engine_name)
         fft_axis = eng.fft_axis_p if planar else eng.fft_axis
         if not inverse:
@@ -123,7 +150,9 @@ class FFTApplication:
                 total = 1
                 for ax in cfg.axes:
                     total *= cfg.shape[ax]
-                x = x * np.asarray(1.0 / total, dtype=x.dtype)
+                scale = np.asarray(1.0 / total,
+                                   dtype=np.float32 if planar else x.dtype)
+                x = x * scale
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         else:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)

@@ -160,3 +160,31 @@ def fft_dd(x: np.ndarray, inverse: bool = False, normalize: bool = False) -> np.
     if inverse and normalize:
         out = out / n
     return out[0] if squeeze else out
+
+
+def fft_axis_dd(x: DDComplex, axis: int, n: int, inverse: bool = False) -> DDComplex:
+    """Unnormalized double-double DFT along ``axis`` of N-D quad planes."""
+    ndim = x.ndim
+    axis = axis % ndim
+    moved = axis != ndim - 1
+
+    def mv(p, src, dst):
+        return jnp.moveaxis(p, src, dst)
+
+    if moved:
+        x = DDComplex(DD(mv(x.re.hi, axis, -1), mv(x.re.lo, axis, -1)),
+                      DD(mv(x.im.hi, axis, -1), mv(x.im.lo, axis, -1)))
+    shape = x.shape
+    y = fft_lines_dd(x.reshape(-1, n), n, inverse).reshape(*shape)
+    if moved:
+        y = DDComplex(DD(mv(y.re.hi, -1, axis), mv(y.re.lo, -1, axis)),
+                      DD(mv(y.im.hi, -1, axis), mv(y.im.lo, -1, axis)))
+    return y
+
+
+def dd_scale(x: DDComplex, value: float) -> DDComplex:
+    """Multiply by an fp64 host scalar split exactly into a dd pair."""
+    hi = np.float32(value)
+    lo = np.float32(np.float64(value) - np.float64(hi))
+    s = DD(hi, lo)
+    return DDComplex(x.re * s, x.im * s)
