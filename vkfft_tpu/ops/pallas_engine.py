@@ -43,7 +43,11 @@ from vkfft_tpu import luts
 from vkfft_tpu.planner.factorize import Algorithm, prime_factors
 from vkfft_tpu.planner.plan import AxisPlan
 
-_PRECISION = jax.lax.Precision.HIGHEST
+# Matmul precision for the fp32 tier: HIGH = 3-pass bf16 ("bf16_6x"-class
+# accuracy ~1.5e-7 measured, MXU cost halved vs HIGHEST's 6-pass) — the MXU
+# time at HIGHEST exceeds the DMA time, so HIGH is the bandwidth-balanced
+# default.  set_matmul_precision("highest") restores the full 6-pass mode.
+_PRECISION = jax.lax.Precision.HIGH
 MAX_FACTOR = 128
 MAX_SINGLE_KERNEL_N = MAX_FACTOR * MAX_FACTOR
 
@@ -54,6 +58,15 @@ _INTERPRET = False
 def set_interpret(value: bool) -> None:
     global _INTERPRET
     _INTERPRET = value
+
+
+def set_matmul_precision(level: str) -> None:
+    """'high' (3-pass bf16, default) or 'highest' (6-pass, full fp32)."""
+    global _PRECISION
+    _PRECISION = {"high": jax.lax.Precision.HIGH,
+                  "highest": jax.lax.Precision.HIGHEST}[level]
+    _build_fft_call.cache_clear()
+    _build_fft_call_v2.cache_clear()
 
 
 @functools.lru_cache(maxsize=1024)
@@ -488,8 +501,10 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
 
 
 def _v2_lines_per_block(n: int) -> int:
+    # ~2MB of planar data per block: big enough to amortize grid dispatch,
+    # small enough for in+out+temps to sit comfortably in VMEM
     bytes_per_line = 2 * n * 4
-    return int(min(64, max(1, (1024 * 1024) // bytes_per_line)))
+    return int(min(256, max(1, (2 * 1024 * 1024) // bytes_per_line)))
 
 
 @functools.lru_cache(maxsize=512)
