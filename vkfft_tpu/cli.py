@@ -372,6 +372,78 @@ def sample_200(ctx):
     ctx.log(f"  {shape} batch {batch}: {dt * 1e3:.3f} ms  est {gbs:.1f} GB/s")
 
 
+
+
+@sample(2, "benchmark bf16/fp16 storage C2C (halfPrecisionMemoryOnly analog)")
+def sample_2(ctx):
+    import jax
+    import jax.numpy as jnp
+    from vkfft_tpu.config import Precision
+    import vkfft_tpu as vt
+    from vkfft_tpu.pcomplex import Planar
+    for n in (1024, 4096):
+        batch = max(1, 16 * 1024 * 1024 // (4 * n))
+        rng = np.random.default_rng(n)
+        cfg = vt.FFTConfig(shape=(n,), precision=Precision.BFLOAT16)
+        app = vt.get_application(cfg, ctx.engine)
+        p = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
+                   jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
+        y = app.forward(p)
+        jax.block_until_ready((y.re, y.im))
+        t0 = time.perf_counter()
+        for _ in range(10):
+            y = app.forward(p)
+        jax.block_until_ready((y.re, y.im))
+        ctx.log(f"  bf16 storage n={n} batch {batch}: {(time.perf_counter()-t0)/10*1e3:.3f} ms")
+
+
+@sample(9, "benchmark double-double (quad-class) C2C")
+def sample_9(ctx):
+    from vkfft_tpu.precision.dd_fft import fft_dd
+    for n in (256, 1024):
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
+        t0 = time.perf_counter()
+        y = fft_dd(x)
+        dt = time.perf_counter() - t0
+        ctx.log(f"  dd n={n} batch 64: {dt*1e3:.1f} ms (incl. compile on first run)")
+
+
+@sample(19, "precision double-double vs fp64 oracle (quad-tier check)")
+def sample_19(ctx):
+    from vkfft_tpu.precision.dd_fft import fft_dd
+    worst = 0.0
+    for n in (8, 64, 100, 256, 101):
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        got = fft_dd(x)
+        ref = np.fft.fft(x)
+        worst = max(worst, _precision_report(ctx, f"n={n}", got, ref))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-10 else 'FAIL'})")
+
+
+@sample(10, "plan save/load (binary cache analog, sample-0 pattern)")
+def sample_10(ctx):
+    import vkfft_tpu as vt
+    from vkfft_tpu import cache
+    cfg = vt.FFTConfig(shape=(1024,), normalize=True)
+    app = vt.get_application(cfg, ctx.engine)
+    blob = cache.save_application_to_string(app)
+    app2 = cache.load_application_from_string(blob, engine=ctx.engine)
+    x = _rand_complex((8, 1024), seed=3)
+    from vkfft_tpu import api
+    from vkfft_tpu.pcomplex import from_complex, to_numpy, Planar
+    planar = not api.complex_supported()
+    xd = from_complex(x) if planar else x
+    y1 = app.forward(xd)
+    y2 = app2.forward(xd)
+    a1 = to_numpy(y1) if isinstance(y1, Planar) else np.asarray(y1)
+    a2 = to_numpy(y2) if isinstance(y2, Planar) else np.asarray(y2)
+    ok = np.array_equal(a1, a2)
+    ctx.log(f"  plan blob {len(blob)} bytes, reloaded app bitwise-equal: {ok} "
+            f"({'PASS' if ok else 'FAIL'})")
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------

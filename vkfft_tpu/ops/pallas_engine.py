@@ -43,11 +43,10 @@ from vkfft_tpu import luts
 from vkfft_tpu.planner.factorize import Algorithm, prime_factors
 from vkfft_tpu.planner.plan import AxisPlan
 
-# Matmul precision for the fp32 tier: HIGH = 3-pass bf16 ("bf16_6x"-class
-# accuracy ~1.5e-7 measured, MXU cost halved vs HIGHEST's 6-pass) — the MXU
-# time at HIGHEST exceeds the DMA time, so HIGH is the bandwidth-balanced
-# default.  set_matmul_precision("highest") restores the full 6-pass mode.
-_PRECISION = jax.lax.Precision.HIGH
+# Matmul precision for the fp32 tier.  Mosaic only lowers DEFAULT and
+# HIGHEST; HIGHEST (6-pass bf16) gives full fp32 accuracy and the flop cost
+# is managed by keeping stage radix sums small (3-factor splits).
+_PRECISION = jax.lax.Precision.HIGHEST
 MAX_FACTOR = 128
 MAX_SINGLE_KERNEL_N = MAX_FACTOR * MAX_FACTOR
 
@@ -61,9 +60,10 @@ def set_interpret(value: bool) -> None:
 
 
 def set_matmul_precision(level: str) -> None:
-    """'high' (3-pass bf16, default) or 'highest' (6-pass, full fp32)."""
+    """'highest' (6-pass bf16, full fp32, default) or 'default' (1-pass
+    bf16 — the bf16-tier compute mode)."""
     global _PRECISION
-    _PRECISION = {"high": jax.lax.Precision.HIGH,
+    _PRECISION = {"default": jax.lax.Precision.DEFAULT,
                   "highest": jax.lax.Precision.HIGHEST}[level]
     _build_fft_call.cache_clear()
     _build_fft_call_v2.cache_clear()
