@@ -132,3 +132,35 @@ def test_v2_bf16_storage():
     ref = np.fft.fft(x.astype(np.float64))
     # bf16 storage: ~3 decimal digits
     assert rel_err(got, ref) < 3e-2
+
+
+# -- strided-axis kernel ----------------------------------------------------
+
+@pytest.mark.parametrize("n", [64, 256, 1024])
+def test_strided_kernel(n):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n)
+    P, S = 2, 24
+    x = (rng.standard_normal((P, n, S)) + 1j * rng.standard_normal((P, n, S))).astype(np.complex64)
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    yr, yi = pallas_engine.strided_fft_planar(xr, xi, n, False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128), axis=1)
+    assert rel_err(got, ref) < 5e-6
+    zr, zi = pallas_engine.strided_fft_planar(yr, yi, n, True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x) < 5e-6
+
+
+def test_fft_axis_p_strided_dispatch():
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((64, 3, 16)) + 1j * rng.standard_normal((64, 3, 16))).astype(np.complex64)
+    p = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+               jnp.asarray(np.ascontiguousarray(x.imag)))
+    y = pallas_engine.fft_axis_p(p, 0, plan_axis(64))
+    got = np.asarray(y.re) + 1j * np.asarray(y.im)
+    ref = np.fft.fft(x.astype(np.complex128), axis=0)
+    assert rel_err(got, ref) < 5e-6

@@ -362,12 +362,26 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
 
 def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> Planar:
     """Planar pallas DFT along ``axis``; jnp-engine fallback for unsupported
-    core sizes."""
+    core sizes.
+
+    Non-minor axes of DIRECT plans run the strided kernel in place (lanes =
+    trailing batch, reference strided-kernel analog) — no moveaxis/transpose
+    passes."""
     if not supports(plan):
         from vkfft_tpu.ops import jnp_engine
         return jnp_engine.fft_axis_p(x, axis, plan, inverse)
     axis = axis % x.ndim
-    moved = axis != x.ndim - 1
+    ndim = x.ndim
+    if axis != ndim - 1 and plan.algorithm is Algorithm.DIRECT and _use_v2(plan.n):
+        shape = x.shape
+        p = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+        s = int(np.prod(shape[axis + 1:], dtype=np.int64))
+        if s >= 8:  # enough trailing batch to fill lanes usefully
+            xr = x.re.reshape(p, plan.n, s)
+            xi = x.im.reshape(p, plan.n, s)
+            orr, oi = strided_fft_planar(xr, xi, plan.n, inverse)
+            return Planar(orr.reshape(shape), oi.reshape(shape))
+    moved = axis != ndim - 1
     if moved:
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
     shape = x.shape
@@ -577,4 +591,118 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural"):
         # natural flat [k1][k2] -> swapped [k2][k1] expected by the kernel
         xr = _swap_digits(xr, n1, n2)
         xi = _swap_digits(xi, n1, n2)
+    return run(xr, xi)
+
+
+# ---------------------------------------------------------------------------
+# Strided-axis kernel: transform a non-minor axis with the trailing batch in
+# lanes — the analog of the reference's strided kernels for axes > 0
+# (``appendRadixStageStrided``, ``vkFFT_RadixStage.h:300``; grouped-batch
+# lanes mirror ``groupedBatch`` coalescing).
+#
+# Data (P, N, S): the transform axis N sits in sublane/outer dims, the
+# trailing batch S in lanes.  With N = N2*N1 (n2 slow digit):
+#   stage 1: contract n2  ->  k2   (3D dot_general, lhs sublane matrix)
+#   twiddle (k2, n1)
+#   stage 2: contract n1  ->  k1   (lhs matrix again)
+# output digit order (k1, k2) == natural line order k = k1*N2 + k2, so the
+# strided kernel is both transpose-free AND natural-order — no XLA moveaxis
+# is needed for multi-axis transforms.
+# ---------------------------------------------------------------------------
+
+_STRIDED_TILE_S = 256  # lanes per block (two 128-lane tiles)
+
+
+@functools.lru_cache(maxsize=512)
+def _strided_tables(n: int, inverse: bool):
+    n1, n2 = split_lane_major(n)  # n1 fast digit, n2 slow
+    sign = 2.0j if inverse else -2.0j
+    D2 = luts.dft_matrix(n2, inverse)
+    D1 = luts.dft_matrix(n1, inverse)
+    k2 = np.arange(n2)[:, None]
+    nn1 = np.arange(n1)[None, :]
+    tw = np.exp(sign * np.pi / n * ((k2 * nn1) % n))   # (n2, n1)
+    return (_pack_complex_matrix(D2), _pack_complex_matrix(D1),
+            np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32))
+
+
+def _strided_kernel(n1, n2, tile_s, out_dtype,
+                    xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
+                    or_ref, oi_ref):
+    xr = xr_ref[0].astype(jnp.float32)        # (N2, N1, S)
+    xi = xi_ref[0].astype(jnp.float32)
+    if n2 > 1:
+        z = jnp.concatenate([xr, xi], axis=0)              # (2N2, N1, S)
+        y = jax.lax.dot_general(r2_ref[:], z, (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_PRECISION)       # (2N2, N1, S)
+        ar, ai = y[:n2], y[n2:]
+    else:
+        ar, ai = xr, xi
+    tw_r = twr_ref[:][:, :, None]
+    tw_i = twi_ref[:][:, :, None]
+    tr = ar * tw_r - ai * tw_i                             # (N2, N1, S)
+    ti = ar * tw_i + ai * tw_r
+    if n1 > 1:
+        z2 = jnp.concatenate([tr, ti], axis=1)             # (N2, 2N1, S)
+        y2 = jax.lax.dot_general(r1_ref[:], z2, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PRECISION)      # (2N1, N2, S)
+        outr, outi = y2[:n1], y2[n1:]                      # (N1, N2, S) = (k1, k2, S)
+    else:
+        outr = jnp.swapaxes(tr, 0, 1)
+        outi = jnp.swapaxes(ti, 0, 1)
+    or_ref[0] = outr.astype(out_dtype)
+    oi_ref[0] = outi.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
+                        dtype_name: str = "float32"):
+    """(P, n, S) planar transform over the middle axis, natural order."""
+    dtype = jnp.dtype(dtype_name)
+    n1, n2 = split_lane_major(n)
+    r2, r1, twr, twi = _strided_tables(n, inverse)
+    tile_s = min(_STRIDED_TILE_S, s)
+    pad_s = (-s) % tile_s
+    s_pad = s + pad_s
+
+    kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype)
+    spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
+                            memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(p, s_pad // tile_s),
+        in_specs=[spec_in, spec_in, const(r2.shape), const(r1.shape),
+                  const(twr.shape), const(twi.shape)],
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((p, n1, n2, s_pad), dtype)] * 2,
+        interpret=interpret,
+    )
+
+    def run(xr, xi):
+        xr = xr.reshape(p, n2, n1, s)
+        xi = xi.reshape(p, n2, n1, s)
+        if pad_s:
+            pads = ((0, 0), (0, 0), (0, 0), (0, pad_s))
+            xr = jnp.pad(xr, pads)
+            xi = jnp.pad(xi, pads)
+        orr, oi = call(xr, xi, jnp.asarray(r2), jnp.asarray(r1),
+                       jnp.asarray(twr), jnp.asarray(twi))
+        if pad_s:
+            orr = orr[..., :s]
+            oi = oi[..., :s]
+        return orr.reshape(p, n, s), oi.reshape(p, n, s)
+
+    return run
+
+
+def strided_fft_planar(xr, xi, n: int, inverse: bool):
+    """Natural-order DFT over the middle axis of (P, n, S) planes."""
+    p, _, s = xr.shape
+    run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype))
     return run(xr, xi)
