@@ -376,7 +376,10 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> P
         shape = x.shape
         p = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
         s = int(np.prod(shape[axis + 1:], dtype=np.int64))
-        if s >= 8:  # enough trailing batch to fill lanes usefully
+        # Mosaic miscompiles multi-dim contractions with <128 lanes (verified
+        # empirically: 4D dot_general crashes the compiler below one full
+        # lane tile), so require a full tile of trailing batch.
+        if s >= 128:
             xr = x.re.reshape(p, plan.n, s)
             xi = x.im.reshape(p, plan.n, s)
             orr, oi = strided_fft_planar(xr, xi, plan.n, inverse)
