@@ -164,3 +164,41 @@ def test_fft_axis_p_strided_dispatch():
     got = np.asarray(y.re) + 1j * np.asarray(y.im)
     ref = np.fft.fft(x.astype(np.complex128), axis=0)
     assert rel_err(got, ref) < 5e-6
+
+
+# -- long-sequence multi-upload path -----------------------------------------
+
+def test_split_long():
+    assert pallas_engine.split_long(1 << 20) is not None
+    nc, ns = pallas_engine.split_long(1 << 20)
+    assert nc * ns == 1 << 20 and ns <= 16384 and nc <= 16384
+
+
+@pytest.mark.parametrize("n", [32768, 1 << 17])
+def test_long_fft(n):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n)
+    B = 2
+    x = (rng.standard_normal((B, n)) + 1j * rng.standard_normal((B, n))).astype(np.complex64)
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    yr, yi = pallas_engine.fft_long_planar(xr, xi, n, False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(got, ref) < 2e-5
+    zr, zi = pallas_engine.fft_long_planar(yr, yi, n, True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x) < 2e-5
+
+
+def test_long_swapped_roundtrip():
+    import jax.numpy as jnp
+    n = 32768
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))).astype(np.complex64)
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    yr, yi = pallas_engine.fft_long_planar(xr, xi, n, False, order="swapped")
+    zr, zi = pallas_engine.fft_long_planar(yr, yi, n, True, order="swapped")
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x) < 2e-5

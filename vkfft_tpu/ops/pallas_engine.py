@@ -91,7 +91,9 @@ def split_two_factors(n: int) -> Optional[tuple[int, int]]:
 
 def supports(plan: AxisPlan) -> bool:
     """Whether the Pallas path can run this axis plan's core length."""
-    return split_two_factors(plan.core_n) is not None
+    if split_two_factors(plan.core_n) is not None:
+        return True
+    return split_long(plan.core_n) is not None
 
 
 def _pack_complex_matrix(C: np.ndarray) -> np.ndarray:
@@ -217,8 +219,11 @@ def _use_v2(n: int) -> bool:
 def core_fft_planar(xr: jax.Array, xi: jax.Array, n: int, inverse: bool):
     """Unnormalized DFT of planar lines (B, n) -> (B, n); storage dtype of
     the planes (f32/bf16/f16) is preserved, compute is fp32.  Dispatches to
-    the lane-major v2 kernel when its lane fill is adequate."""
+    the lane-major v2 kernel when its lane fill is adequate, and to the
+    two-level long-sequence path beyond the single-kernel range."""
     batch = xr.shape[0]
+    if n > MAX_SINGLE_KERNEL_N:
+        return fft_long_planar(xr, xi, n, inverse, order="natural")
     if _use_v2(n):
         return core_fft_planar_v2(xr, xi, n, inverse, order="natural")
     run = _build_fft_call(n, inverse, batch, _INTERPRET, str(xr.dtype))
@@ -709,3 +714,81 @@ def strided_fft_planar(xr, xi, n: int, inverse: bool):
     p, _, s = xr.shape
     run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype))
     return run(xr, xi)
+
+
+# ---------------------------------------------------------------------------
+# Long-sequence multi-upload four-step (reference numPasses>1 regime,
+# ``vkFFT_Scheduler.h:2590-2650``): N = Nc * Ns with both factors handled by
+# the single-kernel paths.  The axis is viewed as (Nc, Ns); a strided pass
+# transforms Nc in place (trailing batch = Ns fills the lanes), an
+# elementwise inter-pass twiddle w_N^(kc*ns) follows (reference LUT_4step),
+# then a contiguous pass transforms Ns.  Natural output order needs the
+# final (kc, ks) -> (ks, kc) reorder; order='swapped' keeps kc-major and
+# skips it (disableReorderFourStep semantics) — fwd+inv pairs cancel.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=512)
+def split_long(n: int) -> Optional[tuple[int, int]]:
+    """(Nc, Ns): strided-factor x contiguous-factor, both v2-supported,
+    Ns as large as possible."""
+    best = None
+    for ns in range(min(n - 1, MAX_SINGLE_KERNEL_N), 1, -1):
+        if n % ns == 0:
+            nc = n // ns
+            if nc <= MAX_SINGLE_KERNEL_N and _use_v2(ns) and _use_v2(nc):
+                return (nc, ns)
+    return best
+
+
+@functools.lru_cache(maxsize=512)
+def _long_twiddle(n: int, inverse: bool):
+    nc, ns = split_long(n)
+    sign = 2.0j if inverse else -2.0j
+    kc = np.arange(nc)[:, None].astype(np.int64)
+    nn = np.arange(ns)[None, :].astype(np.int64)
+    tw = np.exp(sign * np.pi / n * ((kc * nn) % n))
+    return np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32)
+
+
+def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
+    """DFT of (B, n) planar lines for n beyond the single-kernel range."""
+    nc, ns = split_long(n)
+    B = xr.shape[0]
+    twr_t, twi_t = _long_twiddle(n, inverse)
+    twr = jnp.asarray(twr_t)
+    twi = jnp.asarray(twi_t)
+
+    if not inverse:
+        a_r = xr.reshape(B, nc, ns)
+        a_i = xi.reshape(B, nc, ns)
+        a_r, a_i = strided_fft_planar(a_r, a_i, nc, False)     # (B, kc, ns)
+        tr = a_r * twr[None] - a_i * twi[None]
+        ti = a_r * twi[None] + a_i * twr[None]
+        orr, oi = core_fft_planar(tr.reshape(B * nc, ns),
+                                  ti.reshape(B * nc, ns), ns, False)
+        orr = orr.reshape(B, nc, ns)
+        oi = oi.reshape(B, nc, ns)
+        if order == "natural":
+            orr = orr.swapaxes(1, 2).reshape(B, n)             # (B, ks, kc)
+            oi = oi.swapaxes(1, 2).reshape(B, n)
+        else:
+            orr = orr.reshape(B, n)
+            oi = oi.reshape(B, n)
+        return orr, oi
+
+    # inverse: mirror pipeline
+    if order == "natural":
+        xr = xr.reshape(B, ns, nc).swapaxes(1, 2)
+        xi = xi.reshape(B, ns, nc).swapaxes(1, 2)
+    else:
+        xr = xr.reshape(B, nc, ns)
+        xi = xi.reshape(B, nc, ns)
+    br, bi = core_fft_planar(xr.reshape(B * nc, ns),
+                             xi.reshape(B * nc, ns), ns, True)
+    br = br.reshape(B, nc, ns)
+    bi = bi.reshape(B, nc, ns)
+    tr = br * twr[None] - bi * twi[None]
+    ti = br * twi[None] + bi * twr[None]
+    orr, oi = strided_fft_planar(tr, ti, nc, True)
+    return orr.reshape(B, n), oi.reshape(B, n)
