@@ -85,6 +85,49 @@ def bench_system(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
     return moved / dt / 1e9, dt
 
 
+def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
+    """Effective bandwidth of a 3-D C2C fp32 FFT (fwd+inv), counting one
+    read+write per axis pass per direction (reference num_tot_transfers
+    convention)."""
+    import jax
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    from vkfft_tpu.planner import plan_axis
+    from vkfft_tpu import api
+
+    eng = api._engine(api.default_engine())
+    plans = [plan_axis(s) for s in shape]
+    total = int(np.prod(shape))
+    inv_n = np.float32(1.0 / total)
+
+    @jax.jit
+    def fwd_inv(p):
+        for ax in range(3):
+            p = eng.fft_axis_p(p, ax, plans[ax], False)
+        for ax in (2, 1, 0):
+            p = eng.fft_axis_p(p, ax, plans[ax], True)
+        return Planar(p.re * inv_n, p.im * inv_n)
+
+    rng = np.random.default_rng(0)
+    p0 = Planar(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
+                jnp.asarray(rng.standard_normal(shape).astype(np.float32)))
+    z = fwd_inv(p0)
+    float(np.asarray(z.re[0, 0, 0]))
+
+    def run(iters):
+        t0 = time.perf_counter()
+        z = p0
+        for _ in range(iters):
+            z = fwd_inv(z)
+        float(np.asarray(z.re[0, 0, 0]))
+        return time.perf_counter() - t0
+
+    dt = (run(n_hi) - run(n_lo)) / (n_hi - n_lo)
+    data_bytes = 2 * total * 4
+    moved = 2 * 2 * 3 * data_bytes  # fwd+inv, r+w, 3 axis passes each
+    return moved / dt / 1e9, dt
+
+
 def main():
     import jax
 
@@ -100,14 +143,23 @@ def main():
         gbs, dt = bench_system(n, batch)
         results[n] = (gbs, dt, batch)
 
+    detail = {str(n): {"GBs": round(v[0], 2), "ms": round(v[1] * 1e3, 3),
+                       "batch": v[2]} for n, v in results.items()}
+    try:
+        shape3 = (256, 256, 256) if device.platform != "cpu" else (64, 64, 64)
+        gbs3, dt3 = bench_3d(shape3)
+        detail["3d_" + "x".join(map(str, shape3))] = {
+            "GBs": round(gbs3, 2), "ms": round(dt3 * 1e3, 3)}
+    except Exception as e:  # 3D bench is best-effort
+        detail["3d_error"] = repr(e)[:120]
+
     mean_gbs = float(np.mean([v[0] for v in results.values()]))
     out = {
         "metric": "batched 1D C2C fp32 FFT effective bandwidth (fwd+inv, mean over N=256/1024/4096)",
         "value": round(mean_gbs, 2),
         "unit": "GB/s",
         "vs_baseline": round(mean_gbs / roof, 4),
-        "detail": {str(n): {"GBs": round(v[0], 2), "ms": round(v[1] * 1e3, 3),
-                            "batch": v[2]} for n, v in results.items()},
+        "detail": detail,
         "device": str(getattr(device, "device_kind", device.platform)),
         "roofline_GBs": roof,
     }
