@@ -30,7 +30,7 @@ def test_load_rejects_garbage():
 
 
 def test_describe_and_memory_layout():
-    cfg = vt.FFTConfig(shape=(97, 1024))
+    cfg = vt.FFTConfig(shape=(131, 1024))
     app = vt.FFTApplication(cfg, engine="jnp")
     text = debug.describe(app)
     assert "rader" in text

@@ -51,7 +51,7 @@ def test_pow2_prefers_radix_16():
 
 def test_direct_prime_stages():
     # primes <= MAX_DIRECT_PRIME run as one direct DFT stage
-    for p in (17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61):
+    for p in (17, 31, 61, 67, 97, 101, 113, 127):
         d = decompose(p)
         assert d.algorithm is Algorithm.DIRECT
         assert d.radices == (p,)
@@ -59,9 +59,11 @@ def test_direct_prime_stages():
 
 def test_rader_selection():
     # prime > direct limit with smooth p-1 -> Rader over p-1
-    d = decompose(97)  # 96 = 2^5*3
+    d = decompose(131)  # 130 = 2*5*13
     assert d.algorithm is Algorithm.RADER
-    assert int(np.prod(d.radices)) == 96
+    assert int(np.prod(d.radices)) == 130
+    d2 = decompose(1009)  # 1008 = 2^4*3^2*7
+    assert d2.algorithm is Algorithm.RADER
 
 
 def test_bluestein_selection():
@@ -95,7 +97,8 @@ def test_build_stages_invariants():
 
 def test_plan_axis_core_n():
     assert plan_axis(128).core_n == 128
-    p97 = plan_axis(97)
-    assert p97.core_n == 96
+    assert plan_axis(97).core_n == 97   # direct prime stage
+    p131 = plan_axis(131)
+    assert p131.core_n == 130           # Rader convolution length
     pb = plan_axis(10006)
     assert pb.core_n == pb.decomp.bluestein_size

@@ -29,9 +29,10 @@ import math
 from typing import Optional
 
 # Largest prime factor executed as a direct DFT-matrix stage.  On the MXU a
-# direct length-p DFT costs p MACs/point; p<=61 keeps sum(radices) small enough
-# to stay bandwidth-bound (roofline crossover is ~80-100 MACs/point on v5e).
-MAX_DIRECT_PRIME = 61
+# direct length-p DFT costs p MACs/point; the Pallas lane-major kernels take
+# any factor up to one lane tile (128), so primes through 127 are cheaper
+# direct than via Rader's two p-1 convolution FFTs.
+MAX_DIRECT_PRIME = 127
 
 # Largest composite radix we group small primes into.  16 is the sweet spot:
 # the (r x r) DFT matrix occupies 2 sublane tiles and the stage count stays
