@@ -150,9 +150,13 @@ class FFTApplication:
                 total = 1
                 for ax in cfg.axes:
                     total *= cfg.shape[ax]
-                scale = np.asarray(1.0 / total,
-                                   dtype=np.float32 if planar else x.dtype)
-                x = x * scale
+                if planar:
+                    # scale in the planes' precision (min fp32 so narrow
+                    # storage modes don't round the normalization constant)
+                    sdt = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
+                else:
+                    sdt = x.dtype
+                x = x * np.asarray(1.0 / total, dtype=sdt)
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         else:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)
