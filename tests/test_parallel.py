@@ -99,3 +99,30 @@ def test_divisibility_validation():
     mesh = fft_mesh()
     with pytest.raises(vt.FFTError):
         DistributedFFT((12, 16), mesh, engine="jnp")  # 12 % 8 != 0
+
+
+def test_slab_planar():
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    mesh = fft_mesh()
+    shape = (16, 16, 8)
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    app = DistributedFFT(shape, mesh, engine="jnp")
+    p = app.shard_input(from_complex(x))
+    y = app.forward(p)
+    got = to_numpy(y)
+    assert rel_err(got, np.fft.fftn(x.astype(np.complex128))) < 1e-4
+    z = to_numpy(app.inverse(y))
+    assert rel_err(z, x) < 1e-4
+
+
+def test_pencil_planar():
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    mesh = fft_mesh((4, 2), ("px", "py"))
+    shape = (8, 8, 16)
+    rng = np.random.default_rng(10)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    app = DistributedFFT(shape, mesh, engine="jnp")
+    p = app.shard_input(from_complex(x))
+    z = to_numpy(app.inverse(app.forward(p)))
+    assert rel_err(z, x) < 1e-4

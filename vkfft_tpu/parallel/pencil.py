@@ -35,7 +35,20 @@ except AttributeError:  # pragma: no cover
 
 from vkfft_tpu import api
 from vkfft_tpu.errors import InvalidConfigError
+from vkfft_tpu.pcomplex import Planar
 from vkfft_tpu.planner.plan import AxisPlan, plan_axis
+
+
+def _a2a(x, name, split_axis, concat_axis):
+    """all_to_all over arrays or Planar plane pairs."""
+    if isinstance(x, Planar):
+        return Planar(
+            jax.lax.all_to_all(x.re, name, split_axis=split_axis,
+                               concat_axis=concat_axis, tiled=True),
+            jax.lax.all_to_all(x.im, name, split_axis=split_axis,
+                               concat_axis=concat_axis, tiled=True))
+    return jax.lax.all_to_all(x, name, split_axis=split_axis,
+                              concat_axis=concat_axis, tiled=True)
 
 
 def _eng(engine: Optional[str]):
@@ -117,6 +130,8 @@ class DistributedFFT:
 
     def _local_fft(self, x, axis, inverse):
         eng = _eng(self.engine)
+        if isinstance(x, Planar):
+            return eng.fft_axis_p(x, axis, self.plans[axis], inverse)
         return eng.fft_axis(x, axis, self.plans[axis], inverse)
 
     def _build(self, inverse: bool):
@@ -128,18 +143,18 @@ class DistributedFFT:
             # transform axis 0
             for ax in range(1, ndim):
                 x = self._local_fft(x, ax, inverse)
-            x = jax.lax.all_to_all(x, names[0], split_axis=1, concat_axis=0, tiled=True)
+            x = _a2a(x, names[0], 1, 0)
             x = self._local_fft(x, 0, inverse)
             if self.transpose_back:
-                x = jax.lax.all_to_all(x, names[0], split_axis=0, concat_axis=1, tiled=True)
+                x = _a2a(x, names[0], 0, 1)
             return x
 
         def inv_slab(x):
             # exact reverse of fwd_slab's dataflow
             if self.transpose_back:
-                x = jax.lax.all_to_all(x, names[0], split_axis=1, concat_axis=0, tiled=True)
+                x = _a2a(x, names[0], 1, 0)
             x = self._local_fft(x, 0, inverse)
-            x = jax.lax.all_to_all(x, names[0], split_axis=0, concat_axis=1, tiled=True)
+            x = _a2a(x, names[0], 0, 1)
             for ax in range(ndim - 1, 0, -1):
                 x = self._local_fft(x, ax, inverse)
             return x
@@ -147,23 +162,23 @@ class DistributedFFT:
         def fwd_pencil(x):
             # x local: (X/P1, Y/P2, Z)
             x = self._local_fft(x, 2, inverse)
-            x = jax.lax.all_to_all(x, names[1], split_axis=2, concat_axis=1, tiled=True)
+            x = _a2a(x, names[1], 2, 1)
             x = self._local_fft(x, 1, inverse)
-            x = jax.lax.all_to_all(x, names[0], split_axis=1, concat_axis=0, tiled=True)
+            x = _a2a(x, names[0], 1, 0)
             x = self._local_fft(x, 0, inverse)
             if self.transpose_back:
-                x = jax.lax.all_to_all(x, names[0], split_axis=0, concat_axis=1, tiled=True)
-                x = jax.lax.all_to_all(x, names[1], split_axis=1, concat_axis=2, tiled=True)
+                x = _a2a(x, names[0], 0, 1)
+                x = _a2a(x, names[1], 1, 2)
             return x
 
         def inv_pencil(x):
             if self.transpose_back:
-                x = jax.lax.all_to_all(x, names[1], split_axis=2, concat_axis=1, tiled=True)
-                x = jax.lax.all_to_all(x, names[0], split_axis=1, concat_axis=0, tiled=True)
+                x = _a2a(x, names[1], 2, 1)
+                x = _a2a(x, names[0], 1, 0)
             x = self._local_fft(x, 0, inverse)
-            x = jax.lax.all_to_all(x, names[0], split_axis=0, concat_axis=1, tiled=True)
+            x = _a2a(x, names[0], 0, 1)
             x = self._local_fft(x, 1, inverse)
-            x = jax.lax.all_to_all(x, names[1], split_axis=1, concat_axis=2, tiled=True)
+            x = _a2a(x, names[1], 1, 2)
             x = self._local_fft(x, 2, inverse)
             return x
 
@@ -176,7 +191,10 @@ class DistributedFFT:
             y = body(x)
             if inverse and self.normalize:
                 total = int(np.prod(self.shape))
-                y = y * y.dtype.type(1.0 / total)
+                if isinstance(y, Planar):
+                    y = y * np.asarray(1.0 / total, dtype=y.dtype)
+                else:
+                    y = y * y.dtype.type(1.0 / total)
             return y
 
         in_spec = self.output_spec() if inverse else self.input_spec()
@@ -192,8 +210,12 @@ class DistributedFFT:
         return self._inv(x)
 
     def shard_input(self, x):
-        """Place a host array on the mesh with the expected input sharding."""
-        return jax.device_put(x, NamedSharding(self.mesh, self.input_spec()))
+        """Place a host array (or Planar pair) on the mesh with the expected
+        input sharding."""
+        sh = NamedSharding(self.mesh, self.input_spec())
+        if isinstance(x, Planar):
+            return Planar(jax.device_put(x.re, sh), jax.device_put(x.im, sh))
+        return jax.device_put(x, sh)
 
 
 # -- functional facade ------------------------------------------------------
