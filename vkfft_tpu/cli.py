@@ -62,23 +62,32 @@ def _rand_complex(shape, seed=0, dtype=np.complex64):
 
 def _time_fwd_inv(app, x, iters=20, warmup=2):
     """Reference ``performVulkanFFTiFFT`` analog (utils_VkFFT.cpp:868):
-    time iters x (forward + inverse)."""
-    import jax
+    time a chained z = inv(fwd(z)) loop with a value fetch at the end and a
+    two-point fit — tunneled TPU runtimes neither wait in block_until_ready
+    nor re-execute cached identical dispatches, so naive loops measure RPC
+    overhead instead of device time."""
+    import numpy as _np
     from vkfft_tpu import api
-    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    from vkfft_tpu.pcomplex import from_complex, Planar
 
     planar = not api.complex_supported()
-    xd = from_complex(x) if planar else jax.numpy.asarray(x)
-    y = app.inverse(app.forward(xd))
-    jax.block_until_ready(jax.tree_util.tree_leaves(y))
-    for _ in range(warmup):
-        y = app.inverse(app.forward(xd))
-    jax.block_until_ready(jax.tree_util.tree_leaves(y))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        y = app.inverse(app.forward(xd))
-    jax.block_until_ready(jax.tree_util.tree_leaves(y))
-    return (time.perf_counter() - t0) / iters
+    xd = from_complex(x) if planar else __import__("jax").numpy.asarray(x)
+
+    def force(v):
+        leaf = v.re if isinstance(v, Planar) else v
+        return float(_np.asarray(leaf).reshape(-1)[0].real)
+
+    def run(n):
+        t0 = time.perf_counter()
+        z = xd
+        for _ in range(n):
+            z = app.inverse(app.forward(z))
+        force(z)
+        return time.perf_counter() - t0
+
+    force(app.inverse(app.forward(xd)))  # warm compile
+    lo = max(2, iters // 4)
+    return (run(iters) - run(lo)) / (iters - lo)
 
 
 def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
