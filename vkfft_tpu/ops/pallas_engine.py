@@ -539,8 +539,24 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
     pad = (-batch) % tb
     padded = batch + pad
 
-    kernel = functools.partial(_fft_kernel_v2, n1, n2, tb, inverse, dtype)
-    spec = pl.BlockSpec((tb, n2, n1), lambda b: (b, 0, 0),
+    # Mosaic miscompiles batched (>=3D) dot_generals whose lane dimension is
+    # under one full 128-lane tile (verified on v5e: internal compiler crash
+    # for n1 in 8..127).  Pad the lane digit to 128: zero lanes flow through
+    # the sublane matmul, the lane matmul uses a block-embedded (2*128)^2
+    # matrix, and the caller slices the valid lanes back out.
+    lane = 128 if (n1 < 128 and not interpret) else n1
+    if lane != n1:
+        m_pad = np.zeros((2 * lane, 2 * lane), dtype=np.float32)
+        m_pad[:n1, :n1] = mlane[:n1, :n1]
+        m_pad[:n1, lane:lane + n1] = mlane[:n1, n1:]
+        m_pad[lane:lane + n1, :n1] = mlane[n1:, :n1]
+        m_pad[lane:lane + n1, lane:lane + n1] = mlane[n1:, n1:]
+        mlane = m_pad
+        twr = np.pad(twr, ((0, 0), (0, lane - n1)))
+        twi = np.pad(twi, ((0, 0), (0, lane - n1)))
+
+    kernel = functools.partial(_fft_kernel_v2, lane, n2, tb, inverse, dtype)
+    spec = pl.BlockSpec((tb, n2, lane), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
@@ -551,19 +567,23 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
         in_specs=[spec, spec, const(rsub.shape), const(mlane.shape),
                   const(twr.shape), const(twi.shape)],
         out_specs=[spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((padded, n2, n1), dtype),
-                   jax.ShapeDtypeStruct((padded, n2, n1), dtype)],
+        out_shape=[jax.ShapeDtypeStruct((padded, n2, lane), dtype),
+                   jax.ShapeDtypeStruct((padded, n2, lane), dtype)],
         interpret=interpret,
     )
 
     def run(xr, xi):
         xr = xr.reshape(batch, n2, n1)
         xi = xi.reshape(batch, n2, n1)
-        if pad:
-            xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
-            xi = jnp.pad(xi, ((0, pad), (0, 0), (0, 0)))
+        pads = ((0, pad), (0, 0), (0, lane - n1))
+        if pad or lane != n1:
+            xr = jnp.pad(xr, pads)
+            xi = jnp.pad(xi, pads)
         orr, oi = call(xr, xi, jnp.asarray(rsub), jnp.asarray(mlane),
                        jnp.asarray(twr), jnp.asarray(twi))
+        if lane != n1:
+            orr = orr[..., :n1]
+            oi = oi[..., :n1]
         return (orr[:batch].reshape(batch, n), oi[:batch].reshape(batch, n))
 
     return run
