@@ -202,3 +202,19 @@ def test_long_swapped_roundtrip():
     zr, zi = pallas_engine.fft_long_planar(yr, yi, n, True, order="swapped")
     back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
     assert rel_err(back, x) < 2e-5
+
+
+def test_conv_fused_kernel():
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    n = 256
+    rng = np.random.default_rng(4)
+    x = (rng.standard_normal((6, n)) + 1j * rng.standard_normal((6, n))).astype(np.complex64)
+    h = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    table = np.fft.fft(h)
+    p = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+               jnp.asarray(np.ascontiguousarray(x.imag)))
+    out = pallas_engine.conv_fused_planar(p, n, table, normalize=True)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    ref = np.fft.ifft(np.fft.fft(x.astype(np.complex128)) * table)
+    assert rel_err(got, ref) < 5e-6

@@ -812,3 +812,125 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
     ti = br * twi[None] + bi * twr[None]
     orr, oi = strided_fft_planar(tr, ti, nc, True)
     return orr.reshape(B, n), oi.reshape(B, n)
+
+
+# ---------------------------------------------------------------------------
+# Fused convolution kernel: pointwise spectrum multiply folded into the
+# inverse transform (the reference's signature fusion — convolution executed
+# inside the last-axis kernel with an inline inverse FFT,
+# ``vkFFT_FFT.h:241-351`` / ``appendKernelConvolution``).  Consumes
+# swapped-order spectra, multiplies by a swapped-order table, emits natural
+# order: a full circular convolution is two kernels / two HBM round trips.
+# ---------------------------------------------------------------------------
+
+
+def _conv_inv_kernel(n1, n2, tb, out_dtype,
+                     xr_ref, xi_ref, cr_ref, ci_ref,
+                     rsub_ref, mlane_ref, twr_ref, twi_ref, or_ref, oi_ref):
+    cr = cr_ref[:]
+    ci = ci_ref[:]
+    xr0 = xr_ref[:].astype(jnp.float32)
+    xi0 = xi_ref[:].astype(jnp.float32)
+    xr = xr0 * cr[None] - xi0 * ci[None]
+    xi = xr0 * ci[None] + xi0 * cr[None]
+    # inverse v2 flow (lane matmul -> conj twiddle -> sublane matmul)
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    if n1 > 1:
+        z2 = jnp.concatenate([xr, xi], axis=2)
+        y2 = jax.lax.dot_general(z2, mlane_ref[:], (((2,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_PRECISION)
+        ar, ai = y2[..., :n1], y2[..., n1:]
+    else:
+        ar, ai = xr, xi
+    tr = ar * twr[None] - ai * twi[None]
+    ti = ar * twi[None] + ai * twr[None]
+    if n2 > 1:
+        z = jnp.concatenate([tr, ti], axis=1)
+        y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_PRECISION)
+        outr = jnp.swapaxes(y[:n2], 0, 1)
+        outi = jnp.swapaxes(y[n2:], 0, 1)
+    else:
+        outr, outi = tr, ti
+    or_ref[:] = outr.astype(out_dtype)
+    oi_ref[:] = outi.astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_conv_inv_call(n: int, batch: int, interpret: bool,
+                         dtype_name: str = "float32"):
+    dtype = jnp.dtype(dtype_name)
+    n1, n2 = split_lane_major(n)
+    rsub, mlane, twr, twi = _v2_tables(n, True)
+    tb = _v2_lines_per_block(n)
+    pad = (-batch) % tb
+    padded = batch + pad
+    lane = 128 if (n1 < 128 and not interpret) else n1
+    if lane != n1:
+        m_pad = np.zeros((2 * lane, 2 * lane), dtype=np.float32)
+        m_pad[:n1, :n1] = mlane[:n1, :n1]
+        m_pad[:n1, lane:lane + n1] = mlane[:n1, n1:]
+        m_pad[lane:lane + n1, :n1] = mlane[n1:, :n1]
+        m_pad[lane:lane + n1, lane:lane + n1] = mlane[n1:, n1:]
+        mlane = m_pad
+        twr = np.pad(twr, ((0, 0), (0, lane - n1)))
+        twi = np.pad(twi, ((0, 0), (0, lane - n1)))
+
+    kernel = functools.partial(_conv_inv_kernel, lane, n2, tb, dtype)
+    spec = pl.BlockSpec((tb, n2, lane), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
+                                       memory_space=pltpu.VMEM)
+    call = pl.pallas_call(
+        kernel,
+        grid=(padded // tb,),
+        in_specs=[spec, spec, const((n2, lane)), const((n2, lane)),
+                  const(rsub.shape), const(mlane.shape),
+                  const(twr.shape), const(twi.shape)],
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((padded, n2, lane), dtype)] * 2,
+        interpret=interpret,
+    )
+
+    def run(xr, xi, cr, ci):
+        # x arrives in swapped (B, n2, lane) layout from the forward kernel
+        if pad:
+            xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad), (0, 0), (0, 0)))
+        orr, oi = call(xr, xi, cr, ci, jnp.asarray(rsub), jnp.asarray(mlane),
+                       jnp.asarray(twr), jnp.asarray(twi))
+        if lane != n1:
+            orr = orr[..., :n1]
+            oi = oi[..., :n1]
+        return (orr[:batch].reshape(batch, n), oi[:batch].reshape(batch, n))
+
+    return run, lane, n1, n2, tb
+
+
+def conv_fused_planar(x: Planar, n: int, table: np.ndarray,
+                      normalize: bool = True) -> Planar:
+    """Circular convolution of (B, n) planar lines with a fixed kernel whose
+    *natural-order* spectrum is ``table`` — two fused kernels total (forward
+    swapped, multiply+inverse), no intermediate spectrum round trip."""
+    n1, n2 = split_lane_major(n)
+    B = x.shape[0]
+    run, lane, _, _, _ = _build_conv_inv_call(n, B, _INTERPRET, str(x.dtype))
+    # forward in swapped order, raw (B, n2, lane-padded?) — rebuild the v2
+    # forward's padded layout
+    fr, fi = core_fft_planar_v2(x.re, x.im, n, False, order="swapped")
+    fr = fr.reshape(B, n2, n1)
+    fi = fi.reshape(B, n2, n1)
+    if lane != n1:
+        fr = jnp.pad(fr, ((0, 0), (0, 0), (0, lane - n1)))
+        fi = jnp.pad(fi, ((0, 0), (0, 0), (0, lane - n1)))
+    tab_sw = np.ascontiguousarray(table.reshape(n1, n2).T)        # (n2, n1)
+    if lane != n1:
+        tab_sw = np.pad(tab_sw, ((0, 0), (0, lane - n1)))
+    scale = (1.0 / n) if normalize else 1.0
+    cr = jnp.asarray((np.real(tab_sw) * scale).astype(np.float32))
+    ci = jnp.asarray((np.imag(tab_sw) * scale).astype(np.float32))
+    orr, oi = run(fr, fi, cr, ci)
+    return Planar(orr, oi)

@@ -107,7 +107,36 @@ class ConvolutionApplication:
             self.kernel_f = kp
         else:
             self.kernel_f = api.fftn(kp, axes=tuple(range(-ndim, 0)), engine=engine)
+        self._fused_table = self._try_fused_table()
         self._call = jax.jit(self._convolve)
+
+    def _try_fused_table(self):
+        """Precompute the host spectrum table for the fused 1-D scalar path
+        (multiply folded into the inverse kernel — the reference's in-kernel
+        convolution fusion, ``vkFFT_FFT.h:241-351``)."""
+        cfg = self.config
+        if (len(cfg.shape) != 1 or cfg.matrix_convolution != 1
+                or cfg.number_kernels != 1 or cfg.coordinate_features != 1
+                or cfg.cross_power_spectrum_normalization
+                or self.kernel_f.ndim != 1):
+            return None
+        try:
+            from vkfft_tpu.ops import pallas_engine as pe
+            from vkfft_tpu.planner.plan import plan_axis
+            n = cfg.shape[0]
+            plan = plan_axis(n)
+            from vkfft_tpu.planner.factorize import Algorithm
+            if plan.algorithm is not Algorithm.DIRECT or not pe._use_v2(n):
+                return None
+            if (self.engine or api.default_engine()) != "pallas":
+                return None
+            tab = (np.asarray(self.kernel_f.re, np.float64)
+                   + 1j * np.asarray(self.kernel_f.im, np.float64))
+            if cfg.conjugate_convolution == 1:
+                tab = np.conj(tab)
+            return tab
+        except Exception:
+            return None
 
     def _convolve(self, x: Planar) -> Planar:
         cfg = self.config
@@ -115,6 +144,15 @@ class ConvolutionApplication:
         m = cfg.matrix_convolution
         multi = cfg.number_kernels > 1
         axes = tuple(range(-ndim, 0))
+
+        if (self._fused_table is not None and isinstance(x, Planar)
+                and cfg.conjugate_convolution != 2):
+            from vkfft_tpu.ops import pallas_engine as pe
+            n = cfg.shape[0]
+            lead = x.shape[:-1]
+            flat = x.reshape(-1, n)
+            out = pe.conv_fused_planar(flat, n, self._fused_table, normalize=True)
+            return out.reshape(*lead, n)
 
         X = api.fftn(x, axes=axes, engine=self.engine)
         Kf = self.kernel_f
