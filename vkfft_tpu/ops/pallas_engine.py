@@ -523,10 +523,11 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
 
 
 def _v2_lines_per_block(n: int) -> int:
-    # ~2MB of planar data per block: big enough to amortize grid dispatch,
-    # small enough for in+out+temps to sit comfortably in VMEM
+    # ~512KB of planar data per block (TB sweep on v5e: 64 lines at n=1024
+    # beat 128/256; >=256-line blocks can exceed VMEM and crash the remote
+    # compiler)
     bytes_per_line = 2 * n * 4
-    return int(min(256, max(1, (2 * 1024 * 1024) // bytes_per_line)))
+    return int(min(128, max(1, (512 * 1024) // bytes_per_line)))
 
 
 @functools.lru_cache(maxsize=512)
