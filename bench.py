@@ -130,7 +130,12 @@ def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
 
 def main():
     import jax
+    from vkfft_tpu import cache
 
+    try:  # persistent executable cache: later rounds skip recompiles
+        cache.enable_persistent_cache()
+    except Exception:
+        pass
     device = jax.devices()[0]
     roof = _roofline(device)
     # size sweep batched to ~128 MB planar data per system (reference pattern:
