@@ -462,7 +462,7 @@ def _v2_tables(n: int, inverse: bool):
     )
 
 
-def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
+def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
                    xr_ref, xi_ref, rsub_ref, mlane_ref, twr_ref, twi_ref,
                    or_ref, oi_ref):
     """Batched formulation: one dot_general per step for the whole block
@@ -477,7 +477,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
             z = jnp.concatenate([xr, xi], axis=1)        # (TB, 2N2, N1)
             y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
-                                    precision=_PRECISION)  # (2N2, TB, N1)
+                                    precision=prec)  # (2N2, TB, N1)
             ar, ai = y[:n2], y[n2:]
         else:
             ar = jnp.swapaxes(xr, 0, 1)                  # (1, TB, N1)
@@ -490,7 +490,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
             z2 = jnp.concatenate([tr, ti], axis=2)       # (N2, TB, 2N1)
             y2 = jax.lax.dot_general(z2, mlane_ref[:], (((2,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
-                                     precision=_PRECISION)  # (N2, TB, 2N1)
+                                     precision=prec)  # (N2, TB, 2N1)
             outr, outi = y2[..., :n1], y2[..., n1:]
         else:
             outr, outi = tr, ti
@@ -501,7 +501,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
             z2 = jnp.concatenate([xr, xi], axis=2)       # (TB, N2, 2N1)
             y2 = jax.lax.dot_general(z2, mlane_ref[:], (((2,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32,
-                                     precision=_PRECISION)  # (TB, N2, 2N1)
+                                     precision=prec)  # (TB, N2, 2N1)
             ar, ai = y2[..., :n1], y2[..., n1:]
         else:
             ar, ai = xr, xi
@@ -513,7 +513,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype,
             z = jnp.concatenate([tr, ti], axis=1)        # (TB, 2N2, N1)
             y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
-                                    precision=_PRECISION)  # (2N2, TB, N1)
+                                    precision=prec)  # (2N2, TB, N1)
             outr = jnp.swapaxes(y[:n2], 0, 1)
             outi = jnp.swapaxes(y[n2:], 0, 1)
         else:
@@ -556,7 +556,8 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
         twr = np.pad(twr, ((0, 0), (0, lane - n1)))
         twi = np.pad(twi, ((0, 0), (0, lane - n1)))
 
-    kernel = functools.partial(_fft_kernel_v2, lane, n2, tb, inverse, dtype)
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_fft_kernel_v2, lane, n2, tb, inverse, dtype, prec)
     spec = pl.BlockSpec((tb, n2, lane), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
