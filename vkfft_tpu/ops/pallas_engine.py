@@ -656,7 +656,7 @@ def _strided_tables(n: int, inverse: bool):
             np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32))
 
 
-def _strided_kernel(n1, n2, tile_s, out_dtype,
+def _strided_kernel(n1, n2, tile_s, out_dtype, prec,
                     xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
                     or_ref, oi_ref):
     xr = xr_ref[0].astype(jnp.float32)        # (N2, N1, S)
@@ -665,7 +665,7 @@ def _strided_kernel(n1, n2, tile_s, out_dtype,
         z = jnp.concatenate([xr, xi], axis=0)              # (2N2, N1, S)
         y = jax.lax.dot_general(r2_ref[:], z, (((1,), (0,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=_PRECISION)       # (2N2, N1, S)
+                                precision=prec)             # (2N2, N1, S)
         ar, ai = y[:n2], y[n2:]
     else:
         ar, ai = xr, xi
@@ -677,7 +677,7 @@ def _strided_kernel(n1, n2, tile_s, out_dtype,
         z2 = jnp.concatenate([tr, ti], axis=1)             # (N2, 2N1, S)
         y2 = jax.lax.dot_general(r1_ref[:], z2, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=_PRECISION)      # (2N1, N2, S)
+                                 precision=prec)            # (2N1, N2, S)
         outr, outi = y2[:n1], y2[n1:]                      # (N1, N2, S) = (k1, k2, S)
     else:
         outr = jnp.swapaxes(tr, 0, 1)
@@ -697,7 +697,8 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     pad_s = (-s) % tile_s
     s_pad = s + pad_s
 
-    kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype)
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype, prec)
     spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
                            memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
@@ -826,7 +827,7 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
 # ---------------------------------------------------------------------------
 
 
-def _conv_inv_kernel(n1, n2, tb, out_dtype,
+def _conv_inv_kernel(n1, n2, tb, out_dtype, prec,
                      xr_ref, xi_ref, cr_ref, ci_ref,
                      rsub_ref, mlane_ref, twr_ref, twi_ref, or_ref, oi_ref):
     cr = cr_ref[:]
@@ -842,7 +843,7 @@ def _conv_inv_kernel(n1, n2, tb, out_dtype,
         z2 = jnp.concatenate([xr, xi], axis=2)
         y2 = jax.lax.dot_general(z2, mlane_ref[:], (((2,), (0,)), ((), ())),
                                  preferred_element_type=jnp.float32,
-                                 precision=_PRECISION)
+                                 precision=prec)
         ar, ai = y2[..., :n1], y2[..., n1:]
     else:
         ar, ai = xr, xi
@@ -852,7 +853,7 @@ def _conv_inv_kernel(n1, n2, tb, out_dtype,
         z = jnp.concatenate([tr, ti], axis=1)
         y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32,
-                                precision=_PRECISION)
+                                precision=prec)
         outr = jnp.swapaxes(y[:n2], 0, 1)
         outi = jnp.swapaxes(y[n2:], 0, 1)
     else:
@@ -881,7 +882,8 @@ def _build_conv_inv_call(n: int, batch: int, interpret: bool,
         twr = np.pad(twr, ((0, 0), (0, lane - n1)))
         twi = np.pad(twi, ((0, 0), (0, lane - n1)))
 
-    kernel = functools.partial(_conv_inv_kernel, lane, n2, tb, dtype)
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    kernel = functools.partial(_conv_inv_kernel, lane, n2, tb, dtype, prec)
     spec = pl.BlockSpec((tb, n2, lane), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
