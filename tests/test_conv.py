@@ -104,3 +104,21 @@ def test_2d_convolution():
     y = np.asarray(app(x))
     ref = np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(h))
     assert rel_err(y, ref) < 1e-11
+
+
+def test_zeropadded_linear_convolution():
+    # linear convolution via circular transform with declared-zero tails
+    # (reference README.md:15-16: zero padding makes circular conv linear)
+    n = 64
+    sig_len, ker_len = 24, 16
+    rng = np.random.default_rng(11)
+    x = np.zeros(n)
+    x[:sig_len] = rng.standard_normal(sig_len)
+    h = np.zeros(n)
+    h[:ker_len] = rng.standard_normal(ker_len)
+    cfg = FFTConfig(shape=(n,), convolution=True,
+                    zeropad_input=((sig_len, n),))
+    app = vt.ConvolutionApplication(cfg, h + 0j, engine="jnp")
+    y = np.asarray(app(x + 0j))
+    ref = np.convolve(x[:sig_len], h[:ker_len])  # linear conv, len 39 < 64
+    assert np.abs(y[: sig_len + ker_len - 1] - ref).max() < 1e-10

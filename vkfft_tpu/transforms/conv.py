@@ -145,8 +145,15 @@ class ConvolutionApplication:
         multi = cfg.number_kernels > 1
         axes = tuple(range(-ndim, 0))
 
+        if cfg.zeropad_input is not None:
+            # declared-zero window elision before the forward pass (linear
+            # convolution via zero padding, reference README.md:15-16)
+            helper = api.get_application(FFTConfig(shape=cfg.shape), self.engine)
+            x = helper._apply_zeropad(x, cfg.zeropad_input, ndim)
+
         if (self._fused_table is not None and isinstance(x, Planar)
-                and cfg.conjugate_convolution != 2):
+                and cfg.conjugate_convolution != 2
+                and cfg.zeropad_output is None):
             from vkfft_tpu.ops import pallas_engine as pe
             n = cfg.shape[0]
             lead = x.shape[:-1]
@@ -180,7 +187,11 @@ class ConvolutionApplication:
             eps = np.asarray(1e-30, dtype=mag.dtype)
             inv = 1.0 / jnp.maximum(mag, eps)
             Y = Planar(Y.re * inv, Y.im * inv)
-        return api.ifftn(Y, axes=axes, engine=self.engine)
+        out = api.ifftn(Y, axes=axes, engine=self.engine)
+        if cfg.zeropad_output is not None:
+            helper = api.get_application(FFTConfig(shape=cfg.shape), self.engine)
+            out = helper._apply_zeropad(out, cfg.zeropad_output, ndim)
+        return out
 
     def __call__(self, x):
         complex_out = not isinstance(x, Planar) and api.complex_supported()
