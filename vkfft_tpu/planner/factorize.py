@@ -39,9 +39,8 @@ MAX_DIRECT_PRIME = 127
 # logarithmic.
 MAX_GROUP_RADIX = 16
 
-# Absolute ceiling for a single stage radix (used when a prime <= 61 forces a
-# bigger stage, or when the caller asks for fewer stages).
-MAX_STAGE_RADIX = 64
+# Absolute ceiling for a single stage radix (one MXU lane tile).
+MAX_STAGE_RADIX = 128
 
 
 def prime_factors(n: int) -> list[int]:
