@@ -122,6 +122,11 @@ def _precision_report(ctx, name, got, ref):
     return eps.max()
 
 
+def _to_host(y):
+    from vkfft_tpu.pcomplex import Planar, to_numpy
+    return to_numpy(y) if isinstance(y, Planar) else np.asarray(y)
+
+
 def _run_fft_host(x, engine, axes=None, inverse=False):
     import vkfft_tpu as vt
     from vkfft_tpu import api
@@ -298,7 +303,7 @@ def sample_50(ctx):
     cfg = vt.FFTConfig(shape=(n,), convolution=True, matrix_convolution=3,
                        coordinate_features=3)
     app = vt.ConvolutionApplication(cfg, kern, engine=ctx.engine)
-    y = np.asarray(app(x))
+    y = _to_host(app(x))
     err = np.abs(y - x).max()
     ctx.log(f"  identity 3x3 matrix conv max err: {err:.3e} "
             f"({'PASS' if err < 1e-4 else 'FAIL'})")
@@ -312,7 +317,7 @@ def sample_52(ctx):
     h = _rand_complex(shape, seed=7)
     cfg = vt.FFTConfig(shape=shape, convolution=True)
     app = vt.ConvolutionApplication(cfg, h, engine=ctx.engine)
-    y = np.asarray(app(x))
+    y = _to_host(app(x))
     ref = np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(h))
     err = np.abs(y - ref).max() / np.abs(ref).max()
     ctx.log(f"  2D conv rel err: {err:.3e} ({'PASS' if err < 1e-4 else 'FAIL'})")
