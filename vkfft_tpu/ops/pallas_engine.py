@@ -656,11 +656,24 @@ def _strided_tables(n: int, inverse: bool):
             np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32))
 
 
-def _strided_kernel(n1, n2, tile_s, out_dtype, prec,
-                    xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
-                    or_ref, oi_ref):
+def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused,
+                    *refs):
+    """Optional fused inter-pass twiddles for the long-sequence four-step:
+    'pre' multiplies the input block, 'post' the output block, by a
+    (n, S)-shaped table sliced per grid cell (reference LUT_4step fused
+    instead of a separate elementwise pass)."""
+    if fused:
+        (xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
+         fr_ref, fi_ref, or_ref, oi_ref) = refs
+    else:
+        (xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
+         or_ref, oi_ref) = refs
     xr = xr_ref[0].astype(jnp.float32)        # (N2, N1, S)
     xi = xi_ref[0].astype(jnp.float32)
+    if fused == "pre":
+        fr = fr_ref[0]
+        fi = fi_ref[0]
+        xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
     if n2 > 1:
         z = jnp.concatenate([xr, xi], axis=0)              # (2N2, N1, S)
         y = jax.lax.dot_general(r2_ref[:], z, (((1,), (0,)), ((), ())),
@@ -682,14 +695,20 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec,
     else:
         outr = jnp.swapaxes(tr, 0, 1)
         outi = jnp.swapaxes(ti, 0, 1)
+    if fused == "post":
+        fr = fr_ref[0]
+        fi = fi_ref[0]
+        outr, outi = outr * fr - outi * fi, outr * fi + outi * fr
     or_ref[0] = outr.astype(out_dtype)
     oi_ref[0] = outi.astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=512)
 def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
-                        dtype_name: str = "float32"):
-    """(P, n, S) planar transform over the middle axis, natural order."""
+                        dtype_name: str = "float32", fused: str = ""):
+    """(P, n, S) planar transform over the middle axis, natural order.
+    ``fused`` = 'pre'/'post' adds a fused (n, S) twiddle multiply before/after
+    the transform (long-sequence inter-pass twiddle)."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     r2, r1, twr, twi = _strided_tables(n, inverse)
@@ -698,32 +717,47 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     s_pad = s + pad_s
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype, prec)
+    kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype, prec,
+                               fused)
     spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
                            memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
                             memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    in_specs = [spec_in, spec_in, const(r2.shape), const(r1.shape),
+                const(twr.shape), const(twi.shape)]
+    if fused:
+        # fused twiddle table: same block layout as the corresponding data
+        # side but a single (1, ...) leading slot shared by every line
+        f_shape = (1, n2, n1, tile_s) if fused == "pre" else (1, n1, n2, tile_s)
+        f_spec = pl.BlockSpec(f_shape, lambda b, t: (0, 0, 0, t),
+                              memory_space=pltpu.VMEM)
+        in_specs += [f_spec, f_spec]
     call = pl.pallas_call(
         kernel,
         grid=(p, s_pad // tile_s),
-        in_specs=[spec_in, spec_in, const(r2.shape), const(r1.shape),
-                  const(twr.shape), const(twi.shape)],
+        in_specs=in_specs,
         out_specs=[spec_out, spec_out],
         out_shape=[jax.ShapeDtypeStruct((p, n1, n2, s_pad), dtype)] * 2,
         interpret=interpret,
     )
 
-    def run(xr, xi):
+    def run(xr, xi, fr=None, fi=None):
         xr = xr.reshape(p, n2, n1, s)
         xi = xi.reshape(p, n2, n1, s)
         if pad_s:
             pads = ((0, 0), (0, 0), (0, 0), (0, pad_s))
             xr = jnp.pad(xr, pads)
             xi = jnp.pad(xi, pads)
-        orr, oi = call(xr, xi, jnp.asarray(r2), jnp.asarray(r1),
-                       jnp.asarray(twr), jnp.asarray(twi))
+        args = [xr, xi, jnp.asarray(r2), jnp.asarray(r1),
+                jnp.asarray(twr), jnp.asarray(twi)]
+        if fused:
+            if pad_s:
+                fr = jnp.pad(fr, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
+                fi = jnp.pad(fi, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
+            args += [fr, fi]
+        orr, oi = call(*args)
         if pad_s:
             orr = orr[..., :s]
             oi = oi[..., :s]
@@ -737,6 +771,24 @@ def strided_fft_planar(xr, xi, n: int, inverse: bool):
     p, _, s = xr.shape
     run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype))
     return run(xr, xi)
+
+
+@functools.lru_cache(maxsize=256)
+def _long_twiddle_views(n: int, inverse: bool):
+    """Fused-twiddle tables for the long path, pre-laid-out for the strided
+    kernel's block views.  post (forward): tw[kc, ns] viewed (1, nc1, nc2, ns)
+    [the strided OUTPUT layout]; pre (inverse): conj table viewed
+    (1, nc2, nc1, ns) [the strided INPUT layout]."""
+    nc, ns = split_long(n)
+    twr_t, twi_t = _long_twiddle(n, inverse)
+    c1, c2 = split_lane_major(nc)  # kc digits: kc = kc1*c2 + kc2
+    post_r = twr_t.reshape(1, c1, c2, ns)
+    post_i = twi_t.reshape(1, c1, c2, ns)
+    # inverse consumes the twiddle on its INPUT side, whose block view is
+    # (c2, c1) with flat index kc = a*c1 + b -- also a plain reshape
+    pre_r = twr_t.reshape(1, c2, c1, ns)
+    pre_i = twi_t.reshape(1, c2, c1, ns)
+    return post_r, post_i, pre_r, pre_i
 
 
 # ---------------------------------------------------------------------------
@@ -775,19 +827,19 @@ def _long_twiddle(n: int, inverse: bool):
 
 
 def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
-    """DFT of (B, n) planar lines for n beyond the single-kernel range."""
+    """DFT of (B, n) planar lines for n beyond the single-kernel range.
+    The inter-pass twiddle is fused into the strided kernel (post-multiply on
+    the forward write, pre-multiply on the inverse read) — no separate
+    elementwise HBM pass."""
     nc, ns = split_long(n)
     B = xr.shape[0]
-    twr_t, twi_t = _long_twiddle(n, inverse)
-    twr = jnp.asarray(twr_t)
-    twi = jnp.asarray(twi_t)
+    post_r, post_i, pre_r, pre_i = _long_twiddle_views(n, inverse)
 
     if not inverse:
-        a_r = xr.reshape(B, nc, ns)
-        a_i = xi.reshape(B, nc, ns)
-        a_r, a_i = strided_fft_planar(a_r, a_i, nc, False)     # (B, kc, ns)
-        tr = a_r * twr[None] - a_i * twi[None]
-        ti = a_r * twi[None] + a_i * twr[None]
+        run = _build_strided_call(nc, False, B, ns, _INTERPRET, str(xr.dtype),
+                                  fused="post")
+        tr, ti = run(xr.reshape(B, nc, ns), xi.reshape(B, nc, ns),
+                     jnp.asarray(post_r), jnp.asarray(post_i))   # (B, kc, ns)
         orr, oi = core_fft_planar(tr.reshape(B * nc, ns),
                                   ti.reshape(B * nc, ns), ns, False)
         orr = orr.reshape(B, nc, ns)
@@ -811,9 +863,9 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
                              xi.reshape(B * nc, ns), ns, True)
     br = br.reshape(B, nc, ns)
     bi = bi.reshape(B, nc, ns)
-    tr = br * twr[None] - bi * twi[None]
-    ti = br * twi[None] + bi * twr[None]
-    orr, oi = strided_fft_planar(tr, ti, nc, True)
+    run = _build_strided_call(nc, True, B, ns, _INTERPRET, str(xr.dtype),
+                              fused="pre")
+    orr, oi = run(br, bi, jnp.asarray(pre_r), jnp.asarray(pre_i))
     return orr.reshape(B, n), oi.reshape(B, n)
 
 
