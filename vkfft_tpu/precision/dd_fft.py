@@ -99,15 +99,21 @@ def _pad_tail_dd(x: DDComplex, pad: int) -> DDComplex:
     return DDComplex(DD(cat(x.re.hi), cat(x.re.lo)), DD(cat(x.im.hi), cat(x.im.lo)))
 
 
+# Largest prime the dd engine runs as a direct stage: each radix-r stage
+# unrolls r^2 dd-complex MACs (~30 traced ops each) in the jaxpr, so the
+# fp32 planner's 127-prime ceiling would produce ~400k-op traces that OOM
+# compilers.  Primes beyond this use Bluestein over a 13-smooth size.
+_DD_MAX_PRIME = 13
+
+
 def fft_lines_dd(x: DDComplex, n: int, inverse: bool = False) -> DDComplex:
     """Unnormalized double-double DFT over (B, n) quad planes."""
     if n == 1:
         return x
-    d = decompose(n, allow_rader=False)
-    if d.algorithm is Algorithm.DIRECT:
+    if max(prime_factors(n)) <= _DD_MAX_PRIME:
         return _core_fft_dd(x, n, inverse)
-    # Bluestein with fp64-split chirp tables
-    m = d.bluestein_size
+    from vkfft_tpu.planner.factorize import _bluestein_padded_size
+    m = _bluestein_padded_size(n)
     a_t, b_t = luts.bluestein_chirp(n, m, inverse)
     a = _dd_table(a_t)
     b = _dd_table(b_t)
