@@ -640,7 +640,16 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural"):
 # is needed for multi-axis transforms.
 # ---------------------------------------------------------------------------
 
-_STRIDED_TILE_S = 256  # lanes per block (two 128-lane tiles)
+def _strided_tile_s(n: int, s: int) -> int:
+    """Lanes per block: target ~1MB per plane block (n * tile_s * 4 bytes),
+    at least two 128-lane tiles, whole-S when S is small — tiny transform
+    lengths (e.g. the long-path carry factor) would otherwise produce
+    KB-sized blocks and a dispatch-bound grid."""
+    target = max(256, min(8192, (1 << 20) // (4 * n)))
+    if s <= target:
+        return s
+    # round down to a multiple of 256 for clean lane tiles
+    return max(256, (target // 256) * 256)
 
 
 @functools.lru_cache(maxsize=512)
@@ -712,7 +721,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     r2, r1, twr, twi = _strided_tables(n, inverse)
-    tile_s = min(_STRIDED_TILE_S, s)
+    tile_s = _strided_tile_s(n, s)
     pad_s = (-s) % tile_s
     s_pad = s + pad_s
 
