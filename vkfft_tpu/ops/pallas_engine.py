@@ -641,11 +641,11 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural"):
 # ---------------------------------------------------------------------------
 
 def _strided_tile_s(n: int, s: int) -> int:
-    """Lanes per block: target ~1MB per plane block (n * tile_s * 4 bytes),
+    """Lanes per block: target ~256KB per plane block (n * tile_s * 4 bytes),
     at least two 128-lane tiles, whole-S when S is small — tiny transform
     lengths (e.g. the long-path carry factor) would otherwise produce
     KB-sized blocks and a dispatch-bound grid."""
-    target = max(256, min(8192, (1 << 20) // (4 * n)))
+    target = max(256, min(8192, (1 << 18) // (4 * n)))
     if s <= target:
         return s
     # round down to a multiple of 256 for clean lane tiles
