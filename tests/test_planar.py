@@ -79,3 +79,28 @@ def test_planar_application():
     assert rel_err(to_numpy(y), np.fft.fftn(x)) < 1e-11
     z = app.inverse(y)
     assert rel_err(to_numpy(z), x) < 1e-11
+
+
+def test_keep_intermediate_order():
+    """disableReorderFourStep analog: swapped-order fwd+inv round trip
+    through FFTApplication with keep_intermediate_order=True."""
+    from vkfft_tpu.ops import pallas_engine
+    pallas_engine.set_interpret(True)
+    try:
+        n = 256
+        cfg = vt.FFTConfig(shape=(n,), normalize=True, keep_intermediate_order=True)
+        app = vt.FFTApplication(cfg, engine="pallas")
+        x = _mk(n, batch=4, dtype=np.float32)
+        p = from_complex(x)
+        Y = app.forward(p)
+        # spectrum is in swapped digit order — round trip restores exactly
+        z = to_numpy(app.inverse(Y))
+        assert rel_err(z, x) < 5e-6
+        # and the swapped spectrum is the digit-permuted natural one
+        n1, n2 = pallas_engine.split_lane_major(n)
+        nat = np.fft.fft(x.astype(np.complex128))
+        sw = to_numpy(Y)
+        assert rel_err(sw.reshape(4, n2, n1),
+                       nat.reshape(4, n1, n2).swapaxes(1, 2)) < 5e-6
+    finally:
+        pallas_engine.set_interpret(False)

@@ -138,6 +138,29 @@ class FFTApplication:
             x = x.astype(storage)
 
         eng = _engine(self.engine_name)
+
+        # keep_intermediate_order (reference disableReorderFourStep,
+        # vkFFT_Structs.h:221): 1-D transforms skip the digit-order
+        # restoration — the spectrum is returned in the kernel's swapped
+        # layout and the inverse consumes it, saving the reorder pass in
+        # round trips and convolutions.
+        if (planar and cfg.keep_intermediate_order and self.engine_name == "pallas"
+                and len(cfg.axes) == 1 and cfg.axes[0] == len(cfg.shape) - 1
+                and cfg.zeropad_input is None and cfg.zeropad_output is None):
+            from vkfft_tpu.ops import pallas_engine as _pe
+            from vkfft_tpu.planner.factorize import Algorithm as _Alg
+            n = cfg.shape[cfg.axes[0]]
+            plan = self.axis_plans[cfg.axes[0]]
+            if plan.algorithm is _Alg.DIRECT and _pe._use_v2(n):
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n, inverse,
+                                                order="swapped")
+                out = Planar(rr, ii).reshape(*lead, n)
+                if inverse and cfg.normalize:
+                    out = out * np.asarray(1.0 / n, dtype=np.float32)
+                return out
+
         fft_axis = eng.fft_axis_p if planar else eng.fft_axis
         if not inverse:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
