@@ -86,8 +86,9 @@ def _time_fwd_inv(app, x, iters=20, warmup=2):
         return time.perf_counter() - t0
 
     force(app.inverse(app.forward(xd)))  # warm compile
-    lo = max(2, iters // 4)
-    return (run(iters) - run(lo)) / (iters - lo)
+    lo = max(1, iters // 4)
+    hi = max(iters, lo + 1)
+    return (run(hi) - run(lo)) / (hi - lo)
 
 
 def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
