@@ -40,8 +40,10 @@ def test_describe_and_memory_layout():
 
 
 def test_describe_bluestein():
-    text = debug.describe_axis(plan_axis(10006))
+    text = debug.describe_axis(plan_axis(10007))
     assert "bluestein" in text and "padded" in text
+    split_text = debug.describe_axis(plan_axis(10006))
+    assert "split" in split_text and "5003" in split_text
 
 
 def test_dump_hlo():

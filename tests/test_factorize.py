@@ -67,11 +67,20 @@ def test_rader_selection():
 
 
 def test_bluestein_selection():
-    # 2*5003: 5003 prime and 5002=2*41*61 smooth, but n composite -> Bluestein
-    d = decompose(10006)
+    # 10007 prime with 10006 = 2*5003 (5003 not smooth) -> Bluestein
+    d = decompose(10007)
     assert d.algorithm is Algorithm.BLUESTEIN
-    assert d.bluestein_size >= 2 * 10006 - 1
+    assert d.bluestein_size >= 2 * 10007 - 1
     assert decompose(d.bluestein_size).algorithm is Algorithm.DIRECT
+
+
+def test_split_selection():
+    # composite with Rader-eligible large prime factors -> Cooley-Tukey split
+    for n, expect in ((2 * 5003, (5003, 2)), (131 * 3, (131, 3)),
+                      (131 * 131, (131, 131))):
+        d = decompose(n)
+        assert d.algorithm is Algorithm.SPLIT
+        assert d.split == expect
 
 
 def test_next_smooth():
@@ -100,5 +109,5 @@ def test_plan_axis_core_n():
     assert plan_axis(97).core_n == 97   # direct prime stage
     p131 = plan_axis(131)
     assert p131.core_n == 130           # Rader convolution length
-    pb = plan_axis(10006)
+    pb = plan_axis(10007)
     assert pb.core_n == pb.decomp.bluestein_size

@@ -218,3 +218,14 @@ def test_conv_fused_kernel():
     got = np.asarray(out.re) + 1j * np.asarray(out.im)
     ref = np.fft.ifft(np.fft.fft(x.astype(np.complex128)) * table)
     assert rel_err(got, ref) < 5e-6
+
+
+@pytest.mark.parametrize("n", [262, 393])
+def test_split_pallas(n):
+    """Composite Rader (Cooley-Tukey split) through the pallas engine."""
+    rng = np.random.default_rng(n)
+    x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))).astype(np.complex64)
+    import jax.numpy as jnp
+    y = np.asarray(pallas_engine.fft_lines(jnp.asarray(x), plan_axis(n)))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(y, ref) < 5e-6

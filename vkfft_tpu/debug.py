@@ -20,6 +20,14 @@ from vkfft_tpu.planner.plan import AxisPlan
 def describe_axis(plan: AxisPlan) -> str:
     d = plan.decomp
     lines = [f"axis n={plan.n}: algorithm={d.algorithm.value}"]
+    if d.algorithm is Algorithm.SPLIT:
+        from vkfft_tpu.planner.plan import plan_axis
+        a, b = d.split
+        lines.append(f"  cooley-tukey split {a} x {b}; factor plans:")
+        for f in (a, b):
+            sub = describe_axis(plan_axis(f))
+            lines.extend("    " + ln for ln in sub.splitlines())
+        return "\n".join(lines)
     if d.algorithm is Algorithm.BLUESTEIN:
         lines.append(f"  bluestein padded size m={d.bluestein_size}")
     if d.algorithm is Algorithm.RADER:

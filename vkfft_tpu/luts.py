@@ -126,6 +126,18 @@ def _primitive_root(p: int) -> int:
     raise ValueError(f"no primitive root found for {p}")
 
 
+@functools.lru_cache(maxsize=1024)
+def ct_twiddle(a: int, b: int, inverse: bool = False) -> np.ndarray:
+    """(b, a) Cooley-Tukey inter-factor twiddle w_n^(jb*ka), n = a*b
+    (reference 4-step inter-upload twiddles, ``vkFFT_ManageLUT.h`` LUT_4step
+    generalized to a Rader-bearing split)."""
+    n = a * b
+    sign = 2.0j if inverse else -2.0j
+    jb = np.arange(b, dtype=np.int64)[:, None]
+    ka = np.arange(a, dtype=np.int64)[None, :]
+    return np.exp(sign * np.pi / n * ((jb * ka) % n))
+
+
 def stage_tables(stages: tuple[Stage, ...], inverse: bool):
     """(dft, twiddle) numpy tables for every stage of a core FFT."""
     return [(dft_matrix(s.r, inverse), stage_twiddle(s.r, s.Mp, inverse)) for s in stages]
@@ -165,6 +177,9 @@ def dct4_twiddle(n: int) -> np.ndarray:
 
 def axis_tables(plan: AxisPlan, inverse: bool):
     """All numpy tables an engine needs for one axis plan."""
+    if plan.algorithm is Algorithm.SPLIT:
+        a, b = plan.decomp.split
+        return {"split_tw": ct_twiddle(a, b, inverse)}
     tabs = {"stages": stage_tables(plan.stages, inverse)}
     if plan.algorithm is Algorithm.BLUESTEIN:
         m = plan.decomp.bluestein_size

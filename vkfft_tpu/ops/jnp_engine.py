@@ -97,10 +97,30 @@ def _fft_rader(x, plan, tabs, inverse):
     return out
 
 
+def _fft_split(x, plan, tabs, inverse):
+    """Cooley-Tukey split n = a*b with each factor planned recursively —
+    runs Rader primes inline as stage factors of composite sizes (reference:
+    ``vkFFT_Scheduler.h:2303-2404``).  With n = ja*b + jb, k = kb*a + ka:
+    contract ja (may be Rader), twiddle w_n^(jb*ka), contract jb, transpose
+    digits to natural order."""
+    from vkfft_tpu.planner.plan import plan_axis
+    a, b = plan.decomp.split
+    B = x.shape[0]
+    tw = jnp.asarray(tabs["split_tw"].astype(x.dtype))
+    y = x.reshape(B, a, b)
+    y = jnp.swapaxes(y, 1, 2).reshape(B * b, a)
+    y = fft_lines(y, plan_axis(a), inverse).reshape(B, b, a)
+    y = y * tw[None]
+    y = jnp.swapaxes(y, 1, 2).reshape(B * a, b)
+    y = fft_lines(y, plan_axis(b), inverse).reshape(B, a, b)
+    return jnp.swapaxes(y, 1, 2).reshape(B, a * b)
+
+
 _DISPATCH = {
     Algorithm.DIRECT: _fft_direct,
     Algorithm.BLUESTEIN: _fft_bluestein,
     Algorithm.RADER: _fft_rader,
+    Algorithm.SPLIT: _fft_split,
 }
 
 
@@ -171,12 +191,32 @@ def _pad_tail_p(x: Planar, pad: int) -> Planar:
                   jnp.concatenate([x.im, z], axis=-1))
 
 
+def _fft_split_p(x: Planar, plan: AxisPlan, tabs, inverse: bool) -> Planar:
+    from vkfft_tpu.planner.plan import plan_axis
+    a, b = plan.decomp.split
+    B = x.shape[0]
+    tw = planar_table(tabs["split_tw"], x.dtype)
+
+    def swap(p, B_, d1, d2):
+        return Planar(jnp.swapaxes(p.re.reshape(B_, d1, d2), 1, 2),
+                      jnp.swapaxes(p.im.reshape(B_, d1, d2), 1, 2))
+
+    y = swap(x, B, a, b).reshape(B * b, a)
+    y = fft_lines_p(y, plan_axis(a), inverse).reshape(B, b, a)
+    y = y * Planar(tw.re[None], tw.im[None])
+    y = swap(y, B, b, a).reshape(B * a, b)
+    y = fft_lines_p(y, plan_axis(b), inverse).reshape(B, a, b)
+    return swap(y, B, a, b).reshape(B, a * b)
+
+
 def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
     """Unnormalized planar DFT over the last axis of (B, n) planes."""
     if plan.n == 1:
         return x
     tabs = luts.axis_tables(plan, inverse)
     alg = plan.algorithm
+    if alg is Algorithm.SPLIT:
+        return _fft_split_p(x, plan, tabs, inverse)
     if alg is Algorithm.DIRECT:
         return apply_stages_p(x, plan, tabs["stages"])
     if alg is Algorithm.BLUESTEIN:

@@ -91,6 +91,10 @@ def split_two_factors(n: int) -> Optional[tuple[int, int]]:
 
 def supports(plan: AxisPlan) -> bool:
     """Whether the Pallas path can run this axis plan's core length."""
+    if plan.algorithm is Algorithm.SPLIT:
+        from vkfft_tpu.planner.plan import plan_axis
+        a, b = plan.decomp.split
+        return supports(plan_axis(a)) and supports(plan_axis(b))
     if split_two_factors(plan.core_n) is not None:
         return True
     return split_long(plan.core_n) is not None
@@ -249,6 +253,16 @@ def fft_lines(x: jax.Array, plan: AxisPlan, inverse: bool = False) -> jax.Array:
     if n == 1:
         return x
     alg = plan.algorithm
+    if alg is Algorithm.SPLIT:
+        from vkfft_tpu.planner.plan import plan_axis as _plan_axis
+        fa, fb = plan.decomp.split
+        B = x.shape[0]
+        tw = jnp.asarray(luts.ct_twiddle(fa, fb, inverse).astype(np.complex64)).astype(x.dtype)
+        y = jnp.swapaxes(x.reshape(B, fa, fb), 1, 2).reshape(B * fb, fa)
+        y = fft_lines(y, _plan_axis(fa), inverse).reshape(B, fb, fa) * tw[None]
+        y = jnp.swapaxes(y, 1, 2).reshape(B * fa, fb)
+        y = fft_lines(y, _plan_axis(fb), inverse).reshape(B, fa, fb)
+        return jnp.swapaxes(y, 1, 2).reshape(B, n)
     if alg is Algorithm.DIRECT:
         return _core_fft(x, n, inverse)
     if alg is Algorithm.BLUESTEIN:
@@ -342,6 +356,22 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
     if n == 1:
         return x
     alg = plan.algorithm
+    if alg is Algorithm.SPLIT:
+        from vkfft_tpu.planner.plan import plan_axis as _plan_axis
+        fa, fb = plan.decomp.split
+        B = x.shape[0]
+        tw = planar_table(luts.ct_twiddle(fa, fb, inverse), x.dtype)
+
+        def swap(p, B_, d1, d2):
+            return Planar(jnp.swapaxes(p.re.reshape(B_, d1, d2), 1, 2),
+                          jnp.swapaxes(p.im.reshape(B_, d1, d2), 1, 2))
+
+        y = swap(x, B, fa, fb).reshape(B * fb, fa)
+        y = fft_lines_p(y, _plan_axis(fa), inverse).reshape(B, fb, fa)
+        y = y * Planar(tw.re[None], tw.im[None])
+        y = swap(y, B, fb, fa).reshape(B * fa, fb)
+        y = fft_lines_p(y, _plan_axis(fb), inverse).reshape(B, fa, fb)
+        return swap(y, B, fa, fb).reshape(B, n)
     if alg is Algorithm.DIRECT:
         return _core_fft_p(x, n, inverse)
     if alg is Algorithm.BLUESTEIN:

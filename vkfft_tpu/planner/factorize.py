@@ -128,6 +128,10 @@ class Algorithm(enum.Enum):
     DIRECT = "direct"          # mixed-radix Stockham, all primes <= MAX_DIRECT_PRIME
     RADER = "rader"            # large prime via Rader p-1 convolution
     BLUESTEIN = "bluestein"    # anything else via chirp-z padding
+    SPLIT = "split"            # composite with a large prime factor: one
+                               # Cooley-Tukey split, each side planned
+                               # recursively (reference: Rader primes inline
+                               # as stage factors, vkFFT_Scheduler.h:2303-2404)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -139,6 +143,7 @@ class SizeDecomposition:
     radices: tuple[int, ...]            # DIRECT: stage radices (product == n)
     bluestein_size: Optional[int] = None  # BLUESTEIN: padded FFT length M >= 2n-1
     rader_prime: Optional[int] = None     # RADER: the prime p (== n)
+    split: Optional[tuple[int, int]] = None  # SPLIT: (a, b) with n == a*b
 
     @property
     def mac_per_point(self) -> int:
@@ -253,6 +258,24 @@ def decompose(n: int, allow_rader: bool = True) -> SizeDecomposition:
             radices=tuple(_smooth_radices(n - 1) or ()),
             rader_prime=n,
         )
+
+    # Composite with one or more large prime factors: split out the largest
+    # Rader-eligible prime as a Cooley-Tukey factor and plan both sides
+    # recursively — the TPU rendition of the reference running Rader primes
+    # inline as stage factors (vkFFT_Scheduler.h:2303-2404).  Cost: a
+    # Rader-p transform of B*n/p lines + a smooth transform, far cheaper
+    # than Bluestein-padding the whole axis to >= 2n.
+    if allow_rader and len(primes) > 1:
+        big = [p for p in primes if p > MAX_DIRECT_PRIME]
+        for p in sorted(set(big), reverse=True):
+            if (RADER_MIN_PRIME <= p <= RADER_MAX_PRIME
+                    and _smooth_radices(p - 1) is not None):
+                rest = n // p
+                rest_d = decompose(rest, allow_rader=allow_rader)
+                if rest_d.algorithm is not Algorithm.BLUESTEIN:
+                    return SizeDecomposition(
+                        n=n, algorithm=Algorithm.SPLIT, radices=(),
+                        split=(p, rest))
 
     m = _bluestein_padded_size(n)
     sub = _smooth_radices(m)

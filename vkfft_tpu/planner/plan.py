@@ -61,7 +61,8 @@ class AxisPlan:
 
     @property
     def core_n(self) -> int:
-        """Length the Stockham core runs at (n, bluestein pad, or p-1)."""
+        """Length the Stockham core runs at (n, bluestein pad, or p-1).
+        SPLIT plans have no single core; they recurse per factor."""
         if self.algorithm is Algorithm.BLUESTEIN:
             assert self.decomp.bluestein_size is not None
             return self.decomp.bluestein_size
@@ -77,4 +78,8 @@ def plan_axis(n: int, allow_rader: bool = True) -> AxisPlan:
     """Plan one axis length (reference: ``VkFFTScheduler`` per-axis entry,
     ``vkFFT_Scheduler.h:2223``)."""
     decomp = decompose(n, allow_rader=allow_rader)
-    return AxisPlan(n=n, decomp=decomp, stages=build_stages(decomp.n if decomp.algorithm is Algorithm.DIRECT else (decomp.bluestein_size or (n - 1)), decomp.radices))
+    if decomp.algorithm is Algorithm.SPLIT:
+        return AxisPlan(n=n, decomp=decomp, stages=())
+    core = decomp.n if decomp.algorithm is Algorithm.DIRECT else (
+        decomp.bluestein_size or (n - 1))
+    return AxisPlan(n=n, decomp=decomp, stages=build_stages(core, decomp.radices))
