@@ -27,6 +27,16 @@ import numpy as np
 from vkfft_tpu import api
 from vkfft_tpu.errors import InvalidConfigError
 from vkfft_tpu.pcomplex import Planar, real_planar
+from vkfft_tpu.transforms import r2c as _r2c
+
+
+def _rfft_p(x, engine) -> Planar:
+    """Half-spectrum real FFT as a Planar pair (the packed half-size path —
+    halves the cost of the real-extension DCT/DST types vs a complex FFT)."""
+    y = _r2c.rfft(x, axis=-1, engine=engine)
+    if isinstance(y, Planar):
+        return y
+    return Planar(jnp.real(y), jnp.imag(y))
 
 
 def _move_last(x, axis):
@@ -58,20 +68,26 @@ def _dct1(x, engine):
     n = x.shape[-1]
     if n < 2:
         raise InvalidConfigError("DCT-I requires n >= 2")
+    # even extension of length 2n-2; its rfft has exactly n bins
     ext = jnp.concatenate([x, x[..., 1:-1][..., ::-1]], axis=-1)
-    E = _fft_p(real_planar(ext), engine=engine)
-    return E.re[..., :n]
+    E = _rfft_p(ext, engine)
+    return E.re
 
 
 def _dct2(x, engine):
     n = x.shape[-1]
     v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
-    V = _fft_p(real_planar(v), engine=engine)
+    # half-spectrum rfft + Hermitian unfold: V[k] = conj(V[n-k]) for k > n/2
+    H = _rfft_p(v, engine)
     k = np.arange(n)
-    twr = jnp.asarray(np.cos(0.5 * np.pi * k / n).astype(np.float64)).astype(x.dtype)
-    twi = jnp.asarray(np.sin(-0.5 * np.pi * k / n).astype(np.float64)).astype(x.dtype)
+    idx = np.where(k <= n // 2, k, n - k)
+    sgn = np.where(k <= n // 2, 1.0, -1.0)
+    Vr = H.re[..., idx]
+    Vi = H.im[..., idx] * jnp.asarray(sgn).astype(x.dtype)
+    twr = jnp.asarray(np.cos(0.5 * np.pi * k / n)).astype(x.dtype)
+    twi = jnp.asarray(np.sin(-0.5 * np.pi * k / n)).astype(x.dtype)
     # 2 Re(e^{-i pi k/2n} V[k])
-    return 2.0 * (twr * V.re - twi * V.im)
+    return 2.0 * (twr * Vr - twi * Vi)
 
 
 def _dct3(x, engine):
@@ -112,8 +128,9 @@ def _dct4(x, engine):
 def _dst1(x, engine):
     n = x.shape[-1]
     zeros = jnp.zeros_like(x[..., :1])
+    # odd extension of length 2n+2; rfft has n+2 bins, we need 1..n
     ext = jnp.concatenate([zeros, x, zeros, -x[..., ::-1]], axis=-1)
-    E = _fft_p(real_planar(ext), engine=engine)
+    E = _rfft_p(ext, engine)
     # DST1[k] = Re(i * E[k+1]) = -Im(E[k+1])
     return -E.im[..., 1 : n + 1]
 
