@@ -110,6 +110,51 @@ def _dct3(x, engine):
 
 
 def _dct4(x, engine):
+    n = x.shape[-1]
+    if n % 2 == 0 and n >= 4:
+        return _dct4_even(x, engine)
+    return _dct4_odd(x, engine)
+
+
+def _dct4_even(x, engine):
+    """Even-length DCT-IV via one n/2 complex FFT (the reference's N/2 trick,
+    ``appendDCTIV_even_read``/``_write``, vkFFT_R2R.h:2318,2946).
+
+    Derivation: with v_j = x[2j] + i*x[n-1-2j] and a_j = pi(4j+1)/(4n),
+    pairing even and reversed-odd samples collapses the cosine sum to
+      y[2t]   = 2 Re(e^{-i pi t/n} W[t])
+      y[2t+1] = 2 Re(e^{+i pi (t+1)/n} W[(m-t-1) mod m])
+    where W = FFT_m(v * e^{-i a}) and m = n/2."""
+    n = x.shape[-1]
+    m = n // 2
+    j = np.arange(m)
+    ar = np.cos(np.pi * (4 * j + 1) / (4 * n))
+    ai = -np.sin(np.pi * (4 * j + 1) / (4 * n))
+    vr = x[..., 0::2]
+    vi = x[..., n - 1 - 2 * j]          # x[n-1-2j]
+    pre_r = jnp.asarray(ar).astype(x.dtype)
+    pre_i = jnp.asarray(ai).astype(x.dtype)
+    w = Planar(vr * pre_r - vi * pre_i, vr * pre_i + vi * pre_r)
+    W = _fft_p(w, engine=engine)
+    t = np.arange(m)
+    # even outputs
+    er = np.cos(np.pi * t / n)
+    ei = -np.sin(np.pi * t / n)
+    y_even = 2.0 * (jnp.asarray(er).astype(x.dtype) * W.re
+                    - jnp.asarray(ei).astype(x.dtype) * W.im)
+    # odd outputs: index (m - t - 1) mod m, phase e^{+i pi (t+1)/n}
+    idx = (m - t - 1) % m
+    orr = np.cos(np.pi * (t + 1) / n)
+    oi = np.sin(np.pi * (t + 1) / n)
+    Wr = W.re[..., idx]
+    Wi = W.im[..., idx]
+    y_odd = 2.0 * (jnp.asarray(orr).astype(x.dtype) * Wr
+                   - jnp.asarray(oi).astype(x.dtype) * Wi)
+    out = jnp.stack([y_even, y_odd], axis=-1).reshape(*x.shape[:-1], n)
+    return out
+
+
+def _dct4_odd(x, engine):
     # Half-sample shift via a 2n transform: w[j] = x[j] e^{-i pi j/(2n)}
     # zero-padded to 2n; DCT4[k] = 2 Re(e^{-i pi (2k+1)/(4n)} W[k]).
     n = x.shape[-1]
