@@ -156,9 +156,10 @@ def main():
         pass
     device = jax.devices()[0]
     roof = _roofline(device)
-    # size sweep batched to ~256 MB planar data per system (reference pattern:
-    # batch to 500MB-1GB; kept smaller for driver time limits)
-    target_bytes = 256 * 1024 * 1024
+    # size sweep batched to ~128 MB planar data per system (reference pattern:
+    # batch to 500MB-1GB; kept smaller for driver time limits; 256MB measured
+    # no better)
+    target_bytes = 128 * 1024 * 1024
     systems = [256, 1024, 4096]
     results = {}
     for n in systems:
