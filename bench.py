@@ -52,15 +52,18 @@ def bench_system(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
     from vkfft_tpu.planner import plan_axis
     from vkfft_tpu import api
 
-    eng = api._engine(api.default_engine())
+    engine_name = api.default_engine()
+    eng = api._engine(engine_name)
     plan = plan_axis(n)
     rng = np.random.default_rng(0)
     inv_n = np.float32(1.0 / n)
+    # the chained values are dead after each call: in-place kernels are safe
+    kw = {"donate": True} if engine_name == "pallas" else {}
 
     @jax.jit
     def fwd_inv(p):
-        y = eng.fft_lines_p(p, plan, False)
-        z = eng.fft_lines_p(y, plan, True)
+        y = eng.fft_lines_p(p, plan, False, **kw)
+        z = eng.fft_lines_p(y, plan, True, **kw)
         return Planar(z.re * inv_n, z.im * inv_n)
 
     p0 = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
