@@ -57,8 +57,10 @@ def bench_system(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
     plan = plan_axis(n)
     rng = np.random.default_rng(0)
     inv_n = np.float32(1.0 / n)
-    # the chained values are dead after each call: in-place kernels are safe
-    kw = {"donate": True} if engine_name == "pallas" else {}
+    # Note: donated (in-place) kernels measure faster in bare swapped-order
+    # chains but slower here where the natural-order digit reorder sits
+    # between kernels, so the public path is measured undonated.
+    kw = {}
 
     @jax.jit
     def fwd_inv(p):
