@@ -402,13 +402,15 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
     return Planar(out_r, out_i)
 
 
-def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> Planar:
+def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
+               donate: bool = False) -> Planar:
     """Planar pallas DFT along ``axis``; jnp-engine fallback for unsupported
     core sizes.
 
     Non-minor axes of DIRECT plans run the strided kernel in place (lanes =
     trailing batch, reference strided-kernel analog) — no moveaxis/transpose
-    passes."""
+    passes.  ``donate=True`` allows in-place kernels when the caller's planes
+    are dead (e.g. intermediates between N-D axis passes)."""
     if not supports(plan):
         from vkfft_tpu.ops import jnp_engine
         return jnp_engine.fft_axis_p(x, axis, plan, inverse)
@@ -424,13 +426,14 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> P
         if s >= 128:
             xr = x.re.reshape(p, plan.n, s)
             xi = x.im.reshape(p, plan.n, s)
-            orr, oi = strided_fft_planar(xr, xi, plan.n, inverse)
+            orr, oi = strided_fft_planar(xr, xi, plan.n, inverse, donate=donate)
             return Planar(orr.reshape(shape), oi.reshape(shape))
     moved = axis != ndim - 1
     if moved:
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
     shape = x.shape
-    y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse).reshape(*shape)
+    y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse,
+                    donate=donate or moved).reshape(*shape)
     if moved:
         y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
     return y
@@ -762,7 +765,8 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused,
 
 @functools.lru_cache(maxsize=512)
 def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
-                        dtype_name: str = "float32", fused: str = ""):
+                        dtype_name: str = "float32", fused: str = "",
+                        donate: bool = False):
     """(P, n, S) planar transform over the middle axis, natural order.
     ``fused`` = 'pre'/'post' adds a fused (n, S) twiddle multiply before/after
     the transform (long-sequence inter-pass twiddle)."""
@@ -791,6 +795,9 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         f_spec = pl.BlockSpec(f_shape, lambda b, t: (0, 0, 0, t),
                               memory_space=pltpu.VMEM)
         in_specs += [f_spec, f_spec]
+    kw = {}
+    if donate and not interpret:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel,
         grid=(p, s_pad // tile_s),
@@ -798,6 +805,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         out_specs=[spec_out, spec_out],
         out_shape=[jax.ShapeDtypeStruct((p, n1, n2, s_pad), dtype)] * 2,
         interpret=interpret,
+        **kw,
     )
 
     def run(xr, xi, fr=None, fi=None):
@@ -823,10 +831,11 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     return run
 
 
-def strided_fft_planar(xr, xi, n: int, inverse: bool):
+def strided_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False):
     """Natural-order DFT over the middle axis of (P, n, S) planes."""
     p, _, s = xr.shape
-    run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype))
+    run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype),
+                              donate=donate)
     return run(xr, xi)
 
 
