@@ -796,7 +796,9 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                               memory_space=pltpu.VMEM)
         in_specs += [f_spec, f_spec]
     kw = {}
-    if donate and not interpret:
+    # aliasing requires identical in/out abstract shapes: only the square
+    # digit split qualifies for the strided kernel
+    if donate and not interpret and n1 == n2:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel,
