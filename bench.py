@@ -115,19 +115,14 @@ def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
     total = int(np.prod(shape))
     inv_n = np.float32(1.0 / total)
 
-    donatable = api.default_engine() == "pallas"
-
     @jax.jit
     def fwd_inv(p):
-        # intermediates between axis passes are dead -> in-place strided
-        # kernels (donation skipped on the minor axis whose reorder pass
-        # interleaves)
-        for i, ax in enumerate((0, 1, 2)):
-            kw = {"donate": i > 0 and ax != 2} if donatable else {}
-            p = eng.fft_axis_p(p, ax, plans[ax], False, **kw)
-        for i, ax in enumerate((2, 1, 0)):
-            kw = {"donate": ax != 2} if donatable else {}
-            p = eng.fft_axis_p(p, ax, plans[ax], True, **kw)
+        # (donation measured slower here: the allocator already reuses the
+        # dead intermediates, and aliasing constrains scheduling)
+        for ax in range(3):
+            p = eng.fft_axis_p(p, ax, plans[ax], False)
+        for ax in (2, 1, 0):
+            p = eng.fft_axis_p(p, ax, plans[ax], True)
         return Planar(p.re * inv_n, p.im * inv_n)
 
     rng = np.random.default_rng(0)

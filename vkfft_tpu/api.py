@@ -162,18 +162,12 @@ class FFTApplication:
                 return out
 
         fft_axis = eng.fft_axis_p if planar else eng.fft_axis
-        donatable = planar and self.engine_name == "pallas"
         if not inverse:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
-        for i, ax in enumerate(axes):
+        for ax in axes:
             plan = self.axis_plans[ax]
-            if donatable:
-                # intermediates between axis passes are dead: in-place kernels
-                x = fft_axis(x, x.ndim - ndim + ax, plan, inverse,
-                             donate=(i > 0))
-            else:
-                x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
+            x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
         if inverse:
             if cfg.normalize:
                 total = 1

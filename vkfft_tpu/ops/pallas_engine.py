@@ -433,7 +433,7 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
     shape = x.shape
     y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse,
-                    donate=donate or moved).reshape(*shape)
+                    donate=donate).reshape(*shape)
     if moved:
         y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
     return y
