@@ -78,17 +78,22 @@ def _time_fwd_inv(app, x, iters=20, warmup=2):
         return float(_np.asarray(leaf).reshape(-1)[0].real)
 
     def run(n):
-        t0 = time.perf_counter()
-        z = xd
-        for _ in range(n):
-            z = app.inverse(app.forward(z))
-        force(z)
-        return time.perf_counter() - t0
+        # best of 3: the host-sync fixed cost is noisy (tens of ms), a single
+        # two-point sample can even go negative
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            z = xd
+            for _ in range(n):
+                z = app.inverse(app.forward(z))
+            force(z)
+            best = min(best, time.perf_counter() - t0)
+        return best
 
     force(app.inverse(app.forward(xd)))  # warm compile
     lo = max(1, iters // 4)
     hi = max(iters, lo + 1)
-    return (run(hi) - run(lo)) / (hi - lo)
+    return max((run(hi) - run(lo)) / (hi - lo), 1e-9)
 
 
 def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
