@@ -62,38 +62,43 @@ def _rand_complex(shape, seed=0, dtype=np.complex64):
 
 def _time_fwd_inv(app, x, iters=20, warmup=2):
     """Reference ``performVulkanFFTiFFT`` analog (utils_VkFFT.cpp:868):
-    time a chained z = inv(fwd(z)) loop with a value fetch at the end and a
-    two-point fit — tunneled TPU runtimes neither wait in block_until_ready
-    nor re-execute cached identical dispatches, so naive loops measure RPC
-    overhead instead of device time."""
+    an in-graph lax.fori_loop chain of forward+inverse with a value fetch,
+    two-point fitted — host-side loops cannot measure tunneled TPU runtimes
+    (async dispatch + result caching + tens-of-ms sync costs)."""
+    import jax
     import numpy as _np
     from vkfft_tpu import api
     from vkfft_tpu.pcomplex import from_complex, Planar
 
     planar = not api.complex_supported()
-    xd = from_complex(x) if planar else __import__("jax").numpy.asarray(x)
+    xd = from_complex(x) if planar else jax.numpy.asarray(x)
+
+    def make(n_it):
+        @jax.jit
+        def run(p):
+            return jax.lax.fori_loop(
+                0, n_it, lambda i, v: app._inv(app._fwd(v)), p)
+        return run
 
     def force(v):
         leaf = v.re if isinstance(v, Planar) else v
         return float(_np.asarray(leaf).reshape(-1)[0].real)
 
-    def run(n):
-        # best of 3: the host-sync fixed cost is noisy (tens of ms), a single
-        # two-point sample can even go negative
+    lo_n = max(1, iters // 4)
+    hi_n = max(iters, lo_n + 1)
+    f_lo, f_hi = make(lo_n), make(hi_n)
+    force(f_lo(xd))
+    force(f_hi(xd))
+
+    def timed(f):
         best = float("inf")
         for _ in range(3):
             t0 = time.perf_counter()
-            z = xd
-            for _ in range(n):
-                z = app.inverse(app.forward(z))
-            force(z)
+            force(f(xd))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    force(app.inverse(app.forward(xd)))  # warm compile
-    lo = max(1, iters // 4)
-    hi = max(iters, lo + 1)
-    return max((run(hi) - run(lo)) / (hi - lo), 1e-9)
+    return max((timed(f_hi) - timed(f_lo)) / (hi_n - lo_n), 1e-9)
 
 
 def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
