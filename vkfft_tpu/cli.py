@@ -60,7 +60,7 @@ def _rand_complex(shape, seed=0, dtype=np.complex64):
     return (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(dtype)
 
 
-def _time_fwd_inv(app, x, iters=20, warmup=2):
+def _time_fwd_inv(app, x, iters=80, warmup=2):
     """Reference ``performVulkanFFTiFFT`` analog (utils_VkFFT.cpp:868):
     an in-graph lax.fori_loop chain of forward+inverse with a value fetch,
     two-point fitted — host-side loops cannot measure tunneled TPU runtimes
@@ -84,7 +84,7 @@ def _time_fwd_inv(app, x, iters=20, warmup=2):
         leaf = v.re if isinstance(v, Planar) else v
         return float(_np.asarray(leaf).reshape(-1)[0].real)
 
-    lo_n = max(1, iters // 4)
+    lo_n = max(1, iters // 6)
     hi_n = max(iters, lo_n + 1)
     f_lo, f_hi = make(lo_n), make(hi_n)
     force(f_lo(xd))
