@@ -61,24 +61,84 @@ def _complex_dtype(precision: Precision):
 
 
 class FFTApplication:
-    """Planned, reusable FFT executor for a fixed configuration."""
+    """Planned, reusable FFT executor for a fixed configuration.
+
+    Like the reference, the one config struct drives every transform kind:
+    ``kind=R2C`` routes through the real-transform plan, ``kind=DCT/DST``
+    (with ``rr_type`` 1..4) through the R2R mappings — the analog of
+    ``performR2C/performDCT/performDST`` dispatch
+    (``vkFFT_Structs.h:201-203``, kernel-type selection
+    ``vkFFT_Plan_FFT.h:682-696``)."""
 
     def __init__(self, config: FFTConfig, engine: Optional[str] = None):
+        if config.convolution:
+            raise InvalidConfigError(
+                "convolution configs are executed by ConvolutionApplication "
+                "(the reference's performConvolution app pair)")
         self.config = config
         self.engine_name = engine or default_engine()
         self.axis_plans: dict[int, AxisPlan] = {
             ax: plan_axis(config.shape[ax]) for ax in config.axes
         }
-        self._fwd = jax.jit(functools.partial(self._transform, inverse=False))
-        self._inv = jax.jit(functools.partial(self._transform, inverse=True))
+        if config.kind is TransformKind.C2C:
+            self._fwd = jax.jit(functools.partial(self._transform, inverse=False))
+            self._inv = jax.jit(functools.partial(self._transform, inverse=True))
+        else:
+            self._fwd = jax.jit(functools.partial(self._real_transform, inverse=False))
+            self._inv = jax.jit(functools.partial(self._real_transform, inverse=True))
 
     # -- execution ---------------------------------------------------------
 
-    def _eng(self, n_axis_len: int):
-        """Pick the execution engine for one axis (pallas engines may decline
-        shapes they don't support yet; jnp always works)."""
-        eng = _engine(self.engine_name)
-        return eng
+    def _check_batch(self, x, trailing_ndim: int):
+        """Validate the declared batch count (reference ``numberBatches``,
+        vkFFT_Structs.h:152): leading dims ahead of the transform block must
+        multiply to ``config.batch`` when it is declared (> 1)."""
+        if self.config.batch > 1:
+            lead = x.shape[: x.ndim - trailing_ndim]
+            total = int(np.prod(lead, dtype=np.int64)) if lead else 1
+            if total != self.config.batch:
+                raise InvalidConfigError(
+                    f"configured batch={self.config.batch} but input leading "
+                    f"dims {lead} give {total}")
+
+    def _real_transform(self, x, inverse: bool):
+        """R2C / DCT / DST execution from the config (reference kernel-type
+        dispatch, ``vkFFT_Plan_FFT.h:682-696``)."""
+        from vkfft_tpu.transforms import r2c, r2r
+        cfg = self.config
+        ndim = len(cfg.shape)
+        # negative axes relative to the trailing transform block, so leading
+        # batch dims pass through untouched
+        axes = tuple(a - ndim for a in cfg.axes)
+
+        if cfg.kind is TransformKind.R2C:
+            n_last = cfg.shape[cfg.axes[-1]]
+            if not inverse:
+                if x.shape[-ndim:] != cfg.shape:
+                    raise InvalidConfigError(
+                        f"R2C input trailing shape {x.shape[-ndim:]} != "
+                        f"configured {cfg.shape}")
+                self._check_batch(x, ndim)
+                if cfg.zeropad_input is not None:
+                    x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
+                return r2c.rfftn(x, axes=axes, engine=self.engine_name)
+            self._check_batch(x, ndim)
+            return r2c.irfftn(x, s=(n_last,), axes=axes, engine=self.engine_name)
+
+        fwd_fn = r2r.dctn if cfg.kind is TransformKind.DCT else r2r.dstn
+        inv_fn = r2r.idct if cfg.kind is TransformKind.DCT else r2r.idst
+        if x.shape[-ndim:] != cfg.shape:
+            raise InvalidConfigError(
+                f"{cfg.kind.value.upper()} input trailing shape "
+                f"{x.shape[-ndim:]} != configured {cfg.shape}")
+        self._check_batch(x, ndim)
+        if not inverse:
+            if cfg.zeropad_input is not None:
+                x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
+            return fwd_fn(x, type=cfg.rr_type, axes=axes, engine=self.engine_name)
+        for a in reversed(axes):
+            x = inv_fn(x, type=cfg.rr_type, axis=a, engine=self.engine_name)
+        return x
 
     def _apply_zeropad(self, x, spec, ndim):
         """Zero the configured [left, right) window per axis (reference
@@ -110,6 +170,7 @@ class FFTApplication:
         if x.shape[-ndim:] != cfg.shape:
             raise InvalidConfigError(
                 f"input trailing shape {x.shape[-ndim:]} != configured {cfg.shape}")
+        self._check_batch(x, ndim)
 
         ddc = isinstance(x, DDComplex)
         planar = isinstance(x, Planar)

@@ -158,23 +158,6 @@ def r2c_post_twiddle(n: int, inverse: bool = False) -> np.ndarray:
     return np.exp(sign * np.pi / n * k)
 
 
-@functools.lru_cache(maxsize=512)
-def dct2_twiddle(n: int) -> np.ndarray:
-    """(n,) rotation exp(-i*pi*k/(2n)) for DCT-II post-processing
-    (reference: ``appendDCTII_read_III_write``, ``vkFFT_R2R.h:1541``)."""
-    k = np.arange(n)
-    return np.exp(-0.5j * np.pi / n * k)
-
-
-@functools.lru_cache(maxsize=512)
-def dct4_twiddle(n: int) -> np.ndarray:
-    """(n,) half-sample rotation exp(-i*pi*(k+1/4)/n)-style table for the
-    DCT/DST-IV even path (reference: ``appendDCTIV_even_read``,
-    ``vkFFT_R2R.h:2318``)."""
-    k = np.arange(n)
-    return np.exp(-1.0j * np.pi / n * (k + 0.25))
-
-
 def axis_tables(plan: AxisPlan, inverse: bool):
     """All numpy tables an engine needs for one axis plan."""
     if plan.algorithm is Algorithm.SPLIT:
