@@ -394,6 +394,21 @@ def sample_200(ctx):
         jax.block_until_ready(y)
         ctx.log(f"  DCT-{a.DCT} {shape} batch {batch}: {(time.perf_counter() - t0) / a.N * 1e3:.3f} ms")
         return
+    if a.R2C:
+        rng = np.random.default_rng(0)
+        n = shape[-1]
+        x = rng.standard_normal((batch,) + shape).astype(np.float32)
+        import jax
+        f = jax.jit(lambda v: vt.irfft(vt.rfft(v, engine=ctx.engine), n=n,
+                                       engine=ctx.engine))
+        jax.block_until_ready(f(x))
+        t0 = time.perf_counter()
+        for _ in range(a.N):
+            y = f(x)
+        jax.block_until_ready(y)
+        ctx.log(f"  R2C+C2R {shape} batch {batch}: "
+                f"{(time.perf_counter() - t0) / a.N * 1e3:.3f} ms")
+        return
     x = _rand_complex((batch,) + shape, dtype=dtype)
     cfg = vt.FFTConfig(shape=shape, normalize=False)
     app = vt.get_application(cfg, ctx.engine)

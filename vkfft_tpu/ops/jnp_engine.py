@@ -210,9 +210,19 @@ def _fft_split_p(x: Planar, plan: AxisPlan, tabs, inverse: bool) -> Planar:
 
 
 def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
-    """Unnormalized planar DFT over the last axis of (B, n) planes."""
+    """Unnormalized planar DFT over the last axis of (B, n) planes.
+
+    bf16/f16 planes are *storage-only* tiers (config.py:29-30): upcast to
+    fp32 for every stage's arithmetic and cast back at the end, matching the
+    Pallas engine's in-VMEM upcast — otherwise this fallback would silently
+    compute in narrow precision."""
     if plan.n == 1:
         return x
+    if x.dtype in (jnp.bfloat16, jnp.float16):
+        storage = x.dtype
+        y = fft_lines_p(Planar(x.re.astype(jnp.float32),
+                               x.im.astype(jnp.float32)), plan, inverse)
+        return Planar(y.re.astype(storage), y.im.astype(storage))
     tabs = luts.axis_tables(plan, inverse)
     alg = plan.algorithm
     if alg is Algorithm.SPLIT:

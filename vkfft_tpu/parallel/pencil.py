@@ -111,8 +111,9 @@ class DistributedFFT:
     # -- sharding specs ----------------------------------------------------
 
     def input_spec(self) -> P:
-        """PartitionSpec of the operand's transform dims (leading batch dims
-        unsharded)."""
+        """PartitionSpec of the operand.  Operands must have rank exactly
+        ``len(shape)`` (no extra leading batch dims — batch over transforms
+        by vmapping or stacking into axis 0 of a slab decomposition)."""
         ndim = len(self.shape)
         if self.kind == "slab":
             return P(self.axis_names[0], *([None] * (ndim - 1)))
@@ -203,10 +204,19 @@ class DistributedFFT:
                            out_specs=out_spec)
         return jax.jit(mapped)
 
+    def _check_rank(self, x):
+        if x.ndim != len(self.shape):
+            raise InvalidConfigError(
+                f"DistributedFFT operands must have rank {len(self.shape)} "
+                f"(the global transform shape {self.shape}); got rank "
+                f"{x.ndim}.  Fold batch dims into axis 0 or vmap.")
+
     def forward(self, x):
+        self._check_rank(x)
         return self._fwd(x)
 
     def inverse(self, x):
+        self._check_rank(x)
         return self._inv(x)
 
     def shard_input(self, x):
@@ -243,7 +253,15 @@ def pfftn(x, mesh: Mesh, engine: Optional[str] = None, transpose_back: bool = Fa
 
 
 def pifftn(x, mesh: Mesh, engine: Optional[str] = None, transpose_back: bool = False):
+    """Distributed inverse N-D FFT.  Host arrays are placed with the expected
+    *spectrum* sharding (``output_spec``), mirroring ``pfftn``."""
     app = _dist_for(x, mesh, engine, transpose_back)
+    if not _is_sharded(x, mesh):
+        sh = NamedSharding(mesh, app.output_spec())
+        if isinstance(x, Planar):
+            x = Planar(jax.device_put(x.re, sh), jax.device_put(x.im, sh))
+        else:
+            x = jax.device_put(x, sh)
     return app.inverse(x)
 
 

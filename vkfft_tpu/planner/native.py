@@ -1,10 +1,12 @@
 """ctypes binding to the native C++ planner core.
 
 Loads ``vkfft_tpu/native/libplanner_core.so`` when present (``make -C
-vkfft_tpu/native``), building it on first import if a compiler is available;
-every entry point has a pure-Python fallback in ``factorize.py``, and tests
-assert bit-identical parity between the two.  Disable with
-``VKFFT_TPU_NATIVE=0``.
+vkfft_tpu/native``).  Auto-building on first use is opt-in via
+``VKFFT_TPU_NATIVE_BUILD=1`` (a compile writing into the package directory is
+too surprising as an import side effect; sandboxed or compiler-less
+environments would pay a failed-subprocess penalty).  Every entry point has a
+pure-Python fallback in ``factorize.py``, and tests assert bit-identical
+parity between the two.  Disable entirely with ``VKFFT_TPU_NATIVE=0``.
 """
 from __future__ import annotations
 
@@ -17,9 +19,15 @@ _DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
 _SO = os.path.join(_DIR, "libplanner_core.so")
 
 _lib: Optional[ctypes.CDLL] = None
+_build_attempted = False
 
 
 def _try_build() -> None:
+    """Build the native planner (at most once per process)."""
+    global _build_attempted
+    if _build_attempted:
+        return
+    _build_attempted = True
     try:
         subprocess.run(["make", "-C", _DIR, "-s"], check=True, capture_output=True,
                        timeout=120)
@@ -33,7 +41,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return _lib
     if os.environ.get("VKFFT_TPU_NATIVE", "1") == "0":
         return None
-    if not os.path.exists(_SO):
+    if (not os.path.exists(_SO)
+            and os.environ.get("VKFFT_TPU_NATIVE_BUILD", "0") == "1"):
         _try_build()
     if not os.path.exists(_SO):
         return None
