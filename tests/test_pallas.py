@@ -191,6 +191,45 @@ def test_long_fft(n):
     assert rel_err(back, x) < 2e-5
 
 
+def test_split_long3():
+    # beyond the 2-level range the 3-upload split must exist (axis ceiling
+    # 2^32+, reference README.md:8)
+    for n in (1 << 29, 1 << 32, 3**20):
+        sp = pallas_engine.split_long3(n)
+        assert sp is not None
+        na, nb, ns = sp
+        assert na * nb * ns == n
+        for f in sp:
+            assert pallas_engine._use_v2(f)
+
+
+def test_long3_fft():
+    """3-upload four-step path, forced on a small n (the dispatch itself
+    only uses it beyond ~2^28, which is too big for a CPU test)."""
+    import jax.numpy as jnp
+    n = 1 << 15
+    rng = np.random.default_rng(7)
+    B = 2
+    x = (rng.standard_normal((B, n))
+         + 1j * rng.standard_normal((B, n))).astype(np.complex64)
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    yr, yi = pallas_engine._fft_long3_planar(xr, xi, n, False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(got, ref) < 2e-5
+    zr, zi = pallas_engine._fft_long3_planar(yr, yi, n, True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x) < 2e-5
+    # swapped-order contract: fwd+inv pairs cancel without the reorder
+    yr2, yi2 = pallas_engine._fft_long3_planar(xr, xi, n, False,
+                                               order="swapped")
+    zr2, zi2 = pallas_engine._fft_long3_planar(yr2, yi2, n, True,
+                                               order="swapped")
+    back2 = (np.asarray(zr2) + 1j * np.asarray(zi2)) / n
+    assert rel_err(back2, x) < 2e-5
+
+
 def test_long_swapped_roundtrip():
     import jax.numpy as jnp
     n = 32768

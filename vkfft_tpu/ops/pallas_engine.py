@@ -97,7 +97,8 @@ def supports(plan: AxisPlan) -> bool:
         return supports(plan_axis(a)) and supports(plan_axis(b))
     if split_two_factors(plan.core_n) is not None:
         return True
-    return split_long(plan.core_n) is not None
+    return (split_long(plan.core_n) is not None
+            or split_long3(plan.core_n) is not None)
 
 
 def _pack_complex_matrix(C: np.ndarray) -> np.ndarray:
@@ -716,23 +717,40 @@ def _strided_tables(n: int, inverse: bool):
             np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32))
 
 
-def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused,
+def _fused_product(factor_refs):
+    """Complex product of the fused twiddle factors.  Each factor arrives as
+    an (re_ref, im_ref) pair whose leading block dim is 1; shapes broadcast
+    against each other (e.g. (n1, 1, ts) x (1, n2, ts) -> (n1, n2, ts)) —
+    the separable form of w_N^(k*s): the exponent is linear in each digit of
+    k, so the table factorizes exactly and O(N*S) twiddle storage becomes
+    O((d1+d2)*S) (reference stores the full LUT_4step table,
+    ``vkFFT_ManageLUT.h``)."""
+    fr, fi = None, None
+    for rr, ri in factor_refs:
+        ar = rr[0]
+        ai = ri[0]
+        if fr is None:
+            fr, fi = ar, ai
+        else:
+            fr, fi = fr * ar - fi * ai, fr * ai + fi * ar
+    return fr, fi
+
+
+def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused, n_factors,
                     *refs):
     """Optional fused inter-pass twiddles for the long-sequence four-step:
-    'pre' multiplies the input block, 'post' the output block, by a
-    (n, S)-shaped table sliced per grid cell (reference LUT_4step fused
-    instead of a separate elementwise pass)."""
-    if fused:
-        (xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
-         fr_ref, fi_ref, or_ref, oi_ref) = refs
-    else:
-        (xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref,
-         or_ref, oi_ref) = refs
+    'pre' multiplies the input block, 'post' the output block, by the
+    complex product of ``n_factors`` separable twiddle-factor tables
+    (reference LUT_4step fused instead of a separate elementwise pass)."""
+    base = 6
+    (xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref) = refs[:base]
+    factor_refs = [(refs[base + 2 * i], refs[base + 2 * i + 1])
+                   for i in range(n_factors)]
+    or_ref, oi_ref = refs[base + 2 * n_factors:]
     xr = xr_ref[0].astype(jnp.float32)        # (N2, N1, S)
     xi = xi_ref[0].astype(jnp.float32)
     if fused == "pre":
-        fr = fr_ref[0]
-        fi = fi_ref[0]
+        fr, fi = _fused_product(factor_refs)
         xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
     if n2 > 1:
         z = jnp.concatenate([xr, xi], axis=0)              # (2N2, N1, S)
@@ -756,30 +774,97 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused,
         outr = jnp.swapaxes(tr, 0, 1)
         outi = jnp.swapaxes(ti, 0, 1)
     if fused == "post":
-        fr = fr_ref[0]
-        fi = fi_ref[0]
+        fr, fi = _fused_product(factor_refs)
         outr, outi = outr * fr - outi * fi, outr * fi + outi * fr
     or_ref[0] = outr.astype(out_dtype)
     oi_ref[0] = outi.astype(out_dtype)
 
 
+def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
+    """BlockSpec + full array shape for one separable twiddle factor.
+
+    The data block the factor multiplies is (1, d1, d2, tile_s) where
+    (d1, d2) = (n2, n1) for 'pre' (input layout) or (n1, n2) for 'post'
+    (output layout).  Descriptors:
+
+      ("dim1", rows)          table (rows, S): varies along block dim 1 + S
+      ("dim2", rows)          table (rows, S): varies along block dim 2 + S
+      ("grid_mod", na)        table (na, S): row selected by grid index
+                              p %% na (the digit carried in the P dim)
+      ("dim1_col", rows, nc)  table (rows, nc): column selected by the S
+                              block's position, j = s_offset // (S // nc)
+      ("dim2_col", rows, nc)  same along block dim 2
+    """
+    d1, d2 = (n2, n1) if fused == "pre" else (n1, n2)
+    kind = desc[0]
+    if kind in ("dim1", "dim2"):
+        rows = desc[1]
+        assert rows == (d1 if kind == "dim1" else d2), (desc, d1, d2)
+        if kind == "dim1":
+            shape = (1, rows, 1, s)
+            block = (1, rows, 1, tile_s)
+        else:
+            shape = (1, 1, rows, s)
+            block = (1, 1, rows, tile_s)
+        spec = pl.BlockSpec(block, lambda b, t: (0, 0, 0, t),
+                            memory_space=pltpu.VMEM)
+        return spec, shape, True
+    if kind == "grid_mod":
+        na = desc[1]
+        shape = (na, 1, 1, s)
+        block = (1, 1, 1, tile_s)
+        spec = pl.BlockSpec(block, lambda b, t: (b % na, 0, 0, t),
+                            memory_space=pltpu.VMEM)
+        return spec, shape, True
+    if kind in ("dim1_col", "dim2_col"):
+        rows, nc = desc[1], desc[2]
+        per = s // nc  # S elements per column; tile_s must divide it
+        assert per % tile_s == 0, (desc, s, tile_s)
+        blocks_per = per // tile_s
+        if kind == "dim1_col":
+            assert rows == d1, (desc, d1)
+            shape = (1, rows, 1, nc)
+            block = (1, rows, 1, 1)
+        else:
+            assert rows == d2, (desc, d2)
+            shape = (1, 1, rows, nc)
+            block = (1, 1, rows, 1)
+        spec = pl.BlockSpec(block, lambda b, t: (0, 0, 0, t // blocks_per),
+                            memory_space=pltpu.VMEM)
+        return spec, shape, False
+    raise ValueError(f"unknown factor descriptor {desc!r}")
+
+
 @functools.lru_cache(maxsize=512)
 def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                         dtype_name: str = "float32", fused: str = "",
-                        donate: bool = False):
+                        factors: tuple = (), donate: bool = False):
     """(P, n, S) planar transform over the middle axis, natural order.
-    ``fused`` = 'pre'/'post' adds a fused (n, S) twiddle multiply before/after
-    the transform (long-sequence inter-pass twiddle)."""
+    ``fused`` = 'pre'/'post' multiplies the input/output block by the complex
+    product of the separable twiddle factors described by ``factors`` (the
+    long-sequence inter-pass twiddle, reference LUT_4step)."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     r2, r1, twr, twi = _strided_tables(n, inverse)
     tile_s = _strided_tile_s(n, s)
+    col_ncs = {d[2] for d in factors if d[0] in ("dim1_col", "dim2_col")}
+    if col_ncs:
+        # column-selected factors address the table by S-block position:
+        # tile_s must divide the per-column run s // nc, and S cannot be
+        # padded (padding would shift column boundaries)
+        (ncol,) = col_ncs
+        per = s // ncol
+        assert s % ncol == 0, (s, ncol)
+        t = min(tile_s, per)
+        while per % t:
+            t -= 1
+        tile_s = t
     pad_s = (-s) % tile_s
     s_pad = s + pad_s
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype, prec,
-                               fused)
+                               fused, len(factors))
     spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
                            memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
@@ -788,13 +873,14 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                                        memory_space=pltpu.VMEM)
     in_specs = [spec_in, spec_in, const(r2.shape), const(r1.shape),
                 const(twr.shape), const(twi.shape)]
-    if fused:
-        # fused twiddle table: same block layout as the corresponding data
-        # side but a single (1, ...) leading slot shared by every line
-        f_shape = (1, n2, n1, tile_s) if fused == "pre" else (1, n1, n2, tile_s)
-        f_spec = pl.BlockSpec(f_shape, lambda b, t: (0, 0, 0, t),
-                              memory_space=pltpu.VMEM)
-        in_specs += [f_spec, f_spec]
+    f_shapes = []
+    f_pads = []
+    for desc in factors:
+        spec, shape, pad_trailing = _factor_spec(desc, n1, n2, fused,
+                                                 s_pad, tile_s)
+        in_specs += [spec, spec]
+        f_shapes.append(shape)
+        f_pads.append(pad_trailing)
     kw = {}
     # aliasing requires identical in/out abstract shapes: only the square
     # digit split qualifies for the strided kernel
@@ -810,7 +896,9 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         **kw,
     )
 
-    def run(xr, xi, fr=None, fi=None):
+    def run(xr, xi, *tables):
+        """``tables``: one (re, im) array pair per factor, each of the full
+        shape from its descriptor (trailing S dim unpadded)."""
         xr = xr.reshape(p, n2, n1, s)
         xi = xi.reshape(p, n2, n1, s)
         if pad_s:
@@ -819,10 +907,15 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
             xi = jnp.pad(xi, pads)
         args = [xr, xi, jnp.asarray(r2), jnp.asarray(r1),
                 jnp.asarray(twr), jnp.asarray(twi)]
-        if fused:
-            if pad_s:
-                fr = jnp.pad(fr, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
-                fi = jnp.pad(fi, ((0, 0), (0, 0), (0, 0), (0, pad_s)))
+        assert len(tables) == 2 * len(factors), (len(tables), factors)
+        for i in range(len(factors)):
+            fr, fi = tables[2 * i], tables[2 * i + 1]
+            fr = fr.reshape(f_shapes[i][:-1] + (-1,))
+            fi = fi.reshape(f_shapes[i][:-1] + (-1,))
+            if pad_s and f_pads[i]:
+                tpad = [(0, 0)] * 3 + [(0, pad_s)]
+                fr = jnp.pad(fr, tpad)
+                fi = jnp.pad(fi, tpad)
             args += [fr, fi]
         orr, oi = call(*args)
         if pad_s:
@@ -842,21 +935,17 @@ def strided_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False):
 
 
 @functools.lru_cache(maxsize=256)
-def _long_twiddle_views(n: int, inverse: bool):
-    """Fused-twiddle tables for the long path, pre-laid-out for the strided
-    kernel's block views.  post (forward): tw[kc, ns] viewed (1, nc1, nc2, ns)
-    [the strided OUTPUT layout]; pre (inverse): conj table viewed
-    (1, nc2, nc1, ns) [the strided INPUT layout]."""
-    nc, ns = split_long(n)
-    twr_t, twi_t = _long_twiddle(n, inverse)
-    c1, c2 = split_lane_major(nc)  # kc digits: kc = kc1*c2 + kc2
-    post_r = twr_t.reshape(1, c1, c2, ns)
-    post_i = twi_t.reshape(1, c1, c2, ns)
-    # inverse consumes the twiddle on its INPUT side, whose block view is
-    # (c2, c1) with flat index kc = a*c1 + b -- also a plain reshape
-    pre_r = twr_t.reshape(1, c2, c1, ns)
-    pre_i = twi_t.reshape(1, c2, c1, ns)
-    return post_r, post_i, pre_r, pre_i
+def _sep_twiddle(rows: int, stride: int, s: int, n: int, inverse: bool):
+    """One separable factor of the four-step inter-pass twiddle:
+    exp(+-2*pi*i * (row * stride * s_idx mod n) / n), shape (rows, s).
+    The full twiddle w_n^(kc * is) factorizes exactly over the digits of kc
+    because the exponent is linear in each digit — O((d1+d2)*S) storage
+    instead of the reference's full O(N) LUT (``vkFFT_ManageLUT.h``)."""
+    sign = 2.0j if inverse else -2.0j
+    r = np.arange(rows, dtype=np.int64)[:, None] * stride
+    ss = np.arange(s, dtype=np.int64)[None, :]
+    tw = np.exp(sign * np.pi / n * ((r * ss) % n))
+    return np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32)
 
 
 # ---------------------------------------------------------------------------
@@ -871,43 +960,79 @@ def _long_twiddle_views(n: int, inverse: bool):
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=128)
+def _divisors(n: int) -> tuple:
+    """Sorted divisors of n from its prime factorization (n can be 2^32+;
+    trial-division enumeration would be quadratically slow here)."""
+    from collections import Counter
+    divs = [1]
+    for p, e in Counter(prime_factors(n)).items():
+        divs = [d * p**k for d in divs for k in range(e + 1)]
+    return tuple(sorted(divs))
+
+
 @functools.lru_cache(maxsize=512)
 def split_long(n: int) -> Optional[tuple[int, int]]:
     """(Nc, Ns): strided-factor x contiguous-factor, both v2-supported,
     Ns as large as possible."""
-    best = None
-    for ns in range(min(n - 1, MAX_SINGLE_KERNEL_N), 1, -1):
-        if n % ns == 0:
-            nc = n // ns
-            if nc <= MAX_SINGLE_KERNEL_N and _use_v2(ns) and _use_v2(nc):
-                return (nc, ns)
-    return best
+    for ns in reversed(_divisors(n)):
+        if ns > MAX_SINGLE_KERNEL_N or ns >= n:
+            continue
+        nc = n // ns
+        if nc <= MAX_SINGLE_KERNEL_N and _use_v2(ns) and _use_v2(nc):
+            return (nc, ns)
+    return None
 
 
 @functools.lru_cache(maxsize=512)
-def _long_twiddle(n: int, inverse: bool):
-    nc, ns = split_long(n)
-    sign = 2.0j if inverse else -2.0j
-    kc = np.arange(nc)[:, None].astype(np.int64)
-    nn = np.arange(ns)[None, :].astype(np.int64)
-    tw = np.exp(sign * np.pi / n * ((kc * nn) % n))
-    return np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32)
+def split_long3(n: int) -> Optional[tuple[int, int, int]]:
+    """(Na, Nb, Ns) three-upload split for axes beyond the 2-level range —
+    the reference's third upload (``axisSplit``, ``vkFFT_Scheduler.h:
+    2590-2893``; axis ceiling 2^32, README.md:8).  Each factor must be a
+    v2-supported single-kernel length."""
+    divs = _divisors(n)
+    for ns in reversed(divs):
+        if ns > MAX_SINGLE_KERNEL_N or ns >= n or not _use_v2(ns):
+            continue
+        m = n // ns
+        if m > MAX_SINGLE_KERNEL_N * MAX_SINGLE_KERNEL_N:
+            continue
+        # near-square (Na, Nb) split of the remaining factor
+        best = None
+        for na in _divisors(m):
+            if na <= 1 or na > MAX_SINGLE_KERNEL_N:
+                continue
+            nb = m // na
+            if nb <= MAX_SINGLE_KERNEL_N and _use_v2(na) and _use_v2(nb):
+                if best is None or abs(na - nb) < abs(best[0] - best[1]):
+                    best = (na, nb)
+        if best is not None:
+            return (best[0], best[1], ns)
+    return None
 
 
 def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
     """DFT of (B, n) planar lines for n beyond the single-kernel range.
     The inter-pass twiddle is fused into the strided kernel (post-multiply on
-    the forward write, pre-multiply on the inverse read) — no separate
-    elementwise HBM pass."""
+    the forward write, pre-multiply on the inverse read) as separable digit
+    factors — no separate elementwise HBM pass and no O(n) twiddle table."""
+    if split_long(n) is None:
+        return _fft_long3_planar(xr, xi, n, inverse, order)
     nc, ns = split_long(n)
     B = xr.shape[0]
-    post_r, post_i, pre_r, pre_i = _long_twiddle_views(n, inverse)
+    c1, c2 = split_lane_major(nc)
 
     if not inverse:
+        # post twiddle on the strided OUTPUT block (1, c1, c2, ts):
+        # kc = a*c2 + b -> A[a, is] = w_n^(a*c2*is), B[b, is] = w_n^(b*is)
+        fa = _sep_twiddle(c1, c2, ns, n, False)
+        fb = _sep_twiddle(c2, 1, ns, n, False)
         run = _build_strided_call(nc, False, B, ns, _INTERPRET, str(xr.dtype),
-                                  fused="post")
+                                  fused="post",
+                                  factors=(("dim1", c1), ("dim2", c2)))
         tr, ti = run(xr.reshape(B, nc, ns), xi.reshape(B, nc, ns),
-                     jnp.asarray(post_r), jnp.asarray(post_i))   # (B, kc, ns)
+                     jnp.asarray(fa[0]), jnp.asarray(fa[1]),
+                     jnp.asarray(fb[0]), jnp.asarray(fb[1]))   # (B, kc, ns)
         if _use_v2(ns):
             orr, oi = core_fft_planar_v2(tr.reshape(B * nc, ns),
                                          ti.reshape(B * nc, ns), ns, False,
@@ -936,9 +1061,106 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
                              xi.reshape(B * nc, ns), ns, True)
     br = br.reshape(B, nc, ns)
     bi = bi.reshape(B, nc, ns)
+    # pre twiddle on the strided INPUT block (1, c2, c1, ts):
+    # kc = a*c1 + b with a in [c2] -> A[a, is] = w*(a*c1*is), B[b, is]
+    fa = _sep_twiddle(c2, c1, ns, n, True)
+    fb = _sep_twiddle(c1, 1, ns, n, True)
     run = _build_strided_call(nc, True, B, ns, _INTERPRET, str(xr.dtype),
-                              fused="pre")
-    orr, oi = run(br, bi, jnp.asarray(pre_r), jnp.asarray(pre_i))
+                              fused="pre",
+                              factors=(("dim1", c2), ("dim2", c1)))
+    orr, oi = run(br, bi, jnp.asarray(fa[0]), jnp.asarray(fa[1]),
+                  jnp.asarray(fb[0]), jnp.asarray(fb[1]))
+    return orr.reshape(B, n), oi.reshape(B, n)
+
+
+def _fft_long3_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
+    """Three-upload four-step for axes beyond the 2-level range (~2^28),
+    matching the reference's numPasses==3 regime (``vkFFT_Scheduler.h:
+    2590-2893``; axis ceiling 2^32, README.md:8).
+
+    Forward dataflow, n = Na*Nb*Ns with x viewed (B, ja, jb, js):
+      1. strided DFT over ja, fused post-twiddle w_{NaNb}^(ka*jb)
+      2. strided DFT over jb, fused post-twiddle w_n^((kb*Na+ka)*js)
+      3. contiguous DFT over js
+    Output digits (ka, kb, ks); natural order is one (B,ka,kb,ks) ->
+    (B,ks,kb,ka) transpose.  All twiddles ride the kernels as separable
+    digit factors — there is no O(n) table at any point.
+    """
+    sp = split_long3(n)
+    if sp is None:
+        raise ValueError(f"no long-path split for n={n}")
+    na, nb, ns = sp
+    nc = na * nb
+    B = xr.shape[0]
+    a1, a2 = split_lane_major(na)
+    b1, b2 = split_lane_major(nb)
+    dt = str(xr.dtype)
+
+    if not inverse:
+        # pass 1 over ja, trailing S1 = nb*ns; inner twiddle depends on
+        # jb = S1_idx // ns only (column factors)
+        ca = _sep_twiddle(a1, a2, nb, nc, False)   # rows ka-slow digit
+        cb = _sep_twiddle(a2, 1, nb, nc, False)
+        run1 = _build_strided_call(
+            na, False, B, nb * ns, _INTERPRET, dt, fused="post",
+            factors=(("dim1_col", a1, nb), ("dim2_col", a2, nb)))
+        tr, ti = run1(xr.reshape(B, na, nb * ns), xi.reshape(B, na, nb * ns),
+                      jnp.asarray(ca[0]), jnp.asarray(ca[1]),
+                      jnp.asarray(cb[0]), jnp.asarray(cb[1]))  # (B, ka, nb*ns)
+
+        # pass 2 over jb, P = B*na (ka fast); outer twiddle w_n^(kc*is),
+        # kc = kb*na + ka with kb = u*b2 + v
+        fu = _sep_twiddle(b1, b2 * na, ns, n, False)
+        fv = _sep_twiddle(b2, na, ns, n, False)
+        fk = _sep_twiddle(na, 1, ns, n, False)
+        run2 = _build_strided_call(
+            nb, False, B * na, ns, _INTERPRET, dt, fused="post",
+            factors=(("dim1", b1), ("dim2", b2), ("grid_mod", na)))
+        tr, ti = run2(tr.reshape(B * na, nb, ns), ti.reshape(B * na, nb, ns),
+                      jnp.asarray(fu[0]), jnp.asarray(fu[1]),
+                      jnp.asarray(fv[0]), jnp.asarray(fv[1]),
+                      jnp.asarray(fk[0]), jnp.asarray(fk[1]))  # (B*na, kb, ns)
+
+        orr, oi = core_fft_planar_v2(tr.reshape(B * nc, ns),
+                                     ti.reshape(B * nc, ns), ns, False,
+                                     order="natural", donate=True)
+        orr = orr.reshape(B, na, nb, ns)
+        oi = oi.reshape(B, na, nb, ns)
+        if order == "natural":
+            orr = orr.transpose(0, 3, 2, 1).reshape(B, n)
+            oi = oi.transpose(0, 3, 2, 1).reshape(B, n)
+        else:
+            orr = orr.reshape(B, n)
+            oi = oi.reshape(B, n)
+        return orr, oi
+
+    # inverse: exact mirror
+    if order == "natural":
+        xr = xr.reshape(B, ns, nb, na).transpose(0, 3, 2, 1)
+        xi = xi.reshape(B, ns, nb, na).transpose(0, 3, 2, 1)
+    xr = xr.reshape(B * nc, ns)
+    xi = xi.reshape(B * nc, ns)
+    br, bi = core_fft_planar_v2(xr, xi, ns, True, order="natural")
+
+    fu = _sep_twiddle(b2, b1 * na, ns, n, True)   # pre layout: dim1 = b2 rows
+    fv = _sep_twiddle(b1, na, ns, n, True)
+    fk = _sep_twiddle(na, 1, ns, n, True)
+    run2 = _build_strided_call(
+        nb, True, B * na, ns, _INTERPRET, dt, fused="pre",
+        factors=(("dim1", b2), ("dim2", b1), ("grid_mod", na)))
+    br, bi = run2(br.reshape(B * na, nb, ns), bi.reshape(B * na, nb, ns),
+                  jnp.asarray(fu[0]), jnp.asarray(fu[1]),
+                  jnp.asarray(fv[0]), jnp.asarray(fv[1]),
+                  jnp.asarray(fk[0]), jnp.asarray(fk[1]))
+
+    ca = _sep_twiddle(a2, a1, nb, nc, True)       # pre layout: dim1 = a2 rows
+    cb = _sep_twiddle(a1, 1, nb, nc, True)
+    run1 = _build_strided_call(
+        na, True, B, nb * ns, _INTERPRET, dt, fused="pre",
+        factors=(("dim1_col", a2, nb), ("dim2_col", a1, nb)))
+    orr, oi = run1(br.reshape(B, na, nb * ns), bi.reshape(B, na, nb * ns),
+                   jnp.asarray(ca[0]), jnp.asarray(ca[1]),
+                   jnp.asarray(cb[0]), jnp.asarray(cb[1]))
     return orr.reshape(B, n), oi.reshape(B, n)
 
 
