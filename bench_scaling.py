@@ -18,12 +18,14 @@ import time
 import numpy as np
 
 
-def bench_mesh(shape, devices, engine=None, n_lo=2, n_hi=8):
+def bench_mesh(shape, devices, engine=None, n_lo=2, n_hi=8,
+               overlap_chunks=1):
     import jax
     from vkfft_tpu.parallel import DistributedFFT, fft_mesh
 
     mesh = fft_mesh((len(devices),), ("fft",), devices=devices)
-    app = DistributedFFT(shape, mesh, engine=engine)
+    app = DistributedFFT(shape, mesh, engine=engine,
+                         overlap_chunks=overlap_chunks)
     rng = np.random.default_rng(0)
     x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
     xs = app.shard_input(x)
@@ -73,13 +75,19 @@ def main():
         if t1 is None:
             t1 = dt
         eff = t1 / (c * dt)
-        results[c] = {"ms": round(dt * 1e3, 3), "efficiency": round(eff, 3)}
+        entry = {"ms": round(dt * 1e3, 3), "efficiency": round(eff, 3)}
+        if c > 1:
+            dt_ov = bench_mesh(shape, devices[:c], overlap_chunks=4)
+            entry["ms_overlap4"] = round(dt_ov * 1e3, 3)
+        results[c] = entry
 
     print(json.dumps({
         "metric": "slab 3D FFT fwd+inv scaling over chips",
         "shape": list(shape),
         "results": results,
-        "note": "efficiency = T1/(N*T_N); hardware-meaningful only on a real multi-chip slice",
+        "note": ("efficiency = T1/(N*T_N); ms_overlap4 = chunked "
+                 "a2a/compute overlap; hardware-meaningful only on a real "
+                 "multi-chip slice"),
     }))
 
 

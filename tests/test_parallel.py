@@ -126,3 +126,51 @@ def test_pencil_planar():
     p = app.shard_input(from_complex(x))
     z = to_numpy(app.inverse(app.forward(p)))
     assert rel_err(z, x) < 1e-4
+
+
+def test_hybrid_mesh():
+    from vkfft_tpu.parallel import hybrid_fft_mesh
+    # emulated (dcn, ici) factorization: axis 0 = 2 hosts x 1 chip,
+    # axis 1 = 1 x 4 chips
+    m = hybrid_fft_mesh((1, 4), (2, 1), ("x", "y"))
+    assert m.devices.shape == (2, 4)
+    # axis 1 rows must be ICI-contiguous device ids (inner dimension)
+    ids = np.array([[d.id for d in row] for row in m.devices])
+    assert (np.diff(ids, axis=1) == 1).all()
+    with pytest.raises(ValueError):
+        hybrid_fft_mesh((1, 4), (4, 1), ("x", "y"))  # 16 != 8 devices
+
+
+def test_initialize_distributed_single_process_noop():
+    from vkfft_tpu.parallel import initialize_distributed
+    assert initialize_distributed() is False  # no launcher env, no-op
+
+
+@pytest.mark.parametrize("chunks", [2, 4])
+def test_pencil_overlap_chunks(chunks):
+    """Chunked a2a/compute overlap must be bit-identical in layout to the
+    monolithic stage (the free-axis chunking changes scheduling only)."""
+    mesh = fft_mesh((4, 2), ("px", "py"))
+    shape = (8, 8, 16)
+    rng = np.random.default_rng(11)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    ref_app = DistributedFFT(shape, mesh, engine="jnp")
+    app = DistributedFFT(shape, mesh, engine="jnp", overlap_chunks=chunks)
+    y_ref = np.asarray(ref_app.forward(ref_app.shard_input(x)))
+    y = np.asarray(app.forward(app.shard_input(x)))
+    assert rel_err(y, y_ref) < 1e-6
+    z = np.asarray(app.inverse(app.forward(app.shard_input(x))))
+    assert rel_err(z, x) < 1e-4
+
+
+def test_slab_overlap_on_hybrid_mesh():
+    from vkfft_tpu.parallel import hybrid_fft_mesh
+    mesh = hybrid_fft_mesh((1, 4), (2, 1), ("px", "py"))
+    shape = (8, 8, 16)
+    rng = np.random.default_rng(12)
+    x = (rng.standard_normal(shape)
+         + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    app = DistributedFFT(shape, mesh, engine="jnp", overlap_chunks=2)
+    z = np.asarray(app.inverse(app.forward(app.shard_input(x))))
+    assert rel_err(z, x) < 1e-4

@@ -1,4 +1,8 @@
-from vkfft_tpu.parallel.mesh import fft_mesh
+from vkfft_tpu.parallel.mesh import (
+    fft_mesh,
+    hybrid_fft_mesh,
+    initialize_distributed,
+)
 from vkfft_tpu.parallel.pencil import (
     DistributedFFT,
     pfft,

@@ -51,6 +51,37 @@ def _a2a(x, name, split_axis, concat_axis):
                               concat_axis=concat_axis, tiled=True)
 
 
+def _split(x, k, axis):
+    if isinstance(x, Planar):
+        res = [Planar(r, i) for r, i in zip(jnp.split(x.re, k, axis=axis),
+                                            jnp.split(x.im, k, axis=axis))]
+        return res
+    return jnp.split(x, k, axis=axis)
+
+
+def _concat(parts, axis):
+    if isinstance(parts[0], Planar):
+        return Planar(jnp.concatenate([p.re for p in parts], axis=axis),
+                      jnp.concatenate([p.im for p in parts], axis=axis))
+    return jnp.concatenate(parts, axis=axis)
+
+
+def _overlapped(x, free_axis, chunks, stage):
+    """Run ``stage`` (an all_to_all + local-FFT pair) over ``chunks`` slices
+    of ``x`` along ``free_axis`` — an axis touched by neither the transpose
+    nor the transform, so each chunk's chain is independent and XLA's
+    latency-hiding scheduler can overlap chunk i+1's collective with chunk
+    i's compute.  Falls back to the monolithic stage when the axis does not
+    divide.  This is the communication/compute overlap the reference cannot
+    express (single-device; SURVEY §2.5) — the distributed analog of its
+    inter-upload pipelining."""
+    size = (x.re if isinstance(x, Planar) else x).shape[free_axis]
+    if chunks <= 1 or size % chunks or chunks > size:
+        return stage(x)
+    parts = _split(x, chunks, free_axis)
+    return _concat([stage(p) for p in parts], free_axis)
+
+
 def _eng(engine: Optional[str]):
     return api._engine(engine or ("jnp" if jax.devices()[0].platform == "cpu" else "pallas"))
 
@@ -69,12 +100,13 @@ class DistributedFFT:
 
     def __init__(self, shape: tuple[int, ...], mesh: Mesh,
                  engine: Optional[str] = None, transpose_back: bool = False,
-                 normalize: bool = True):
+                 normalize: bool = True, overlap_chunks: int = 1):
         self.shape = tuple(shape)
         self.mesh = mesh
         self.engine = engine
         self.transpose_back = transpose_back
         self.normalize = normalize
+        self.overlap_chunks = int(overlap_chunks)
         self.axis_names = tuple(mesh.axis_names)
         ndim = len(self.shape)
         if len(self.axis_names) == 1:
@@ -138,14 +170,17 @@ class DistributedFFT:
     def _build(self, inverse: bool):
         names = self.axis_names
         ndim = len(self.shape)
+        oc = self.overlap_chunks
 
         def fwd_slab(x):
             # x local: (X/P, Y, Z, ...) — transform trailing axes, transpose,
-            # transform axis 0
+            # transform axis 0.  With >= 3 dims the a2a+FFT stage is chunked
+            # along the last axis (untouched by both) for comm/compute overlap.
             for ax in range(1, ndim):
                 x = self._local_fft(x, ax, inverse)
-            x = _a2a(x, names[0], 1, 0)
-            x = self._local_fft(x, 0, inverse)
+            stage = lambda c: self._local_fft(_a2a(c, names[0], 1, 0),
+                                              0, inverse)
+            x = _overlapped(x, ndim - 1, oc if ndim >= 3 else 1, stage)
             if self.transpose_back:
                 x = _a2a(x, names[0], 0, 1)
             return x
@@ -154,19 +189,24 @@ class DistributedFFT:
             # exact reverse of fwd_slab's dataflow
             if self.transpose_back:
                 x = _a2a(x, names[0], 1, 0)
-            x = self._local_fft(x, 0, inverse)
-            x = _a2a(x, names[0], 0, 1)
+            stage = lambda c: _a2a(self._local_fft(c, 0, inverse),
+                                   names[0], 0, 1)
+            x = _overlapped(x, ndim - 1, oc if ndim >= 3 else 1, stage)
             for ax in range(ndim - 1, 0, -1):
                 x = self._local_fft(x, ax, inverse)
             return x
 
         def fwd_pencil(x):
-            # x local: (X/P1, Y/P2, Z)
+            # x local: (X/P1, Y/P2, Z); each a2a+FFT stage is chunked along
+            # its free axis (0 for the z<->y stage, 2 for y<->x) so chunk
+            # i+1's all_to_all overlaps chunk i's transform
             x = self._local_fft(x, 2, inverse)
-            x = _a2a(x, names[1], 2, 1)
-            x = self._local_fft(x, 1, inverse)
-            x = _a2a(x, names[0], 1, 0)
-            x = self._local_fft(x, 0, inverse)
+            x = _overlapped(
+                x, 0, oc,
+                lambda c: self._local_fft(_a2a(c, names[1], 2, 1), 1, inverse))
+            x = _overlapped(
+                x, 2, oc,
+                lambda c: self._local_fft(_a2a(c, names[0], 1, 0), 0, inverse))
             if self.transpose_back:
                 x = _a2a(x, names[0], 0, 1)
                 x = _a2a(x, names[1], 1, 2)
@@ -176,10 +216,12 @@ class DistributedFFT:
             if self.transpose_back:
                 x = _a2a(x, names[1], 2, 1)
                 x = _a2a(x, names[0], 1, 0)
-            x = self._local_fft(x, 0, inverse)
-            x = _a2a(x, names[0], 0, 1)
-            x = self._local_fft(x, 1, inverse)
-            x = _a2a(x, names[1], 1, 2)
+            x = _overlapped(
+                x, 2, oc,
+                lambda c: _a2a(self._local_fft(c, 0, inverse), names[0], 0, 1))
+            x = _overlapped(
+                x, 0, oc,
+                lambda c: _a2a(self._local_fft(c, 1, inverse), names[1], 1, 2))
             x = self._local_fft(x, 2, inverse)
             return x
 
@@ -231,31 +273,36 @@ class DistributedFFT:
 # -- functional facade ------------------------------------------------------
 
 @functools.lru_cache(maxsize=128)
-def _cached_dist(shape, mesh_key, engine, transpose_back):
+def _cached_dist(shape, mesh_key, engine, transpose_back, overlap_chunks=1):
     mesh = _MESHES[mesh_key]
-    return DistributedFFT(shape, mesh, engine=engine, transpose_back=transpose_back)
+    return DistributedFFT(shape, mesh, engine=engine,
+                          transpose_back=transpose_back,
+                          overlap_chunks=overlap_chunks)
 
 
 _MESHES: dict = {}
 
 
-def _dist_for(x, mesh, engine, transpose_back):
+def _dist_for(x, mesh, engine, transpose_back, overlap_chunks=1):
     key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
            tuple(d.id for d in mesh.devices.flat))
     _MESHES[key] = mesh
-    return _cached_dist(tuple(x.shape), key, engine, transpose_back)
+    return _cached_dist(tuple(x.shape), key, engine, transpose_back,
+                        overlap_chunks)
 
 
-def pfftn(x, mesh: Mesh, engine: Optional[str] = None, transpose_back: bool = False):
+def pfftn(x, mesh: Mesh, engine: Optional[str] = None,
+          transpose_back: bool = False, overlap_chunks: int = 1):
     """Distributed forward N-D FFT of a globally-shaped array over ``mesh``."""
-    app = _dist_for(x, mesh, engine, transpose_back)
+    app = _dist_for(x, mesh, engine, transpose_back, overlap_chunks)
     return app.forward(app.shard_input(x) if not _is_sharded(x, mesh) else x)
 
 
-def pifftn(x, mesh: Mesh, engine: Optional[str] = None, transpose_back: bool = False):
+def pifftn(x, mesh: Mesh, engine: Optional[str] = None,
+           transpose_back: bool = False, overlap_chunks: int = 1):
     """Distributed inverse N-D FFT.  Host arrays are placed with the expected
     *spectrum* sharding (``output_spec``), mirroring ``pfftn``."""
-    app = _dist_for(x, mesh, engine, transpose_back)
+    app = _dist_for(x, mesh, engine, transpose_back, overlap_chunks)
     if not _is_sharded(x, mesh):
         sh = NamedSharding(mesh, app.output_spec())
         if isinstance(x, Planar):
