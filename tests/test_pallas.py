@@ -268,3 +268,52 @@ def test_split_pallas(n):
     y = np.asarray(pallas_engine.fft_lines(jnp.asarray(x), plan_axis(n)))
     ref = np.fft.fft(x.astype(np.complex128))
     assert rel_err(y, ref) < 5e-6
+
+
+def test_zeropad_elision_core():
+    """in_nonzero (forward read elision) and out_keep (inverse write
+    elision) must match the full kernel on zero-tail data (reference
+    ``vkFFT_Zeropad.h`` semantics: declared region is treated as zero)."""
+    import jax.numpy as jnp
+    n, h, B = 1024, 512, 4
+    rng = np.random.default_rng(3)
+    x = np.zeros((B, n), dtype=np.complex64)
+    x[:, :h] = (rng.standard_normal((B, h))
+                + 1j * rng.standard_normal((B, h)))
+    xr = jnp.asarray(np.ascontiguousarray(x.real))
+    xi = jnp.asarray(np.ascontiguousarray(x.imag))
+    assert pallas_engine.zeropad_rows(n, h) == 4
+    yr, yi = pallas_engine.core_fft_planar_v2(xr, xi, n, False, in_nonzero=h)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(got, ref) < 2e-6
+    # garbage in the declared-zero tail is ignored (never read)
+    xg_r = jnp.asarray(np.ascontiguousarray(x.real) + 0)
+    xg_r = xg_r.at[:, h:].set(99.0)
+    yr2, _ = pallas_engine.core_fft_planar_v2(xg_r, xi, n, False, in_nonzero=h)
+    np.testing.assert_allclose(np.asarray(yr2), np.asarray(yr))
+    # inverse write elision: keep only [0, h)
+    zr, zi = pallas_engine.core_fft_planar_v2(yr, yi, n, True, out_keep=h)
+    assert zr.shape == (B, h)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert rel_err(back, x[:, :h]) < 2e-6
+
+
+def test_zeropad_elision_api():
+    """Config-driven zero-pad elision through FFTApplication (pallas)."""
+    import jax.numpy as jnp
+    import vkfft_tpu as vt
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    n, h = 256, 128
+    cfg = vt.FFTConfig(shape=(n,), zeropad_input=((h, n),), normalize=True)
+    app = vt.FFTApplication(cfg, engine="pallas")
+    rng = np.random.default_rng(4)
+    x = np.zeros((3, n), dtype=np.complex64)
+    x[:, :h] = rng.standard_normal((3, h)) + 1j * rng.standard_normal((3, h))
+    y = app.forward(from_complex(x))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(to_numpy(y), ref) < 2e-6
+    z = to_numpy(app.inverse(y))
+    # inverse zeroes the declared region and restores the data part
+    assert rel_err(z[:, :h], x[:, :h]) < 2e-6
+    assert np.abs(z[:, h:]).max() < 1e-5

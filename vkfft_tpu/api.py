@@ -222,6 +222,38 @@ class FFTApplication:
                     out = out * np.asarray(1.0 / n, dtype=np.float32)
                 return out
 
+        # Zero-pad work elision (reference ``vkFFT_Zeropad.h``, README.md:14):
+        # a declared-zero tail on a 1-D pallas DIRECT transform skips the
+        # read of the zero region (forward) / the write of the discarded
+        # region (inverse) at the kernel level — bandwidth and MACs drop
+        # with the pad fraction instead of paying an extra masking pass.
+        if (planar and self.engine_name == "pallas" and len(cfg.axes) == 1
+                and cfg.axes[0] == ndim - 1 and cfg.zeropad_input is not None
+                and cfg.zeropad_output is None):
+            from vkfft_tpu.ops import pallas_engine as _pe
+            from vkfft_tpu.planner.factorize import Algorithm as _Alg
+            n = cfg.shape[-1]
+            plan = self.axis_plans[cfg.axes[0]]
+            w = cfg.zeropad_input[-1]
+            if (plan.algorithm is _Alg.DIRECT and _pe._use_v2(n)
+                    and w is not None and w[1] == n
+                    and _pe.zeropad_rows(n, w[0])):
+                h = w[0]
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                if not inverse:
+                    rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n,
+                                                    False, in_nonzero=h)
+                    return Planar(rr, ii).reshape(*lead, n)
+                rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n, True,
+                                                out_keep=h)
+                out = Planar(rr, ii)
+                if cfg.normalize:
+                    out = out * np.asarray(1.0 / n, dtype=np.float32)
+                tail = ((0, 0), (0, n - h))
+                out = Planar(jnp.pad(out.re, tail), jnp.pad(out.im, tail))
+                return out.reshape(*lead, n)
+
         fft_axis = eng.fft_axis_p if planar else eng.fft_axis
         if not inverse:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)

@@ -508,14 +508,20 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
                    or_ref, oi_ref):
     """Batched formulation: one dot_general per step for the whole block
     (measured 2.7x faster than a per-line unrolled loop on v5e — Mosaic
-    vectorizes batched contractions across the line dimension)."""
+    vectorizes batched contractions across the line dimension).
+
+    Zero-pad elision rides the block shapes: a forward input block may carry
+    only the nonzero sublane rows (rsub arrives column-cropped to match), and
+    an inverse output block only the kept rows (rsub row-cropped) — the MXU
+    rendition of the reference's read/write skipping (``vkFFT_Zeropad.h``),
+    saving both HBM traffic and MACs."""
     twr = twr_ref[:]
     twi = twi_ref[:]
-    xr = xr_ref[:].astype(jnp.float32)                   # (TB, N2, N1)
+    xr = xr_ref[:].astype(jnp.float32)                   # (TB, R2<=N2, N1)
     xi = xi_ref[:].astype(jnp.float32)
     if not inverse:
-        if n2 > 1:
-            z = jnp.concatenate([xr, xi], axis=1)        # (TB, 2N2, N1)
+        if xr.shape[1] > 1 or n2 > 1:
+            z = jnp.concatenate([xr, xi], axis=1)        # (TB, 2R2, N1)
             y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
                                     precision=prec)  # (2N2, TB, N1)
@@ -550,13 +556,14 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
         tw_i = twi[None, :, :]
         tr = ar * tw_r - ai * tw_i                       # (TB, N2, N1)
         ti = ar * tw_i + ai * tw_r
+        keep = or_ref.shape[1]                           # kept output rows
         if n2 > 1:
             z = jnp.concatenate([tr, ti], axis=1)        # (TB, 2N2, N1)
             y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
                                     preferred_element_type=jnp.float32,
-                                    precision=prec)  # (2N2, TB, N1)
-            outr = jnp.swapaxes(y[:n2], 0, 1)
-            outi = jnp.swapaxes(y[n2:], 0, 1)
+                                    precision=prec)  # (2*keep, TB, N1)
+            outr = jnp.swapaxes(y[:keep], 0, 1)
+            outi = jnp.swapaxes(y[keep:], 0, 1)
         else:
             outr, outi = tr, ti
         or_ref[:] = outr.astype(out_dtype)
@@ -573,14 +580,32 @@ def _v2_lines_per_block(n: int) -> int:
 
 @functools.lru_cache(maxsize=512)
 def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
-                       dtype_name: str = "float32", donate: bool = False):
+                       dtype_name: str = "float32", donate: bool = False,
+                       in_rows: int = 0, out_rows: int = 0):
     """``donate=True`` aliases the input planes to the output buffers
     (in-place transform) — measured +32% bandwidth on v5e.  Only safe when
     the caller's operands are dead after the call (internal pipeline
-    intermediates); XLA would otherwise insert defensive copies."""
+    intermediates); XLA would otherwise insert defensive copies.
+
+    Zero-pad elision (``vkFFT_Zeropad.h`` analog): ``in_rows`` (forward)
+    reads only the first in_rows of the n2 input sublane rows — the tail
+    j >= in_rows*n1 is never DMA'd and the sublane DFT matrix is
+    column-cropped, cutting both bandwidth and MACs.  ``out_rows``
+    (inverse) writes only the first out_rows output rows (row-cropped
+    matrix) for discarded-tail outputs.  0 = full."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     rsub, mlane, twr, twi = _v2_tables(n, inverse)
+    in_rows = in_rows or n2
+    out_rows = out_rows or n2
+    if not inverse and in_rows < n2:
+        # crop contraction columns to the nonzero input rows
+        rsub = np.concatenate([rsub[:, :in_rows],
+                               rsub[:, n2:n2 + in_rows]], axis=1)
+    if inverse and out_rows < n2:
+        # crop output rows to the kept window
+        rsub = np.concatenate([rsub[:out_rows],
+                               rsub[n2:n2 + out_rows]], axis=0)
     tb = _v2_lines_per_block(n)
     pad = (-batch) % tb
     padded = batch + pad
@@ -603,22 +628,24 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     kernel = functools.partial(_fft_kernel_v2, lane, n2, tb, inverse, dtype, prec)
-    spec = pl.BlockSpec((tb, n2, lane), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
+    spec_in = pl.BlockSpec((tb, in_rows, lane), lambda b: (b, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((tb, out_rows, lane), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
     kw = {}
-    if donate and not interpret:
+    if donate and not interpret and in_rows == n2 and out_rows == n2:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
-        in_specs=[spec, spec, const(rsub.shape), const(mlane.shape),
+        in_specs=[spec_in, spec_in, const(rsub.shape), const(mlane.shape),
                   const(twr.shape), const(twi.shape)],
-        out_specs=[spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((padded, n2, lane), dtype),
-                   jax.ShapeDtypeStruct((padded, n2, lane), dtype)],
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((padded, out_rows, lane), dtype),
+                   jax.ShapeDtypeStruct((padded, out_rows, lane), dtype)],
         interpret=interpret,
         **kw,
     )
@@ -635,7 +662,8 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
         if lane != n1:
             orr = orr[..., :n1]
             oi = oi[..., :n1]
-        return (orr[:batch].reshape(batch, n), oi[:batch].reshape(batch, n))
+        nk = out_rows * n1
+        return (orr[:batch].reshape(batch, nk), oi[:batch].reshape(batch, nk))
 
     return run
 
@@ -653,15 +681,36 @@ def _swap_digits(x: jax.Array, rows: int, cols: int) -> jax.Array:
     return x.reshape(B, rows, cols).swapaxes(1, 2).reshape(B, rows * cols)
 
 
+def zeropad_rows(n: int, nonzero: int) -> int:
+    """Sublane rows covering a nonzero prefix [0, nonzero) of an n-length
+    line in the v2 layout, or 0 when the prefix is not row-aligned (callers
+    then fall back to masking).  Alignment: nonzero % n1 == 0."""
+    sp = split_lane_major(n)
+    if sp is None or nonzero <= 0 or nonzero >= n:
+        return 0
+    n1, n2 = sp
+    if nonzero % n1:
+        return 0
+    return nonzero // n1
+
+
 def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural",
-                       donate: bool = False):
+                       donate: bool = False, in_nonzero: int = 0,
+                       out_keep: int = 0):
     """v2 core.  Forward: natural in; 'swapped' order skips the output
     reorder.  Inverse: natural out; 'swapped' means the *input* is in swapped
     order (as produced by a swapped forward).  ``donate`` transforms
-    in place (caller's planes must be dead)."""
+    in place (caller's planes must be dead).
+
+    Zero-pad elision (``vkFFT_Zeropad.h``): ``in_nonzero`` (forward) skips
+    reading the declared-zero tail [in_nonzero, n); ``out_keep`` (inverse)
+    writes only [0, out_keep) and returns planes of that length.  Both must
+    be n1-row aligned (see ``zeropad_rows``)."""
     n1, n2 = split_lane_major(n)
+    in_rows = zeropad_rows(n, in_nonzero) if (in_nonzero and not inverse) else 0
+    out_rows = zeropad_rows(n, out_keep) if (out_keep and inverse) else 0
     run = _build_fft_call_v2(n, inverse, xr.shape[0], _INTERPRET, str(xr.dtype),
-                             donate)
+                             donate, in_rows, out_rows)
     if not inverse:
         orr, oi = run(xr, xi)
         if order == "natural":
