@@ -101,7 +101,8 @@ def _time_fwd_inv(app, x, iters=80, warmup=2):
     return max((timed(f_hi) - timed(f_lo)) / (hi_n - lo_n), 1e-9)
 
 
-def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
+def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label="",
+                   iters=80):
     """Reference sample-0 pattern: sweep systems, batch each to target size,
     print ms + bandwidth + aggregate score."""
     import vkfft_tpu as vt
@@ -114,7 +115,7 @@ def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label=""):
         x = _rand_complex((batch,) + shape, seed=n_elems, dtype=dtype)
         cfg = vt.FFTConfig(shape=shape, normalize=False)
         app = vt.get_application(cfg, ctx.engine)
-        dt = _time_fwd_inv(app, x)
+        dt = _time_fwd_inv(app, x, iters=iters)
         buf_kb = x.nbytes / 1024
         uploads = 2 * len(shape)  # fwd+inv, one read+write per axis pass
         if dt < 50e-6:
@@ -496,6 +497,245 @@ def sample_10(ctx):
             f"({'PASS' if ok else 'FAIL'})")
 
 
+@sample(4, "benchmark zero-padded C2C FP32 (work elision; sample_4 analog)")
+def sample_4(ctx):
+    """Reference sample_4: zero-padding gives up to 2x speedup because
+    declared-zero reads/writes are elided (vkFFT_Zeropad.h, README.md:14-15).
+    Times a half-padded 1-D system against the unpadded one."""
+    import vkfft_tpu as vt
+    for n in (1024, 4096):
+        batch = max(1, 64 * 1024 * 1024 // (8 * n))
+        x = _rand_complex((batch, n), seed=n)
+        x[..., n // 2:] = 0
+        full = vt.get_application(vt.FFTConfig(shape=(n,)), ctx.engine)
+        pad = vt.get_application(
+            vt.FFTConfig(shape=(n,), zeropad_input=((n // 2, n),)), ctx.engine)
+        dt_full = _time_fwd_inv(full, x)
+        dt_pad = _time_fwd_inv(pad, x)
+        if min(dt_full, dt_pad) < 50e-6:
+            ctx.log(f"  n={n}: below timing noise floor; see bench.py")
+            continue
+        ctx.log(f"  n={n} batch {batch}: full {dt_full*1e3:8.3f} ms  "
+                f"zeropad {dt_pad*1e3:8.3f} ms  speedup {dt_full/dt_pad:.2f}x")
+
+
+@sample(5, "benchmark no-reorder 4-step (disableReorderFourStep analog)")
+def sample_5(ctx):
+    """Reference sample_5: skipping the 4-step reorder pass keeps output in
+    swapped digit order for extra bandwidth (``disableReorderFourStep``).
+    Here: keep_intermediate_order=True vs natural order."""
+    import vkfft_tpu as vt
+    for n in (4096, 65536):
+        batch = max(1, 64 * 1024 * 1024 // (8 * n))
+        x = _rand_complex((batch, n), seed=n)
+        nat = vt.get_application(vt.FFTConfig(shape=(n,)), ctx.engine)
+        swp = vt.get_application(
+            vt.FFTConfig(shape=(n,), keep_intermediate_order=True), ctx.engine)
+        dt_nat = _time_fwd_inv(nat, x)
+        dt_swp = _time_fwd_inv(swp, x)
+        if min(dt_nat, dt_swp) < 50e-6:
+            ctx.log(f"  n={n}: below timing noise floor; see bench.py")
+            continue
+        ctx.log(f"  n={n} batch {batch}: natural {dt_nat*1e3:8.3f} ms  "
+                f"swapped {dt_swp*1e3:8.3f} ms  speedup {dt_nat/dt_swp:.2f}x")
+
+
+@sample(8, "benchmark Bluestein FP64 (CPU) / double-double Bluestein (TPU)")
+def sample_8(ctx):
+    from vkfft_tpu import api
+    if api.complex_supported():
+        _bench_systems(ctx, [(10007,), (7919,)], dtype=np.complex128,
+                       target_mb=4, iters=10)
+        return
+    from vkfft_tpu.precision.dd_fft import fft_dd
+    for n in (131, 101):  # dd Bluestein primes kept small (compile cost)
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n))
+        t0 = time.perf_counter()
+        y = fft_dd(x)
+        dt = time.perf_counter() - t0
+        ref = np.fft.fft(x)
+        err = np.abs(y - ref).max() / np.abs(ref).max()
+        ctx.log(f"  dd Bluestein n={n}: {dt*1e3:.1f} ms (incl. compile)  "
+                f"rel err {err:.2e}")
+
+
+@sample(13, "precision bf16/fp16 storage C2C vs fp64 oracle (sample_13 analog)")
+def sample_13(ctx):
+    """Reference sample_13 tests true fp16 compute; on TPU half tiers are
+    storage-only with fp32 compute (config.py Precision docs) — the bound
+    tested here is the bf16/fp16 quantization floor, not fp32 accuracy."""
+    import jax.numpy as jnp
+    from vkfft_tpu.config import Precision
+    from vkfft_tpu.pcomplex import Planar
+    import vkfft_tpu as vt
+    worst = 0.0
+    for prec, tol in ((Precision.BFLOAT16, 8e-2), (Precision.HALF, 1e-2)):
+        for n in (64, 256, 1024):
+            rng = np.random.default_rng(n)
+            xr = rng.standard_normal((4, n)).astype(np.float32)
+            xi = rng.standard_normal((4, n)).astype(np.float32)
+            cfg = vt.FFTConfig(shape=(n,), precision=prec)
+            app = vt.get_application(cfg, ctx.engine)
+            y = app.forward(Planar(jnp.asarray(xr), jnp.asarray(xi)))
+            got = np.asarray(y.re, np.float64) + 1j * np.asarray(y.im, np.float64)
+            ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+            eps = _precision_report(ctx, f"{prec.value} n={n}", got, ref)
+            worst = max(worst, 0.0 if eps < tol else eps)
+    ctx.log(f"  {'PASS' if worst == 0.0 else f'FAIL worst {worst:.3e}'}")
+
+
+@sample(18, "precision non-pow2 FP64 (CPU) / double-double (TPU)")
+def sample_18(ctx):
+    from vkfft_tpu import api
+    worst = 0.0
+    if api.complex_supported():
+        for n in [6, 12, 60, 120, 360, 1000, 2310, 17, 101, 919, 1009]:
+            x = _rand_complex((3, n), seed=n, dtype=np.complex128)
+            got = _run_fft_host(x, ctx.engine, axes=(-1,))
+            ref = np.fft.fft(x, axis=-1)
+            worst = max(worst, _precision_report(ctx, f"n={n}", got, ref))
+        ctx.log(f"  WORST max_eps: {worst:.3e} "
+                f"({'PASS' if worst < 1e-12 else 'FAIL'})")
+        return
+    from vkfft_tpu.precision.dd_fft import fft_dd
+    for n in (60, 100, 120):
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        got = fft_dd(x)
+        ref = np.fft.fft(x)
+        worst = max(worst, _precision_report(ctx, f"dd n={n}", got, ref))
+    ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-10 else 'FAIL'})")
+
+
+@sample(51, "convolution: 3D zero-padded real-input 3x3 matrix kernel")
+def sample_51(ctx):
+    """Reference sample_51 (3-D zero-padded R2C matrix convolution): real
+    input, 3x3 matrix kernel, zero-padding declared on the last axis."""
+    import vkfft_tpu as vt
+    shape = (8, 8, 32)
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((3,) + shape)
+    x[..., shape[-1] // 2:] = 0
+    kern = rng.standard_normal((3, 3) + shape) + 1j * rng.standard_normal((3, 3) + shape)
+    cfg = vt.FFTConfig(shape=shape, convolution=True, matrix_convolution=3,
+                       coordinate_features=3,
+                       zeropad_input=(None, None, (shape[-1] // 2, shape[-1])))
+    app = vt.ConvolutionApplication(cfg, kern, engine=ctx.engine)
+    y = _to_host(app(x))
+    X = np.fft.fftn(x, axes=(-3, -2, -1))
+    K = np.fft.fftn(kern, axes=(-3, -2, -1))
+    ref = np.fft.ifftn(np.einsum("ij...,j...->i...", K, X), axes=(-3, -2, -1))
+    err = np.abs(y - ref).max() / np.abs(ref).max()
+    ctx.log(f"  3D zero-padded matrix conv rel err: {err:.3e} "
+            f"({'PASS' if err < 1e-4 else 'FAIL'})")
+
+
+@sample(101, "benchmark multidim DCT FP64 (CPU) / FP32 (TPU)")
+def sample_101(ctx):
+    import jax
+    import vkfft_tpu as vt
+    from vkfft_tpu import api
+    dt_np = np.float64 if api.complex_supported() else np.float32
+    for shape in ((64, 64), (32, 32, 32)):
+        batch = max(1, 8 * 1024 * 1024 // (8 * int(np.prod(shape))))
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((batch,) + shape).astype(dt_np)
+        for t in (2, 3):
+            f = jax.jit(lambda v, t=t: vt.dctn(v, type=t, engine=ctx.engine))
+            jax.block_until_ready(f(x))
+            t0 = time.perf_counter()
+            for _ in range(5):
+                y = f(x)
+            jax.block_until_ready(y)
+            ctx.log(f"  DCT-{t} {'x'.join(map(str, shape))} batch {batch} "
+                    f"[{np.dtype(dt_np).name}]: "
+                    f"{(time.perf_counter() - t0) / 5 * 1e3:.3f} ms")
+
+
+@sample(1001, "sweep: 1D FP64 2..4096 (CPU) / double-double subset (TPU)")
+def sample_1001(ctx):
+    from vkfft_tpu import api
+    worst = 0.0
+    count = 0
+    if api.complex_supported():
+        sizes = [n for n in range(2, 4097)
+                 if n in (2, 3, 4, 5, 7, 8, 11, 13, 16, 17, 32, 64, 97, 128,
+                          256, 360, 512, 1000, 1024, 2048, 2310, 4096)]
+        tol = 1e-12
+        for n in sizes:
+            x = _rand_complex((2, n), seed=n, dtype=np.complex128)
+            got = _run_fft_host(x, ctx.engine, axes=(-1,))
+            ref = np.fft.fft(x, axis=-1)
+            worst = max(worst, np.abs(got - ref).max() / np.abs(ref).max())
+            count += 1
+    else:
+        from vkfft_tpu.precision.dd_fft import fft_dd
+        tol = 1e-10
+        for n in (8, 16, 60, 64, 100, 128):
+            rng = np.random.default_rng(n)
+            x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+            got = fft_dd(x)
+            ref = np.fft.fft(x)
+            worst = max(worst, np.abs(got - ref).max() / np.abs(ref).max())
+            count += 1
+    ctx.log(f"  {count} systems, worst rel err {worst:.3e} "
+            f"({'PASS' if worst < tol else 'FAIL'})")
+
+
+@sample(1002, "sweep: 1D bf16-storage subset (fp16-sweep analog)")
+def sample_1002(ctx):
+    import jax.numpy as jnp
+    from vkfft_tpu.config import Precision
+    from vkfft_tpu.pcomplex import Planar
+    import vkfft_tpu as vt
+    worst = 0.0
+    count = 0
+    for n in (8, 16, 32, 64, 128, 256, 512, 1024, 60, 100, 360):
+        rng = np.random.default_rng(n)
+        xr = rng.standard_normal((2, n)).astype(np.float32)
+        xi = rng.standard_normal((2, n)).astype(np.float32)
+        app = vt.get_application(
+            vt.FFTConfig(shape=(n,), precision=Precision.BFLOAT16), ctx.engine)
+        y = app.forward(Planar(jnp.asarray(xr), jnp.asarray(xi)))
+        got = np.asarray(y.re, np.float64) + 1j * np.asarray(y.im, np.float64)
+        ref = np.fft.fft(xr.astype(np.float64) + 1j * xi.astype(np.float64))
+        worst = max(worst, np.abs(got - ref).max() / np.abs(ref).max())
+        count += 1
+    ctx.log(f"  {count} systems, worst rel err {worst:.3e} "
+            f"({'PASS' if worst < 8e-2 else 'FAIL'})")
+
+
+@sample(1003, "sweep: double-double (quad-class) subset")
+def sample_1003(ctx):
+    from vkfft_tpu.precision.dd_fft import fft_dd
+    from vkfft_tpu import api
+    worst = 0.0
+    sizes = (8, 16, 32, 64, 100) if not api.complex_supported() else (
+        8, 16, 32, 64, 100, 128, 256, 360)
+    for n in sizes:
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        got = fft_dd(x)
+        ref = np.fft.fft(x)
+        worst = max(worst, np.abs(got - ref).max() / np.abs(ref).max())
+    ctx.log(f"  {len(sizes)} systems, worst rel err {worst:.3e} "
+            f"({'PASS' if worst < 1e-10 else 'FAIL'})")
+
+
+@sample(1004, "sweep: 3D cubes FP32 precision")
+def sample_1004(ctx):
+    worst = 0.0
+    sizes = (4, 8, 12, 16, 24, 32, 48, 64)
+    for n in sizes:
+        x = _rand_complex((n, n, n), seed=n, dtype=np.complex64)
+        got = _run_fft_host(x, ctx.engine)
+        ref = np.fft.fftn(x.astype(np.complex128))
+        worst = max(worst, np.abs(got - ref).max() / np.abs(ref).max())
+    ctx.log(f"  cubes {sizes}, worst rel err {worst:.3e} "
+            f"({'PASS' if worst < 1e-4 else 'FAIL'})")
+
+
 # ---------------------------------------------------------------------------
 # driver
 # ---------------------------------------------------------------------------
@@ -524,6 +764,11 @@ def main(argv=None):
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
+    # fp64 samples need x64 (otherwise complex128 inputs silently narrow);
+    # only the CPU path computes in fp64 (TPU uses the double-double tier)
+    import jax as _jax
+    if args.cpu or _jax.default_backend() == "cpu":
+        _jax.config.update("jax_enable_x64", True)
 
     if args.list or args.sample is None and not args.devices:
         print("available samples:")

@@ -60,9 +60,10 @@ class FFTConfig:
     precision: Precision = Precision.SINGLE
     fft_axes: Optional[tuple[int, ...]] = None   # None -> all axes
     normalize: bool = False               # True: inverse scales by 1/N (numpy-style)
-    # Zero padding: per-axis (left, right) index windows of valid data in the
-    # input (rest treated as zeros, reads elided) and/or requested in the
-    # output (writes elided).
+    # Zero padding, VkFFT convention (fft_zeropad_left/right,
+    # vkFFT_Structs.h:204-206): the per-axis (left, right) window declares
+    # the index range [left, right) as ZERO — those reads are elided in the
+    # input and/or those writes elided in the output.
     zeropad_input: Optional[tuple[Optional[tuple[int, int]], ...]] = None
     zeropad_output: Optional[tuple[Optional[tuple[int, int]], ...]] = None
     # Fused frequency-domain convolution.
