@@ -317,3 +317,66 @@ def test_zeropad_elision_api():
     # inverse zeroes the declared region and restores the data part
     assert rel_err(z[:, :h], x[:, :h]) < 2e-6
     assert np.abs(z[:, h:]).max() < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# v3 kernel (batch-in-lanes Stockham, natural-order native)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [8, 47, 60, 64, 100, 128, 256, 360, 1000, 2048])
+def test_v3_natural_fwd_inv(n):
+    import jax.numpy as jnp
+    plan = pallas_engine._v3_plan(n)
+    assert plan is not None, n
+    rng = np.random.default_rng(n)
+    xr = jnp.asarray(rng.standard_normal((4, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((4, n)).astype(np.float32))
+    fr, fi = pallas_engine.core_fft_planar_v3(xr, xi, n, False)
+    ref = np.fft.fft(np.asarray(xr).astype(np.complex128)
+                     + 1j * np.asarray(xi))
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+    br, bi = pallas_engine.core_fft_planar_v3(fr, fi, n, True)
+    assert rel_err(np.asarray(br) / n, np.asarray(xr)) < 5e-6
+    assert rel_err(np.asarray(bi) / n, np.asarray(xi)) < 5e-6
+
+
+def test_v3_plan_rules():
+    # VPU leading 4/2 factors only while >= 64 rows remain; MXU <= 64
+    assert pallas_engine._v3_plan(1024) == ((4, 4), (64,))
+    assert pallas_engine._v3_plan(2048) == ((4, 4, 2), (64,))
+    assert pallas_engine._v3_plan(47) == ((), (47,))
+    assert pallas_engine._v3_plan(2 * 67) is None        # prime factor > 64
+    assert pallas_engine._v3_plan(4096) is None          # beyond _V3_MAX_N
+    assert pallas_engine._v3_plan(1) is None
+
+
+def test_v3_zeropad_elision():
+    import jax.numpy as jnp
+    n, h = 96, 40   # any prefix length (no row-alignment requirement)
+    rng = np.random.default_rng(0)
+    xr = rng.standard_normal((4, n)).astype(np.float32)
+    xi = rng.standard_normal((4, n)).astype(np.float32)
+    xr[:, h:] = 0
+    xi[:, h:] = 0
+    fr, fi = pallas_engine.core_fft_planar_v3(
+        jnp.asarray(xr), jnp.asarray(xi), n, False, in_nonzero=h)
+    ref = np.fft.fft(xr.astype(np.complex128) + 1j * xi)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+    # inverse write elision returns only the kept prefix
+    br, bi = pallas_engine.core_fft_planar_v3(fr, fi, n, True, out_keep=h)
+    assert br.shape == (4, h)
+    full = np.fft.ifft(np.asarray(fr) + 1j * np.asarray(fi)) * n
+    assert rel_err(np.asarray(br) + 1j * np.asarray(bi), full[:, :h]) < 5e-6
+
+
+def test_v3_batch_padding():
+    # batch not a multiple of the 128-lane block
+    import jax.numpy as jnp
+    n = 64
+    rng = np.random.default_rng(1)
+    xr = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    xi = jnp.asarray(rng.standard_normal((3, n)).astype(np.float32))
+    fr, fi = pallas_engine.core_fft_planar_v3(xr, xi, n, False)
+    ref = np.fft.fft(np.asarray(xr).astype(np.complex128) + 1j * np.asarray(xi))
+    assert fr.shape == (3, n)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6

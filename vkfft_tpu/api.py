@@ -212,7 +212,12 @@ class FFTApplication:
             from vkfft_tpu.planner.factorize import Algorithm as _Alg
             n = cfg.shape[cfg.axes[0]]
             plan = self.axis_plans[cfg.axes[0]]
-            if plan.algorithm is _Alg.DIRECT and _pe._use_v2(n):
+            # the v3 kernel is natural-order native — there is no reorder
+            # pass to skip, so the normal path already satisfies the
+            # disableReorderFourStep contract (and measures faster than the
+            # v2 swapped pair); only pre-v3 sizes take the swapped fast path
+            if (plan.algorithm is _Alg.DIRECT and _pe._use_v2(n)
+                    and not _pe._use_v3(n)):
                 lead = x.shape[:-1]
                 flat = x.reshape(-1, n)
                 rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n, inverse,
@@ -235,18 +240,21 @@ class FFTApplication:
             n = cfg.shape[-1]
             plan = self.axis_plans[cfg.axes[0]]
             w = cfg.zeropad_input[-1]
-            if (plan.algorithm is _Alg.DIRECT and _pe._use_v2(n)
-                    and w is not None and w[1] == n
-                    and _pe.zeropad_rows(n, w[0])):
+            use_v3 = (plan.algorithm is _Alg.DIRECT and _pe._use_v3(n)
+                      and w is not None and w[1] == n and 0 < w[0] < n)
+            use_v2 = (not use_v3 and plan.algorithm is _Alg.DIRECT
+                      and _pe._use_v2(n) and w is not None and w[1] == n
+                      and _pe.zeropad_rows(n, w[0]))
+            if use_v3 or use_v2:
+                core = (_pe.core_fft_planar_v3 if use_v3
+                        else _pe.core_fft_planar_v2)
                 h = w[0]
                 lead = x.shape[:-1]
                 flat = x.reshape(-1, n)
                 if not inverse:
-                    rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n,
-                                                    False, in_nonzero=h)
+                    rr, ii = core(flat.re, flat.im, n, False, in_nonzero=h)
                     return Planar(rr, ii).reshape(*lead, n)
-                rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n, True,
-                                                out_keep=h)
+                rr, ii = core(flat.re, flat.im, n, True, out_keep=h)
                 out = Planar(rr, ii)
                 if cfg.normalize:
                     out = out * np.asarray(1.0 / n, dtype=np.float32)

@@ -67,6 +67,7 @@ def set_matmul_precision(level: str) -> None:
                   "highest": jax.lax.Precision.HIGHEST}[level]
     _build_fft_call.cache_clear()
     _build_fft_call_v2.cache_clear()
+    _build_fft_call_v3.cache_clear()
 
 
 @functools.lru_cache(maxsize=1024)
@@ -230,6 +231,9 @@ def core_fft_planar(xr: jax.Array, xi: jax.Array, n: int, inverse: bool,
     batch = xr.shape[0]
     if n > MAX_SINGLE_KERNEL_N:
         return fft_long_planar(xr, xi, n, inverse, order="natural")
+    if _use_v3(n):
+        # natural-order native batch-in-lanes kernel (no reorder pass)
+        return core_fft_planar_v3(xr, xi, n, inverse, donate=donate)
     if _use_v2(n):
         return core_fft_planar_v2(xr, xi, n, inverse, order="natural",
                                   donate=donate)
@@ -333,13 +337,18 @@ def _pad_tail_p(x: Planar, pad: int) -> Planar:
 
 
 def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
-    """Unnormalized IDFT(DFT(y) * b) of (B, m) planes.
+    """Unnormalized IDFT(DFT(y) * b) of (B, m) planes, with zero reorder
+    passes either way (reference: bit-reversed-order convolutions under
+    disableReorderFourStep, README.md:16).
 
-    Uses swapped-digit-order forward/inverse pairs when the v2 kernel
-    applies: the pointwise table is permuted host-side into swapped order, so
-    the whole convolution runs with zero reorder passes (reference:
-    bit-reversed-order convolutions under disableReorderFourStep,
-    README.md:16)."""
+    v3 pairs are natural-order native so the table needs no permutation; the
+    v2 fallback runs swapped-digit-order pairs with a host-permuted table."""
+    if _use_v3(m):
+        fr, fi = core_fft_planar_v3(y.re, y.im, m, False, donate=True)
+        bp = planar_table(b_table, y.dtype)
+        F = Planar(fr, fi) * bp[None, :]
+        ir, ii = core_fft_planar_v3(F.re, F.im, m, True, donate=True)
+        return Planar(ir, ii)
     if _use_v2(m):
         n1, n2 = split_lane_major(m)
         b_sw = np.ascontiguousarray(b_table.reshape(n1, n2).T).reshape(-1)
@@ -635,7 +644,14 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    kw = {}
+    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    kw = {
+        "cost_estimate": pl.CostEstimate(
+            flops=2 * padded * (in_rows * n1) * (n2 + lane) * 8 * passes,
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * padded
+            * (in_rows + out_rows) * lane),
+    }
     if donate and not interpret and in_rows == n2 and out_rows == n2:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
@@ -722,6 +738,252 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural",
         # natural flat [k1][k2] -> swapped [k2][k1] expected by the kernel
         xr = _swap_digits(xr, n1, n2)
         xi = _swap_digits(xi, n1, n2)
+    return run(xr, xi)
+
+
+# ---------------------------------------------------------------------------
+# Kernel v3: batch-in-lanes multi-stage Stockham, natural-order native.
+#
+# Layout: 128 lines ride the lane dimension (S = 128) and the whole length-n
+# sequence sits in sublane/outer dims — the transpose-free dual of v2's
+# lane-major layout.  The transform is a classic self-sorting Stockham
+# pipeline: leading radix-4/2 stages run as VPU butterflies (adds + twiddle
+# cmuls — a small radix padded into the 128-deep systolic array would waste
+# >90% of MXU cycles), and the remaining factors run as dense DFT-matrix
+# contractions on the MXU (any factor <= 64; the packed complex matrix is
+# 2r <= 128 = one full contraction tile).  Output lands in natural frequency
+# order with no reorder pass, unlike v2 whose natural order costs an XLA
+# transpose round trip over HBM.
+#
+# Measured on v5e (experiments/e5_vpu_stages.py): 348 GB/s at n=1024
+# (366 donated) vs 287 for the all-MXU stock variant and 215 for v2+reorder,
+# at full fp32 accuracy (HIGHEST, err 1.7e-7).
+#
+# Reference analogs: radix stage driver ``vkFFT_RadixStage.h`` (the VPU
+# butterflies mirror ``inlineRadixKernelVkFFT`` radix-2/4,
+# ``vkFFT_RadixKernels.h:30``), Stockham shuffle ``vkFFT_RadixShuffle.h``
+# (here: free — the stage reshape IS the shuffle).
+# ---------------------------------------------------------------------------
+
+_V3_MAX_N = 2048  # (1, 128, n) f32 blocks + stage temps; larger n has
+                  # crashed the remote Mosaic compiler (E4, n=4096)
+_V3_SB = 128      # lines per block = one full lane tile
+
+
+@functools.lru_cache(maxsize=1024)
+def _v3_plan(n: int) -> Optional[tuple[tuple[int, ...], tuple[int, ...]]]:
+    """(vpu_radices, mxu_radices) or None.  VPU takes leading 4/2 factors
+    while the remaining length keeps sublane slices >= 64 rows aligned;
+    MXU stages take any factor <= 64, greedily largest-first."""
+    if n < 2 or n > _V3_MAX_N:
+        return None
+    vpu, m = [], n
+    while m % 4 == 0 and m // 4 >= 64:
+        vpu.append(4)
+        m //= 4
+    if m % 2 == 0 and m // 2 >= 64:
+        vpu.append(2)
+        m //= 2
+    mxu = []
+    while m > 1:
+        r = next((r for r in range(min(64, m), 1, -1) if m % r == 0), None)
+        if r is None:
+            return None  # prime factor > 64
+        mxu.append(r)
+        m //= r
+    return tuple(vpu), tuple(mxu)
+
+
+def _use_v3(n: int) -> bool:
+    return _v3_plan(n) is not None
+
+
+@functools.lru_cache(maxsize=512)
+def _v3_tables(n: int, inverse: bool):
+    """Per-stage constants.  Stage walk: L = lines done, M = remaining; a
+    stage reshapes the state to (L, r, M/r) [flat, batch lanes trailing],
+    butterflies/contracts r, twiddles by w_M^(k_r * m), and flattens with the
+    new digit in FRONT: (r, L, M/r) — the self-sorting Stockham order."""
+    vpu_r, mxu_r = _v3_plan(n)
+    sign = 2.0j if inverse else -2.0j
+    vpu_tabs, mxu_tabs = [], []
+    L, M = 1, n
+    for r in vpu_r:
+        Mp = M // r
+        tw = np.exp(sign * np.pi / M * np.outer(np.arange(r), np.arange(Mp)))
+        vpu_tabs.append((np.real(tw).astype(np.float32),
+                         np.imag(tw).astype(np.float32), r, L, Mp))
+        L, M = L * r, Mp
+    for r in mxu_r:
+        Mp = M // r
+        D = luts.dft_matrix(r, inverse)
+        Dp = np.ascontiguousarray(_pack_complex_matrix(D).T)
+        if Mp > 1:
+            tw = np.exp(sign * np.pi / M
+                        * np.outer(np.arange(r), np.arange(Mp)))
+            twr = np.real(tw).astype(np.float32)
+            twi = np.imag(tw).astype(np.float32)
+        else:
+            twr = twi = None
+        mxu_tabs.append((Dp, twr, twi, r, L, Mp))
+        L, M = L * r, Mp
+    return vpu_tabs, mxu_tabs
+
+
+def _fft_kernel_v3(n, sb, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
+                   xr_ref, xi_ref, *refs):
+    or_ref, oi_ref = refs[-2:]
+    table_refs = refs[:-2]
+    xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (in_len, S)
+    xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
+    if xr.shape[0] < n:
+        # zero-pad elision: the declared-zero tail was never read from HBM
+        # (``vkFFT_Zeropad.h`` analog); materialize the zeros VMEM-side
+        zpad = ((0, n - xr.shape[0]), (0, 0))
+        xr = jnp.pad(xr, zpad)
+        xi = jnp.pad(xi, zpad)
+    S = sb
+    ti = 0
+    for (_, _, r, L0, Mp) in vpu_tabs:
+        twr = table_refs[ti][:][:, None, :, None]            # (r, 1, Mp, 1)
+        twi = table_refs[ti + 1][:][:, None, :, None]
+        ti += 2
+        zr = xr.reshape(L0, r, Mp, S)
+        zi = xi.reshape(L0, r, Mp, S)
+        if r == 4:
+            t0r, t0i = zr[:, 0] + zr[:, 2], zi[:, 0] + zi[:, 2]
+            t1r, t1i = zr[:, 0] - zr[:, 2], zi[:, 0] - zi[:, 2]
+            t2r, t2i = zr[:, 1] + zr[:, 3], zi[:, 1] + zi[:, 3]
+            t3r, t3i = zr[:, 1] - zr[:, 3], zi[:, 1] - zi[:, 3]
+            if inverse:
+                y1r, y1i = t1r - t3i, t1i + t3r
+                y3r, y3i = t1r + t3i, t1i - t3r
+            else:
+                y1r, y1i = t1r + t3i, t1i - t3r
+                y3r, y3i = t1r - t3i, t1i + t3r
+            # new digit in FRONT of the flattened order (r, L0, Mp)
+            ar = jnp.stack([t0r + t2r, y1r, t0r - t2r, y3r], axis=0)
+            ai = jnp.stack([t0i + t2i, y1i, t0i - t2i, y3i], axis=0)
+        else:  # r == 2
+            ar = jnp.stack([zr[:, 0] + zr[:, 1], zr[:, 0] - zr[:, 1]], axis=0)
+            ai = jnp.stack([zi[:, 0] + zi[:, 1], zi[:, 0] - zi[:, 1]], axis=0)
+        xr = (ar * twr - ai * twi).reshape(-1, S)
+        xi = (ar * twi + ai * twr).reshape(-1, S)
+    for (_, twr_t, twi_t, r, L0, Mp) in mxu_tabs:
+        D_ref = table_refs[ti]
+        ti += 1
+        z = jnp.concatenate([xr.reshape(L0, r, Mp, S),
+                             xi.reshape(L0, r, Mp, S)], axis=1)
+        y = jax.lax.dot_general(
+            D_ref[:], z, (((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ar, ai = y[:r], y[r:]                                # (r, L0, Mp, S)
+        if Mp == 1:
+            xr = ar.reshape(-1, S)
+            xi = ai.reshape(-1, S)
+        else:
+            twr = table_refs[ti][:][:, None, :, None]
+            twi = table_refs[ti + 1][:][:, None, :, None]
+            ti += 2
+            xr = (ar * twr - ai * twi).reshape(-1, S)
+            xi = (ar * twi + ai * twr).reshape(-1, S)
+    keep = or_ref.shape[2]   # < n: discarded-tail writes are elided
+    xr = xr.reshape(n, S)[:keep]
+    xi = xi.reshape(n, S)[:keep]
+    or_ref[0] = jnp.swapaxes(xr, 0, 1).astype(out_dtype)
+    oi_ref[0] = jnp.swapaxes(xi, 0, 1).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=512)
+def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
+                       dtype_name: str = "float32", donate: bool = False,
+                       in_keep: int = 0, out_keep: int = 0):
+    """``in_keep`` (forward): read only the first in_keep entries of each
+    line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
+    write only the first out_keep entries (the returned planes have that
+    length).  Unlike v2's elision, any prefix length works — no row
+    alignment requirement.  0 = full."""
+    dtype = jnp.dtype(dtype_name)
+    vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
+    sb = _V3_SB
+    pad = (-batch) % sb
+    padded = batch + pad
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    in_len = in_keep if (in_keep and not inverse) else n
+    out_len = out_keep if (out_keep and inverse) else n
+
+    kernel = functools.partial(_fft_kernel_v3, n, sb, inverse, dtype,
+                               prec, vpu_tabs, mxu_tabs)
+    spec = pl.BlockSpec((1, sb, in_len), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, sb, out_len), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    in_specs = [spec, spec]
+    np_tables = []
+    for twr, twi, *_ in vpu_tabs:
+        in_specs += [const(twr), const(twi)]
+        np_tables += [twr, twi]
+    for Dp, twr, twi, r, L0, Mp in mxu_tabs:
+        in_specs.append(const(Dp))
+        np_tables.append(Dp)
+        if Mp > 1:
+            in_specs += [const(twr), const(twi)]
+            np_tables += [twr, twi]
+
+    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    mxu_macs = sum(r for *_, r, _, _ in mxu_tabs)
+    kw = {
+        "cost_estimate": pl.CostEstimate(
+            flops=2 * padded * n * (mxu_macs * 8 * passes
+                                    + len(vpu_tabs) * 20),
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * padded * (in_len + out_len)),
+    }
+    if donate and not interpret and in_len == n and out_len == n:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
+    call = pl.pallas_call(
+        kernel, grid=(padded // sb,),
+        in_specs=in_specs, out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((padded // sb, sb, out_len),
+                                        dtype)] * 2,
+        interpret=interpret,
+        **kw)
+
+    def run(xr, xi):
+        if pad:
+            xr = jnp.pad(xr, ((0, pad), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad), (0, 0)))
+        a, b = call(xr.reshape(padded // sb, sb, xr.shape[-1]),
+                    xi.reshape(padded // sb, sb, xi.shape[-1]),
+                    *(jnp.asarray(t) for t in np_tables))
+        a = a.reshape(padded, out_len)
+        b = b.reshape(padded, out_len)
+        return (a[:batch], b[:batch]) if pad else (a, b)
+
+    return run
+
+
+def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
+                       in_nonzero: int = 0, out_keep: int = 0):
+    """v3 core: natural order in, natural order out, both directions.
+
+    ``in_nonzero`` (forward): the tail [in_nonzero, n) of each input line is
+    declared zero and never read (pass full-width planes; only the prefix is
+    DMA'd).  ``out_keep`` (inverse): only [0, out_keep) is computed into the
+    returned planes (of that width)."""
+    if in_nonzero and not inverse:
+        run = _build_fft_call_v3(n, False, xr.shape[0], _INTERPRET,
+                                 str(xr.dtype), False, in_keep=in_nonzero)
+        # full-width planes; the BlockSpec window DMAs only the prefix
+        return run(xr, xi)
+    if out_keep and inverse:
+        run = _build_fft_call_v3(n, True, xr.shape[0], _INTERPRET,
+                                 str(xr.dtype), False, out_keep=out_keep)
+        return run(xr, xi)
+    run = _build_fft_call_v3(n, inverse, xr.shape[0], _INTERPRET,
+                             str(xr.dtype), donate)
     return run(xr, xi)
 
 
@@ -930,7 +1192,15 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         in_specs += [spec, spec]
         f_shapes.append(shape)
         f_pads.append(pad_trailing)
-    kw = {}
+    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    kw = {
+        # accurate cost hints improve Mosaic's pipeline scheduling
+        # (measured +6..18% on the contiguous kernels, experiments E3/E5)
+        "cost_estimate": pl.CostEstimate(
+            flops=2 * p * s_pad * n * (n1 + n2) * 8 * passes,
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * p * n * s_pad * 2),
+    }
     # aliasing requires identical in/out abstract shapes: only the square
     # digit split qualifies for the strided kernel
     if donate and not interpret and n1 == n2:
