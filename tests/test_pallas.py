@@ -380,3 +380,52 @@ def test_v3_batch_padding():
     ref = np.fft.fft(np.asarray(xr).astype(np.complex128) + 1j * np.asarray(xi))
     assert fr.shape == (3, n)
     assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+
+
+# ---------------------------------------------------------------------------
+# In-kernel R2C / C2R (single-kernel pack + stages + untangle; reference
+# appendR2C_write vkFFT_R2C.h:450 / appendC2R_read :178)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("n", [8, 16, 64, 200, 256, 1000, 1024, 2048])
+def test_r2c_kernel_fwd_inv(n):
+    import jax.numpy as jnp
+    assert pallas_engine.use_r2c_kernel(n), n
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((5, n)).astype(np.float32)
+    ar, ai = pallas_engine.rfft_lines_planar(jnp.asarray(x))
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    assert ar.shape == (5, n // 2 + 1)
+    assert rel_err(np.asarray(ar) + 1j * np.asarray(ai), ref) < 5e-6
+    y = pallas_engine.irfft_lines_planar(
+        jnp.asarray(ref.real.astype(np.float32)),
+        jnp.asarray(ref.imag.astype(np.float32)), n)
+    assert rel_err(np.asarray(y) / (n // 2), x) < 5e-6
+
+
+def test_r2c_kernel_gate():
+    assert not pallas_engine.use_r2c_kernel(7)       # odd
+    assert not pallas_engine.use_r2c_kernel(4)       # too small
+    assert not pallas_engine.use_r2c_kernel(4096)    # m=2048 VMEM OOM (v5e)
+    assert not pallas_engine.use_r2c_kernel(2 * 67)  # m has prime > 64
+    assert pallas_engine.use_r2c_kernel(2048)
+
+
+def test_rfft_irfft_uses_kernel_path():
+    """transforms.r2c routes through the single-kernel path under the pallas
+    engine and matches numpy end to end (incl. non-last axis + batch)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.transforms import r2c
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((3, 7, 256)).astype(np.float32)
+    y = r2c.rfft(jnp.asarray(x), engine="pallas")
+    ref = np.fft.rfft(x.astype(np.float64), axis=-1)
+    got = np.asarray(y.re) + 1j * np.asarray(y.im) if hasattr(y, "re") else np.asarray(y)
+    assert rel_err(got, ref) < 5e-6
+    z = r2c.irfft(y, n=256, engine="pallas")
+    assert rel_err(np.asarray(z), x) < 5e-6
+    # non-last axis
+    y0 = r2c.rfft(jnp.asarray(x), axis=1, engine="pallas")
+    ref0 = np.fft.rfft(x.astype(np.float64), axis=1)
+    got0 = np.asarray(y0.re) + 1j * np.asarray(y0.im) if hasattr(y0, "re") else np.asarray(y0)
+    assert rel_err(got0, ref0) < 2e-5

@@ -1,0 +1,115 @@
+"""Hardware smoke test: compile + run the real Pallas kernels on the TPU.
+
+The pytest suite runs Pallas in interpreter mode on CPU, which skips the
+Mosaic hardware compiler entirely — layout hazards (e.g. 4-D transposes with
+small second-minor dims, lane padding) only surface here.  Run manually on
+the TPU:
+
+    PYTHONPATH=/root/repo:$PYTHONPATH python tests/tpu_smoke.py
+
+Covers: v2 lane-padded path, v3 DIRECT sizes incl. every MXU-stage shape
+class (Mp==1 pow-2, Mp>1 odd factors), the in-kernel R2C/C2R path, strided
+axes, and a Bluestein/Rader size.  Exits nonzero on any failure.
+"""
+import sys
+
+import numpy as np
+
+
+def rel_err(got, ref):
+    return np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-30)
+
+
+def main() -> int:
+    import jax
+    import jax.numpy as jnp
+    import vkfft_tpu as vk
+    from vkfft_tpu.ops import pallas_engine as pe
+
+    plat = jax.devices()[0].platform
+    print(f"platform: {plat} ({jax.devices()[0]})")
+    if plat == "cpu":
+        print("WARNING: running on CPU — enabling interpreter mode "
+              "(this does NOT exercise the Mosaic hardware compiler)")
+        pe.set_interpret(True)
+    failures = []
+
+    def check(tag, got, ref, tol=5e-5):
+        e = rel_err(np.asarray(got), ref)
+        ok = e < tol
+        print(f"  {'ok ' if ok else 'FAIL'} {tag:34s} rel_err={e:.2e}")
+        if not ok:
+            failures.append(tag)
+
+    rng = np.random.default_rng(0)
+
+    # --- v3 DIRECT kernel: pow-2 (Mp==1 MXU stages), odd-factor sizes
+    # (Mp>1 MXU stages — the layout class that broke on hardware), lane
+    # padding (batch not a multiple of 128), and a VPU+MXU mix.
+    print("v3 kernel (batch-in-lanes Stockham):")
+    for n, b in [(64, 128), (256, 128), (1024, 128), (1024, 37),
+                 (500, 128), (1000, 64), (320, 128), (729, 128),
+                 (60, 128), (2048, 128)]:
+        if not pe._use_v3(n):
+            print(f"  skip n={n} (no v3 plan)")
+            continue
+        x = (rng.standard_normal((b, n)) + 1j * rng.standard_normal((b, n)))
+        xr = jnp.asarray(x.real.astype(np.float32))
+        xi = jnp.asarray(x.imag.astype(np.float32))
+        fr, fi = pe.core_fft_planar_v3(xr, xi, n, False)
+        check(f"v3 fwd n={n} b={b}", np.asarray(fr) + 1j * np.asarray(fi),
+              np.fft.fft(x, axis=-1))
+        br, bi = pe.core_fft_planar_v3(fr, fi, n, True)
+        check(f"v3 inv n={n} b={b}",
+              (np.asarray(br) + 1j * np.asarray(bi)) / n, x)
+
+    # --- v2 lane-padded path (lane != n1; skipped in interpreter tests)
+    print("v2 kernel (lane-major), incl. lane-padded digits:")
+    for n in [4096, 4608]:   # 4608 = 64*72: n1=72 pads to 128 lanes
+        sp = pe.split_lane_major(n)
+        if sp is None:
+            print(f"  skip n={n} (no v2 split)")
+            continue
+        x = (rng.standard_normal((16, n)) + 1j * rng.standard_normal((16, n)))
+        xr = jnp.asarray(x.real.astype(np.float32))
+        xi = jnp.asarray(x.imag.astype(np.float32))
+        fr, fi = pe.core_fft_planar_v2(xr, xi, n, False)
+        check(f"v2 fwd n={n} (n1={sp[0]})",
+              np.asarray(fr) + 1j * np.asarray(fi), np.fft.fft(x, axis=-1))
+
+    # --- in-kernel R2C / C2R
+    print("in-kernel R2C/C2R:")
+    for n in [8, 64, 256, 1000, 1024, 2048]:
+        if not pe.use_r2c_kernel(n):
+            print(f"  skip n={n} (gate)")
+            continue
+        xr_np = rng.standard_normal((37, n)).astype(np.float32)
+        ar, ai = pe.rfft_lines_planar(jnp.asarray(xr_np))
+        ref = np.fft.rfft(xr_np.astype(np.float64), axis=-1)
+        check(f"rfft kernel n={n}", np.asarray(ar) + 1j * np.asarray(ai), ref)
+        y = pe.irfft_lines_planar(
+            jnp.asarray(ref.real.astype(np.float32)),
+            jnp.asarray(ref.imag.astype(np.float32)), n)
+        check(f"irfft kernel n={n}", np.asarray(y) / (n // 2), xr_np)
+
+    # --- public API: strided axis + a prime (Rader) + Bluestein size
+    print("public API (strided / Rader / Bluestein):")
+    x2 = (rng.standard_normal((64, 256)) + 1j * rng.standard_normal((64, 256)))
+    got = vk.fftn(x2.astype(np.complex64), axes=(0,))
+    from vkfft_tpu.pcomplex import to_numpy, Planar
+    got = to_numpy(got) if isinstance(got, Planar) else np.asarray(got)
+    check("fft axis0 (strided) 64x256", got, np.fft.fft(x2, axis=0))
+    for n in [101, 1009, 1001]:
+        x1 = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
+        got = vk.fft(x1.astype(np.complex64))
+        got = to_numpy(got) if isinstance(got, Planar) else np.asarray(got)
+        check(f"fft n={n} (prime/Bluestein)", got, np.fft.fft(x1, axis=-1),
+              tol=2e-4)
+
+    print(f"\n{'PASS' if not failures else 'FAIL'}: "
+          f"{len(failures)} failure(s) {failures or ''}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

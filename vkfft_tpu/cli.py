@@ -155,6 +155,14 @@ def _run_fft_host(x, engine, axes=None, inverse=False):
     return np.asarray(y)
 
 
+def _as_np(y):
+    """Planar -> complex numpy; anything else -> np.asarray (complex-free
+    backends return Planar from rfft and friends)."""
+    from vkfft_tpu.pcomplex import to_numpy, Planar
+
+    return to_numpy(y) if isinstance(y, Planar) else np.asarray(y)
+
+
 # ---------------------------------------------------------------------------
 # benchmark samples
 # ---------------------------------------------------------------------------
@@ -256,10 +264,10 @@ def sample_15(ctx):
     for n in [8, 64, 256, 1024, 60, 1000, 17, 101]:
         rng = np.random.default_rng(n)
         x = rng.standard_normal((3, n)).astype(np.float32)
-        got = np.asarray(vt.rfft(x, engine=ctx.engine))
+        got = _as_np(vt.rfft(x, engine=ctx.engine))
         ref = np.fft.rfft(x.astype(np.float64))
         worst = max(worst, _precision_report(ctx, f"n={n}", got, ref))
-        back = np.asarray(vt.irfft(got, n=n, engine=ctx.engine))
+        back = _as_np(vt.irfft(got, n=n, engine=ctx.engine))
         worst = max(worst, _precision_report(ctx, f"n={n} inv", back, x.astype(np.float64)))
     ctx.log(f"  WORST max_eps: {worst:.3e} ({'PASS' if worst < 1e-4 else 'FAIL'})")
 

@@ -830,19 +830,10 @@ def _v3_tables(n: int, inverse: bool):
     return vpu_tabs, mxu_tabs
 
 
-def _fft_kernel_v3(n, sb, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
-                   xr_ref, xi_ref, *refs):
-    or_ref, oi_ref = refs[-2:]
-    table_refs = refs[:-2]
-    xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (in_len, S)
-    xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
-    if xr.shape[0] < n:
-        # zero-pad elision: the declared-zero tail was never read from HBM
-        # (``vkFFT_Zeropad.h`` analog); materialize the zeros VMEM-side
-        zpad = ((0, n - xr.shape[0]), (0, 0))
-        xr = jnp.pad(xr, zpad)
-        xi = jnp.pad(xi, zpad)
-    S = sb
+def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
+                     inverse):
+    """Run the staged Stockham pipeline on (n, S) planes inside a kernel.
+    ``table_refs`` order matches ``_v3_operand_tables``."""
     ti = 0
     for (_, _, r, L0, Mp) in vpu_tabs:
         twr = table_refs[ti][:][:, None, :, None]            # (r, 1, Mp, 1)
@@ -872,12 +863,17 @@ def _fft_kernel_v3(n, sb, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
     for (_, twr_t, twi_t, r, L0, Mp) in mxu_tabs:
         D_ref = table_refs[ti]
         ti += 1
-        z = jnp.concatenate([xr.reshape(L0, r, Mp, S),
-                             xi.reshape(L0, r, Mp, S)], axis=1)
+        # Merge (Mp, S) into one trailing dim for the contraction: Mosaic
+        # lowers the non-leading contraction as a transpose, and a 4-D
+        # transpose whose second-minor dim is a small Mp (e.g. 5) fails
+        # hardware compile ("Layout with implicit dimension"); the merged
+        # 3-D form (L0, 2r, Mp*S) compiles for every factorization.
+        z = jnp.concatenate([xr.reshape(L0, r, Mp * S),
+                             xi.reshape(L0, r, Mp * S)], axis=1)
         y = jax.lax.dot_general(
             D_ref[:], z, (((0,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        ar, ai = y[:r], y[r:]                                # (r, L0, Mp, S)
+        ar, ai = y[:r], y[r:]                                # (r, L0, Mp*S)
         if Mp == 1:
             xr = ar.reshape(-1, S)
             xi = ai.reshape(-1, S)
@@ -885,8 +881,28 @@ def _fft_kernel_v3(n, sb, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
             twr = table_refs[ti][:][:, None, :, None]
             twi = table_refs[ti + 1][:][:, None, :, None]
             ti += 2
+            ar = ar.reshape(r, L0, Mp, S)
+            ai = ai.reshape(r, L0, Mp, S)
             xr = (ar * twr - ai * twi).reshape(-1, S)
             xi = (ar * twi + ai * twr).reshape(-1, S)
+    return xr, xi
+
+
+def _fft_kernel_v3(n, sb, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
+                   xr_ref, xi_ref, *refs):
+    or_ref, oi_ref = refs[-2:]
+    table_refs = refs[:-2]
+    xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (in_len, S)
+    xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
+    if xr.shape[0] < n:
+        # zero-pad elision: the declared-zero tail was never read from HBM
+        # (``vkFFT_Zeropad.h`` analog); materialize the zeros VMEM-side
+        zpad = ((0, n - xr.shape[0]), (0, 0))
+        xr = jnp.pad(xr, zpad)
+        xi = jnp.pad(xi, zpad)
+    S = sb
+    xr, xi = _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs,
+                              prec, inverse)
     keep = or_ref.shape[2]   # < n: discarded-tail writes are elided
     xr = xr.reshape(n, S)[:keep]
     xi = xi.reshape(n, S)[:keep]
@@ -984,6 +1000,232 @@ def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
         return run(xr, xi)
     run = _build_fft_call_v3(n, inverse, xr.shape[0], _INTERPRET,
                              str(xr.dtype), donate)
+    return run(xr, xi)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel R2C / C2R on the v3 layout (reference: ``appendR2C_write``
+# vkFFT_R2C.h:450, ``appendC2R_read`` :178 — the pack/untangle passes run
+# inside the FFT kernel instead of as XLA pre/post passes, so a real
+# transform moves half the bytes of a complex one — the bandwidth 2x the
+# reference advertises, README.md:13).
+#
+# Forward: real block (sb, N) -> deinterleave even/odd sublanes -> m-point
+# Stockham stages -> conj-reversed recombination -> (sb, m+1) half spectrum.
+# The index reversal Z[(m-k) % m] has no Mosaic `rev` primitive; it is an
+# exact 0/1 permutation matmul per 128-row block (bf16-exact at DEFAULT
+# precision, one MXU pass) + static block concat + pltpu.roll.
+# ---------------------------------------------------------------------------
+
+
+def _flip_block(m: int) -> tuple[int, np.ndarray]:
+    """(fb, F): fb = largest divisor of m <= 128; F the (fb, fb) reversal
+    permutation matrix (exact in bf16)."""
+    fb = next(b for b in range(min(m, 128), 0, -1) if m % b == 0)
+    F = np.zeros((fb, fb), np.float32)
+    F[np.arange(fb), fb - 1 - np.arange(fb)] = 1.0
+    return fb, F
+
+
+def _revmod(a, m, fb, F_ref, S):
+    """a[(m-k) % m] for (m, S) along sublanes: per-block reversal matmul,
+    reversed static block concat, then roll(1).  HIGHEST precision: the 0/1
+    matrix is bf16-exact but the *data* operand must not be truncated."""
+    nb = m // fb
+    ab = a.reshape(nb, fb, S)
+    y = jax.lax.dot_general(
+        F_ref[:], ab, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)          # (fb, nb, S)
+    y = jnp.swapaxes(y, 0, 1)                         # (nb, fb, S)
+    if nb > 1:
+        rev = jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
+    else:
+        rev = y[0]
+    return pltpu.roll(rev, shift=1, axis=0)
+
+
+def _r2c_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
+                x_ref, *refs):
+    or_ref, oi_ref = refs[-2:]
+    F_ref, twr_ref, twi_ref = refs[-5:-2]
+    stage_refs = refs[:-5]
+    S = sb
+    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)     # (N, S)
+    z = x.reshape(m, 2, S)
+    zr, zi = z[:, 0], z[:, 1]                                # even / odd
+    Zr, Zi = _v3_apply_stages(zr, zi, S, stage_refs, vpu_tabs, mxu_tabs,
+                              prec, False)
+    Zr = Zr.reshape(m, S)
+    Zi = Zi.reshape(m, S)
+    Vr = _revmod(Zr, m, F_ref.shape[0], F_ref, S)            # conj(Z[-k])
+    Vi = -_revmod(Zi, m, F_ref.shape[0], F_ref, S)
+    Er, Ei = 0.5 * (Zr + Vr), 0.5 * (Zi + Vi)
+    Or, Oi = 0.5 * (Zi - Vi), -0.5 * (Zr - Vr)
+    twr = twr_ref[:]                                         # (m, 1)
+    twi = twi_ref[:]
+    Xr = Er + Or * twr - Oi * twi
+    Xi = Ei + Or * twi + Oi * twr
+    nyq_r = Zr[:1] - Zi[:1]                                  # X[m] = Re - Im
+    Xr = jnp.concatenate([Xr, nyq_r], axis=0)                # (m+1, S)
+    Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq_r)], axis=0)
+    or_ref[0] = jnp.swapaxes(Xr, 0, 1).astype(out_dtype)
+    oi_ref[0] = jnp.swapaxes(Xi, 0, 1).astype(out_dtype)
+
+
+def _c2r_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
+                xr_ref, xi_ref, *refs):
+    (o_ref,) = refs[-1:]
+    F_ref, twr_ref, twi_ref = refs[-4:-1]
+    stage_refs = refs[:-4]
+    S = sb
+    Xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (m+1, S)
+    Xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
+    Ar, Ai = Xr[:m], Xi[:m]
+    # B[k] = conj(X[m-k]), k=0..m-1: reversal of rows 1..m
+    Br = _revmod_tail(Xr, m, F_ref, S)
+    Bi = -_revmod_tail(Xi, m, F_ref, S)
+    Er, Ei = 0.5 * (Ar + Br), 0.5 * (Ai + Bi)
+    Dr, Di = 0.5 * (Ar - Br), 0.5 * (Ai - Bi)
+    # O = t_inv * D  (t_inv = e^{+2 pi i k / n} = conj of the forward
+    # twiddle; the table is already built with the inverse sign)
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    Or = Dr * twr - Di * twi
+    Oi = Dr * twi + Di * twr
+    # Z = E + i O
+    Zr = Er - Oi
+    Zi = Ei + Or
+    zr, zi = _v3_apply_stages(Zr, Zi, S, stage_refs, vpu_tabs, mxu_tabs,
+                              prec, True)
+    # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]  (outputs m * x)
+    x = jnp.stack([zr.reshape(m, S), zi.reshape(m, S)], axis=1)
+    o_ref[0] = jnp.swapaxes(x.reshape(n, S), 0, 1).astype(out_dtype)
+
+
+def _revmod_tail(X, m, F_ref, S):
+    """X[m-k] for k=0..m-1 from an (m+1, S) array: reverse rows 1..m."""
+    nb = m // F_ref.shape[0]
+    fb = F_ref.shape[0]
+    ab = X[1:m + 1].reshape(nb, fb, S)
+    y = jax.lax.dot_general(
+        F_ref[:], ab, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    y = jnp.swapaxes(y, 0, 1)
+    if nb > 1:
+        return jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
+    return y[0]
+
+
+@functools.lru_cache(maxsize=512)
+def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
+                    dtype_name: str = "float32"):
+    """Forward: real (batch, n) -> planar (batch, m+1) half spectrum.
+    Inverse: planar (batch, m+1) -> real (batch, n), scaled by m (the
+    caller applies 1/m for numpy-irfft normalization)."""
+    dtype = jnp.dtype(dtype_name)
+    m = n // 2
+    vpu_tabs, mxu_tabs = _v3_tables(m, inverse)
+    fb, F = _flip_block(m)
+    k = np.arange(m)
+    sign = 2.0j if inverse else -2.0j
+    t = np.exp(sign * np.pi / n * k)      # forward: e^{-i pi k/m /2 *2} = w_n^k
+    twr = np.real(t).astype(np.float32)[:, None]
+    twi = np.imag(t).astype(np.float32)[:, None]
+    sb = _V3_SB
+    pad = (-batch) % sb
+    padded = batch + pad
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    spec_r = pl.BlockSpec((1, sb, n), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, sb, m + 1), lambda b: (b, 0, 0),
+                          memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    stage_specs = []
+    np_tables = []
+    for s_twr, s_twi, *_ in vpu_tabs:
+        stage_specs += [const(s_twr), const(s_twi)]
+        np_tables += [s_twr, s_twi]
+    for Dp, s_twr, s_twi, r, L0, Mp in mxu_tabs:
+        stage_specs.append(const(Dp))
+        np_tables.append(Dp)
+        if Mp > 1:
+            stage_specs += [const(s_twr), const(s_twi)]
+            np_tables += [s_twr, s_twi]
+    np_tables += [F, twr, twi]
+    extra_specs = [const(F), const(twr), const(twi)]
+
+    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    mxu_macs = sum(r for *_, r, _, _ in mxu_tabs) + fb
+    ce = pl.CostEstimate(
+        flops=2 * padded * m * (mxu_macs * 8 * passes + 40),
+        transcendentals=0,
+        bytes_accessed=dtype.itemsize * padded * (n + 2 * (m + 1)))
+
+    if not inverse:
+        kernel = functools.partial(_r2c_kernel, n, m, sb, dtype, prec,
+                                   vpu_tabs, mxu_tabs)
+        call = pl.pallas_call(
+            kernel, grid=(padded // sb,),
+            in_specs=[spec_r] + stage_specs + extra_specs,
+            out_specs=[spec_c, spec_c],
+            out_shape=[jax.ShapeDtypeStruct((padded // sb, sb, m + 1),
+                                            dtype)] * 2,
+            interpret=interpret, cost_estimate=ce)
+
+        def run(x):
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0)))
+            a, b = call(x.reshape(padded // sb, sb, n),
+                        *(jnp.asarray(t_) for t_ in np_tables))
+            a = a.reshape(padded, m + 1)
+            b = b.reshape(padded, m + 1)
+            return (a[:batch], b[:batch]) if pad else (a, b)
+        return run
+
+    kernel = functools.partial(_c2r_kernel, n, m, sb, dtype, prec,
+                               vpu_tabs, mxu_tabs)
+    call = pl.pallas_call(
+        kernel, grid=(padded // sb,),
+        in_specs=[spec_c, spec_c] + stage_specs + extra_specs,
+        out_specs=spec_r,
+        out_shape=jax.ShapeDtypeStruct((padded // sb, sb, n), dtype),
+        interpret=interpret, cost_estimate=ce)
+
+    def run_inv(xr, xi):
+        if pad:
+            xr = jnp.pad(xr, ((0, pad), (0, 0)))
+            xi = jnp.pad(xi, ((0, pad), (0, 0)))
+        y = call(xr.reshape(padded // sb, sb, m + 1),
+                 xi.reshape(padded // sb, sb, m + 1),
+                 *(jnp.asarray(t_) for t_ in np_tables))
+        y = y.reshape(padded, n)
+        return y[:batch] if pad else y
+    return run_inv
+
+
+def use_r2c_kernel(n: int) -> bool:
+    """Even n whose half-length runs on v3 (the in-kernel R2C path).
+    m <= 1024: the (m, 128) working set of m = 2048 blows the 16 MB scoped
+    VMEM limit on v5e (measured: 25.4 MB requested)."""
+    return n >= 8 and n % 2 == 0 and n // 2 <= 1024 and _use_v3(n // 2)
+
+
+def rfft_lines_planar(x: jax.Array):
+    """Real (B, n) lines -> planar (B, n//2+1) half spectrum, one kernel
+    (numpy ``rfft`` values)."""
+    run = _build_r2c_call(x.shape[-1], x.shape[0], _INTERPRET, False,
+                          str(x.dtype))
+    return run(x)
+
+
+def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int):
+    """Planar (B, n//2+1) half spectrum -> real (B, n) lines, scaled by
+    n//2 (callers divide by n//2 for numpy ``irfft`` normalization)."""
+    run = _build_r2c_call(n, xr.shape[0], _INTERPRET, True, str(xr.dtype))
     return run(xr, xi)
 
 

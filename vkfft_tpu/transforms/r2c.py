@@ -61,6 +61,32 @@ def _fftn_p(p: Planar, axes, inverse=False, engine=None) -> Planar:
     return out
 
 
+def _r2c_kernel_ok(n: int, dtype, engine: Optional[str]) -> bool:
+    """Gate for the single-kernel R2C/C2R path (pack + stages + untangle all
+    inside one Pallas kernel — the reference's in-kernel form,
+    ``appendR2C_write`` vkFFT_R2C.h:450 / ``appendC2R_read`` :178 — so a
+    real transform moves half the bytes of a complex one)."""
+    if dtype != jnp.float32:
+        return False
+    if (engine or api.default_engine()) != "pallas":
+        return False
+    from vkfft_tpu.ops import pallas_engine as pe
+    return pe.use_r2c_kernel(n)
+
+
+def _rfft_kernel_path(xr, n: int, engine: Optional[str]):
+    """(…, n) real -> (…, n//2+1) Planar half spectrum via one kernel, or
+    None when the gate rejects the configuration."""
+    if not _r2c_kernel_ok(n, xr.dtype, engine):
+        return None
+    from vkfft_tpu.ops import pallas_engine as pe
+    lead = xr.shape[:-1]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    ar, ai = pe.rfft_lines_planar(xr.reshape(b, n))
+    h = n // 2 + 1
+    return Planar(ar.reshape(*lead, h), ai.reshape(*lead, h))
+
+
 def rfft(x, axis: int = -1, engine: Optional[str] = None):
     """Forward real FFT along ``axis``; returns the n//2+1 half spectrum
     (numpy ``rfft`` convention, unnormalized).  Returns a complex array on
@@ -72,6 +98,10 @@ def rfft(x, axis: int = -1, engine: Optional[str] = None):
     xr, axis = _move_last(xr, axis)
     ndim = xr.ndim
     n = xr.shape[-1]
+    X = _rfft_kernel_path(xr, n, engine)
+    if X is not None:
+        X = _move_back(X, axis, ndim)
+        return to_complex(X) if complex_out else X
     if n % 2 or n < 4:
         # complex transform of the real input, truncated half-spectrum
         X = _fftn_p(real_planar(xr), axes=(-1,), engine=engine)[..., : n // 2 + 1]
@@ -111,6 +141,13 @@ def irfft(X, n: Optional[int] = None, axis: int = -1, engine: Optional[str] = No
     m = p.shape[-1]
     if n is None:
         n = 2 * (m - 1)
+    if m == n // 2 + 1 and _r2c_kernel_ok(n, p.re.dtype, engine):
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = p.shape[:-1]
+        b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+        y = pe.irfft_lines_planar(p.re.reshape(b, m), p.im.reshape(b, m), n)
+        out = (y * jnp.float32(1.0 / (n // 2))).reshape(*lead, n)
+        return _move_back(out, axis, ndim)
     if n % 2 or n < 4:
         # rebuild the full Hermitian spectrum, complex inverse, take re
         tail = p[..., 1 : n - m + 1][..., ::-1].conj()
