@@ -12,6 +12,75 @@ def rel_err(a, b):
     return np.max(np.abs(a - b)) / max(np.max(np.abs(b)), 1e-300)
 
 
+@pytest.fixture
+def _pallas_interpret():
+    from vkfft_tpu.ops import pallas_engine
+    pallas_engine.set_interpret(True)
+    yield
+    pallas_engine.set_interpret(False)
+
+
+def test_fused_conv_app_1d_scalar(_pallas_interpret):
+    """App-level routing: 1-D scalar conv on the pallas engine takes the
+    single-kernel fused path (mode v3_1d) and matches the oracle."""
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    n = 256
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((4, n)) + 1j * rng.standard_normal((4, n))
+    h = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    cfg = FFTConfig(shape=(n,), convolution=True)
+    app = vt.ConvolutionApplication(cfg, h, engine="pallas")
+    assert app._fused is not None and app._fused[0] == "v3_1d"
+    xp = Planar(jnp.asarray(x.real.astype(np.float32)),
+                jnp.asarray(x.imag.astype(np.float32)))
+    out = app(xp)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    ref = np.fft.ifft(np.fft.fft(x) * np.fft.fft(h))
+    assert rel_err(got, ref) < 5e-6
+
+
+def test_fused_conv_app_2d_rows(_pallas_interpret):
+    """App-level routing: N-D scalar conv fuses the last axis (mode
+    v3_rows) with only strided passes around it."""
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    shape = (128, 256)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    h = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    cfg = FFTConfig(shape=shape, convolution=True)
+    app = vt.ConvolutionApplication(cfg, h, engine="pallas")
+    assert app._fused is not None and app._fused[0] == "v3_rows"
+    xp = Planar(jnp.asarray(x.real.astype(np.float32)),
+                jnp.asarray(x.imag.astype(np.float32)))
+    out = app(xp)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    ref = np.fft.ifft2(np.fft.fft2(x) * np.fft.fft2(h))
+    assert rel_err(got, ref) < 5e-6
+
+
+def test_fused_conv_app_matrix(_pallas_interpret):
+    """App-level routing: 1-D 3x3 matrix conv in one kernel (mode v3_mat)."""
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    n, m = 256, 3
+    rng = np.random.default_rng(13)
+    x = rng.standard_normal((m, n)) + 1j * rng.standard_normal((m, n))
+    kern = rng.standard_normal((m, m, n)) + 1j * rng.standard_normal((m, m, n))
+    cfg = FFTConfig(shape=(n,), convolution=True, matrix_convolution=m,
+                    coordinate_features=m)
+    app = vt.ConvolutionApplication(cfg, kern, engine="pallas")
+    assert app._fused is not None and app._fused[0] == "v3_mat"
+    xp = Planar(jnp.asarray(x.real.astype(np.float32)),
+                jnp.asarray(x.imag.astype(np.float32)))
+    out = app(xp)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    K = np.fft.fft(kern)
+    ref = np.fft.ifft(np.einsum("oin,in->on", K, np.fft.fft(x)))
+    assert rel_err(got, ref) < 5e-6
+
+
 def test_fftconvolve_vs_numpy():
     rng = np.random.default_rng(0)
     x = rng.standard_normal(64) + 0j

@@ -259,6 +259,76 @@ def test_conv_fused_kernel():
     assert rel_err(got, ref) < 5e-6
 
 
+def test_conv_fused_v3_scalar_modes():
+    """Single-kernel conv (fwd + multiply + inline inverse in one pallas
+    call, reference vkFFT_FFT.h:241-351): plain, conjugate-data, and
+    cross-power-normalized variants."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    n = 256
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((140, n))
+         + 1j * rng.standard_normal((140, n))).astype(np.complex64)
+    h = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    H = np.fft.fft(h)
+    p = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+               jnp.asarray(np.ascontiguousarray(x.imag)))
+    X = np.fft.fft(x.astype(np.complex128))
+
+    out = pallas_engine.conv_fused_v3(p, n, H, scale=1.0 / n)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    assert rel_err(got, np.fft.ifft(X * H)) < 5e-6
+
+    out = pallas_engine.conv_fused_v3(p, n, H, scale=1.0 / n, conj_data=True)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    assert rel_err(got, np.fft.ifft(np.conj(X) * H)) < 5e-6
+
+    out = pallas_engine.conv_fused_v3(p, n, H, scale=1.0 / n, xpow=True)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    Y = X * H
+    assert rel_err(got, np.fft.ifft(Y / np.abs(Y))) < 5e-6
+
+
+def test_conv_fused_v3_rows():
+    """N-D last-axis fused pass: per-line spectrum rows (table blocked like
+    the data, the in-kernel analog of the reference's strided kernel-buffer
+    reads)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    n, rows, b = 128, 256, 2
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((b * rows, n))
+         + 1j * rng.standard_normal((b * rows, n))).astype(np.complex64)
+    Ht = rng.standard_normal((rows, n)) + 1j * rng.standard_normal((rows, n))
+    p = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+               jnp.asarray(np.ascontiguousarray(x.imag)))
+    out = pallas_engine.conv_fused_v3_rows(
+        p, n, rows, np.ascontiguousarray(Ht.T), scale=1.0 / n)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    ref = np.fft.ifft(np.fft.fft(x.astype(np.complex128))
+                      * np.tile(Ht, (b, 1)))
+    assert rel_err(got, ref) < 5e-6
+
+
+def test_conv_fused_v3_matrix():
+    """m x m matrix convolution in one kernel (reference 2x2/3x3 kernels,
+    vkFFT_Convolution.h:125)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    n, m = 128, 3
+    rng = np.random.default_rng(7)
+    x = (rng.standard_normal((5, m, n))
+         + 1j * rng.standard_normal((5, m, n))).astype(np.complex64)
+    K = rng.standard_normal((m, m, n)) + 1j * rng.standard_normal((m, m, n))
+    p = Planar(jnp.asarray(np.ascontiguousarray(x.real)),
+               jnp.asarray(np.ascontiguousarray(x.imag)))
+    out = pallas_engine.conv_fused_v3_matrix(p, n, m, K, scale=1.0 / n)
+    got = np.asarray(out.re) + 1j * np.asarray(out.im)
+    X = np.fft.fft(x.astype(np.complex128))
+    ref = np.fft.ifft(np.einsum("oin,bin->bon", K, X))
+    assert rel_err(got, ref) < 5e-6
+
+
 @pytest.mark.parametrize("n", [262, 393])
 def test_split_pallas(n):
     """Composite Rader (Cooley-Tukey split) through the pallas engine."""

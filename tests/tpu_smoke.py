@@ -106,6 +106,60 @@ def main() -> int:
         check(f"fft n={n} (prime/Bluestein)", got, np.fft.fft(x1, axis=-1),
               tol=2e-4)
 
+    # --- single-kernel fused convolution (v3): scalar / N-D rows / matrix
+    print("fused convolution (single-kernel v3):")
+    n = 1024
+    xc = (rng.standard_normal((256, n)) + 1j * rng.standard_normal((256, n)))
+    h = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+    H = np.fft.fft(h)
+    xp = Planar(jnp.asarray(xc.real.astype(np.float32)),
+                jnp.asarray(xc.imag.astype(np.float32)))
+    out = pe.conv_fused_v3(xp, n, H, scale=1.0 / n)
+    check("conv v3 scalar n=1024",
+          np.asarray(out.re) + 1j * np.asarray(out.im),
+          np.fft.ifft(np.fft.fft(xc) * H))
+    rows, nl = 128, 256
+    x2d = (rng.standard_normal((rows, nl)) + 1j * rng.standard_normal((rows, nl)))
+    h2d = (rng.standard_normal((rows, nl)) + 1j * rng.standard_normal((rows, nl)))
+    Ht = np.fft.fft(h2d, axis=-1)
+    xp2 = Planar(jnp.asarray(x2d.real.astype(np.float32)),
+                 jnp.asarray(x2d.imag.astype(np.float32)))
+    out = pe.conv_fused_v3_rows(xp2, nl, rows, np.ascontiguousarray(Ht.T),
+                                scale=1.0 / nl)
+    check("conv v3 rows 128x256",
+          np.asarray(out.re) + 1j * np.asarray(out.im),
+          np.fft.ifft(np.fft.fft(x2d, axis=-1) * Ht, axis=-1))
+    m = 3
+    xm = (rng.standard_normal((8, m, nl)) + 1j * rng.standard_normal((8, m, nl)))
+    Km = rng.standard_normal((m, m, nl)) + 1j * rng.standard_normal((m, m, nl))
+    xpm = Planar(jnp.asarray(xm.real.astype(np.float32)),
+                 jnp.asarray(xm.imag.astype(np.float32)))
+    out = pe.conv_fused_v3_matrix(xpm, nl, m, Km, scale=1.0 / nl)
+    check("conv v3 matrix 3x3 n=256",
+          np.asarray(out.re) + 1j * np.asarray(out.im),
+          np.fft.ifft(np.einsum("oin,bin->bon", Km, np.fft.fft(xm))))
+
+    # --- long path (fused inter-pass twiddles ride the strided kernel)
+    print("long path (multi-upload four-step):")
+    nL = 1 << 17
+    xl = (rng.standard_normal((2, nL)) + 1j * rng.standard_normal((2, nL)))
+    xr = jnp.asarray(xl.real.astype(np.float32))
+    xi = jnp.asarray(xl.imag.astype(np.float32))
+    fr, fi = pe.fft_long_planar(xr, xi, nL, False)
+    check("long fwd n=2^17", np.asarray(fr)[:, :4096] + 1j * np.asarray(fi)[:, :4096],
+          np.fft.fft(xl, axis=-1)[:, :4096], tol=2e-4)
+    br, bi = pe.fft_long_planar(fr, fi, nL, True)
+    check("long roundtrip n=2^17",
+          (np.asarray(br) + 1j * np.asarray(bi)) / nL, xl, tol=2e-4)
+
+    # --- 3-D (strided v3 passes on two axes)
+    print("3-D:")
+    sh = (64, 64, 64)
+    x3 = (rng.standard_normal(sh) + 1j * rng.standard_normal(sh))
+    got = vk.fftn(x3.astype(np.complex64))
+    got = to_numpy(got) if isinstance(got, Planar) else np.asarray(got)
+    check("fftn 64^3", got, np.fft.fftn(x3), tol=2e-4)
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: "
           f"{len(failures)} failure(s) {failures or ''}")
     return 1 if failures else 0

@@ -799,12 +799,12 @@ def _use_v3(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=512)
-def _v3_tables(n: int, inverse: bool):
+def _v3_tables(n: int, inverse: bool, plan=None):
     """Per-stage constants.  Stage walk: L = lines done, M = remaining; a
     stage reshapes the state to (L, r, M/r) [flat, batch lanes trailing],
     butterflies/contracts r, twiddles by w_M^(k_r * m), and flattens with the
     new digit in FRONT: (r, L, M/r) — the self-sorting Stockham order."""
-    vpu_r, mxu_r = _v3_plan(n)
+    vpu_r, mxu_r = plan if plan is not None else _v3_plan(n)
     sign = 2.0j if inverse else -2.0j
     vpu_tabs, mxu_tabs = [], []
     L, M = 1, n
@@ -888,26 +888,31 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
     return xr, xi
 
 
-def _fft_kernel_v3(n, sb, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
+def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
                    xr_ref, xi_ref, *refs):
     or_ref, oi_ref = refs[-2:]
     table_refs = refs[:-2]
-    xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (in_len, S)
-    xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
-    if xr.shape[0] < n:
-        # zero-pad elision: the declared-zero tail was never read from HBM
-        # (``vkFFT_Zeropad.h`` analog); materialize the zeros VMEM-side
-        zpad = ((0, n - xr.shape[0]), (0, 0))
-        xr = jnp.pad(xr, zpad)
-        xi = jnp.pad(xi, zpad)
-    S = sb
-    xr, xi = _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs,
-                              prec, inverse)
-    keep = or_ref.shape[2]   # < n: discarded-tail writes are elided
-    xr = xr.reshape(n, S)[:keep]
-    xi = xi.reshape(n, S)[:keep]
-    or_ref[0] = jnp.swapaxes(xr, 0, 1).astype(out_dtype)
-    oi_ref[0] = jnp.swapaxes(xi, 0, 1).astype(out_dtype)
+    # ``il`` independent sb-line pipelines per grid step: Mosaic's scheduler
+    # overlaps one chain's VPU stages (butterflies, swaps) with the other's
+    # MXU contraction — measured +10-15% over a single chain (E9/E10)
+    for i in range(il):
+        xr = jnp.swapaxes(
+            xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+        xi = jnp.swapaxes(
+            xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+        if xr.shape[0] < n:
+            # zero-pad elision: the declared-zero tail was never read from
+            # HBM (``vkFFT_Zeropad.h`` analog); materialize zeros VMEM-side
+            zpad = ((0, n - xr.shape[0]), (0, 0))
+            xr = jnp.pad(xr, zpad)
+            xi = jnp.pad(xi, zpad)
+        xr, xi = _v3_apply_stages(xr, xi, sb, table_refs, vpu_tabs, mxu_tabs,
+                                  prec, inverse)
+        keep = or_ref.shape[2]   # < n: discarded-tail writes are elided
+        xr = xr.reshape(n, sb)[:keep]
+        xi = xi.reshape(n, sb)[:keep]
+        or_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(xr, 0, 1).astype(out_dtype)
+        oi_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(xi, 0, 1).astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=512)
@@ -922,17 +927,22 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     dtype = jnp.dtype(dtype_name)
     vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
     sb = _V3_SB
-    pad = (-batch) % sb
+    # two interleaved pipelines per grid step when the batch is large enough
+    # to amortize the wider block (E9/E10: +10-15%); n*2*sb*4B must stay
+    # under the Mosaic block ceiling (il=4 / 2MB crashes the compiler)
+    il = 2 if (batch >= 4 * sb and n * 2 * sb * 4 <= (1 << 20)) else 1
+    gb = sb * il
+    pad = (-batch) % gb
     padded = batch + pad
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     in_len = in_keep if (in_keep and not inverse) else n
     out_len = out_keep if (out_keep and inverse) else n
 
-    kernel = functools.partial(_fft_kernel_v3, n, sb, inverse, dtype,
+    kernel = functools.partial(_fft_kernel_v3, n, sb, il, inverse, dtype,
                                prec, vpu_tabs, mxu_tabs)
-    spec = pl.BlockSpec((1, sb, in_len), lambda b: (b, 0, 0),
+    spec = pl.BlockSpec((1, gb, in_len), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, sb, out_len), lambda b: (b, 0, 0),
+    spec_out = pl.BlockSpec((1, gb, out_len), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -960,9 +970,9 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     if donate and not interpret and in_len == n and out_len == n:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
-        kernel, grid=(padded // sb,),
+        kernel, grid=(padded // gb,),
         in_specs=in_specs, out_specs=[spec_out, spec_out],
-        out_shape=[jax.ShapeDtypeStruct((padded // sb, sb, out_len),
+        out_shape=[jax.ShapeDtypeStruct((padded // gb, gb, out_len),
                                         dtype)] * 2,
         interpret=interpret,
         **kw)
@@ -971,8 +981,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         if pad:
             xr = jnp.pad(xr, ((0, pad), (0, 0)))
             xi = jnp.pad(xi, ((0, pad), (0, 0)))
-        a, b = call(xr.reshape(padded // sb, sb, xr.shape[-1]),
-                    xi.reshape(padded // sb, sb, xi.shape[-1]),
+        a, b = call(xr.reshape(padded // gb, gb, xr.shape[-1]),
+                    xi.reshape(padded // gb, gb, xi.shape[-1]),
                     *(jnp.asarray(t) for t in np_tables))
         a = a.reshape(padded, out_len)
         b = b.reshape(padded, out_len)
@@ -1333,6 +1343,38 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused, n_factors,
     oi_ref[0] = outi.astype(out_dtype)
 
 
+def _strided_kernel_v3(n, n1, n2, tile_s, out_dtype, prec, fused, n_factors,
+                       inverse, vpu_tabs, mxu_tabs, n_v3, *refs):
+    """v3-stage strided kernel: the (1, n, tile_s) block already has the
+    transform axis in sublane/outer dims and the batch in lanes — the v3
+    pipeline's native layout with no transpose at all.  One full-efficiency
+    K=128 packed contraction replaces the two K<=2*64 partial-tile matmuls
+    of the two-factor form (measured 2x on the contiguous dual, E9)."""
+    xr_ref, xi_ref = refs[0], refs[1]
+    v3_refs = refs[2:2 + n_v3]
+    factor_refs = [(refs[2 + n_v3 + 2 * i], refs[2 + n_v3 + 2 * i + 1])
+                   for i in range(n_factors)]
+    or_ref, oi_ref = refs[-2:]
+    xr = xr_ref[0].astype(jnp.float32)                       # (n, S)
+    xi = xi_ref[0].astype(jnp.float32)
+    if fused == "pre":
+        fr, fi = _fused_product(factor_refs)                 # (n2, n1, S)
+        fr = jnp.broadcast_to(fr, (n2, n1, tile_s)).reshape(n, tile_s)
+        fi = jnp.broadcast_to(fi, (n2, n1, tile_s)).reshape(n, tile_s)
+        xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+    xr, xi = _v3_apply_stages(xr, xi, tile_s, v3_refs, vpu_tabs, mxu_tabs,
+                              prec, inverse)
+    xr = xr.reshape(n, tile_s)
+    xi = xi.reshape(n, tile_s)
+    if fused == "post":
+        fr, fi = _fused_product(factor_refs)                 # (n1, n2, S)
+        fr = jnp.broadcast_to(fr, (n1, n2, tile_s)).reshape(n, tile_s)
+        fi = jnp.broadcast_to(fi, (n1, n2, tile_s)).reshape(n, tile_s)
+        xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+    or_ref[0] = xr.astype(out_dtype)
+    oi_ref[0] = xi.astype(out_dtype)
+
+
 def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
     """BlockSpec + full array shape for one separable twiddle factor.
 
@@ -1398,6 +1440,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     long-sequence inter-pass twiddle, reference LUT_4step)."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
+    use_v3 = _use_v3(n)
     r2, r1, twr, twi = _strided_tables(n, inverse)
     tile_s = _strided_tile_s(n, s)
     col_ncs = {d[2] for d in factors if d[0] in ("dim1_col", "dim2_col")}
@@ -1416,16 +1459,43 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     s_pad = s + pad_s
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype, prec,
-                               fused, len(factors))
-    spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
-                           memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
-                            memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    in_specs = [spec_in, spec_in, const(r2.shape), const(r1.shape),
-                const(twr.shape), const(twi.shape)]
+    if use_v3:
+        vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
+        v3_np = []
+        for tr_, ti_, *_ in vpu_tabs:
+            v3_np += [tr_, ti_]
+        for Dp, tr_, ti_, r, L0, Mp in mxu_tabs:
+            v3_np.append(Dp)
+            if Mp > 1:
+                v3_np += [tr_, ti_]
+        kernel = functools.partial(_strided_kernel_v3, n, n1, n2, tile_s,
+                                   dtype, prec, fused, len(factors),
+                                   inverse, vpu_tabs, mxu_tabs, len(v3_np))
+        spec_in = pl.BlockSpec((1, n, tile_s), lambda b, t: (b, 0, t),
+                               memory_space=pltpu.VMEM)
+        spec_out = spec_in
+        in_specs = [spec_in, spec_in] + [const(t.shape) for t in v3_np]
+        base_tabs = v3_np
+        out_struct = jax.ShapeDtypeStruct((p, n, s_pad), dtype)
+        mxu_macs = sum(r for *_, r, _, _ in mxu_tabs)
+        alias_ok = True
+    else:
+        kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype,
+                                   prec, fused, len(factors))
+        spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
+                               memory_space=pltpu.VMEM)
+        spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
+                                memory_space=pltpu.VMEM)
+        in_specs = [spec_in, spec_in, const(r2.shape), const(r1.shape),
+                    const(twr.shape), const(twi.shape)]
+        base_tabs = [r2, r1, twr, twi]
+        out_struct = jax.ShapeDtypeStruct((p, n1, n2, s_pad), dtype)
+        mxu_macs = n1 + n2
+        # aliasing requires identical in/out abstract shapes: only the
+        # square digit split qualifies for the two-factor kernel
+        alias_ok = n1 == n2
     f_shapes = []
     f_pads = []
     for desc in factors:
@@ -1439,20 +1509,18 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         # accurate cost hints improve Mosaic's pipeline scheduling
         # (measured +6..18% on the contiguous kernels, experiments E3/E5)
         "cost_estimate": pl.CostEstimate(
-            flops=2 * p * s_pad * n * (n1 + n2) * 8 * passes,
+            flops=2 * p * s_pad * n * mxu_macs * 8 * passes,
             transcendentals=0,
             bytes_accessed=dtype.itemsize * 2 * p * n * s_pad * 2),
     }
-    # aliasing requires identical in/out abstract shapes: only the square
-    # digit split qualifies for the strided kernel
-    if donate and not interpret and n1 == n2:
+    if donate and not interpret and alias_ok:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel,
         grid=(p, s_pad // tile_s),
         in_specs=in_specs,
         out_specs=[spec_out, spec_out],
-        out_shape=[jax.ShapeDtypeStruct((p, n1, n2, s_pad), dtype)] * 2,
+        out_shape=[out_struct] * 2,
         interpret=interpret,
         **kw,
     )
@@ -1460,14 +1528,14 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     def run(xr, xi, *tables):
         """``tables``: one (re, im) array pair per factor, each of the full
         shape from its descriptor (trailing S dim unpadded)."""
-        xr = xr.reshape(p, n2, n1, s)
-        xi = xi.reshape(p, n2, n1, s)
+        in_shape = (p, n, s) if use_v3 else (p, n2, n1, s)
+        xr = xr.reshape(in_shape)
+        xi = xi.reshape(in_shape)
         if pad_s:
-            pads = ((0, 0), (0, 0), (0, 0), (0, pad_s))
+            pads = tuple((0, 0) for _ in in_shape[:-1]) + ((0, pad_s),)
             xr = jnp.pad(xr, pads)
             xi = jnp.pad(xi, pads)
-        args = [xr, xi, jnp.asarray(r2), jnp.asarray(r1),
-                jnp.asarray(twr), jnp.asarray(twi)]
+        args = [xr, xi] + [jnp.asarray(t) for t in base_tabs]
         assert len(tables) == 2 * len(factors), (len(tables), factors)
         for i in range(len(factors)):
             fr, fi = tables[2 * i], tables[2 * i + 1]
@@ -1847,4 +1915,242 @@ def conv_fused_planar(x: Planar, n: int, table: np.ndarray,
     cr = jnp.asarray((np.real(tab_sw) * scale).astype(np.float32))
     ci = jnp.asarray((np.imag(tab_sw) * scale).astype(np.float32))
     orr, oi = run(fr, fi, cr, ci)
+    return Planar(orr, oi)
+
+
+# ---------------------------------------------------------------------------
+# Single-kernel fused convolution on the v3 layout: forward stages ->
+# spectrum multiply -> inverse stages, all inside one Pallas kernel — one
+# HBM read + one write for the whole circular convolution, matching the
+# reference's in-kernel form (``vkFFT_FFT.h:241-351``: read -> staged FFT ->
+# ``appendKernelConvolution`` -> inline inverse stage loop -> write).
+#
+# Three table modes:
+#   scalar 1-D   — table (n,) baked as a (n, 1) VMEM constant
+#   N-D rows     — the last-axis pass of an N-D convolution: each line block
+#                  multiplies by its own rows of the full N-D spectrum; the
+#                  (n, ZY)-transposed table is block-sliced by the grid index
+#                  (``appendKernelConvolution`` reads the kernel buffer at
+#                  the same strided index as the data)
+#   matrix m x m — coordinate planes ride a leading block dim; the per-
+#                  frequency m x m complex matrix multiply mixes the m
+#                  forward spectra before the inline inverse (reference
+#                  scalar/2x2/3x3 kernels, vkFFT_Convolution.h:125)
+# ---------------------------------------------------------------------------
+
+
+def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
+                    fwd_tabs, inv_tabs, n_fwd, n_inv, *refs):
+    xr_ref, xi_ref = refs[0], refs[1]
+    fwd_refs = refs[2:2 + n_fwd]
+    inv_refs = refs[2 + n_fwd:2 + n_fwd + n_inv]
+    cr_ref, ci_ref = refs[2 + n_fwd + n_inv:4 + n_fwd + n_inv]
+    or_ref, oi_ref = refs[-2:]
+    fwd_vpu, fwd_mxu = fwd_tabs
+    inv_vpu, inv_mxu = inv_tabs
+
+    spectra = []
+    for i in range(m):
+        # scalar modes: (1, sb, n) blocks; matrix mode: (sb, m, n) blocks
+        # sliced per coordinate plane (no XLA-level transpose of the
+        # caller's (..., m, n) layout is needed)
+        if m == 1:
+            xr0, xi0 = xr_ref[0], xi_ref[0]
+        else:
+            xr0, xi0 = xr_ref[:, i, :], xi_ref[:, i, :]
+        xr = jnp.swapaxes(xr0.astype(jnp.float32), 0, 1)         # (n, sb)
+        xi = jnp.swapaxes(xi0.astype(jnp.float32), 0, 1)
+        fr, fi = _v3_apply_stages(xr, xi, sb, fwd_refs, fwd_vpu, fwd_mxu,
+                                  prec, False)
+        fr = fr.reshape(n, sb)
+        fi = fi.reshape(n, sb)
+        if conj_data:
+            fi = -fi
+        spectra.append((fr, fi))
+
+    for o in range(m):
+        yr = yi = None
+        for i in range(m):
+            if m == 1:
+                kr = cr_ref[...].astype(jnp.float32)             # (n, cols)
+                ki = ci_ref[...].astype(jnp.float32)
+            else:
+                kr = cr_ref[:, o * m + i:o * m + i + 1].astype(jnp.float32)
+                ki = ci_ref[:, o * m + i:o * m + i + 1].astype(jnp.float32)
+            fr, fi = spectra[i]
+            tr = fr * kr - fi * ki
+            ti = fr * ki + fi * kr
+            yr = tr if yr is None else yr + tr
+            yi = ti if yi is None else yi + ti
+        if xpow:
+            mag = jax.lax.rsqrt(yr * yr + yi * yi + 1e-30)
+            yr = yr * mag
+            yi = yi * mag
+        br, bi = _v3_apply_stages(yr, yi, sb, inv_refs, inv_vpu, inv_mxu,
+                                  prec, True)
+        br = br.reshape(n, sb)
+        bi = bi.reshape(n, sb)
+        if post_scale != 1.0:
+            s = jnp.float32(post_scale)
+            br = br * s
+            bi = bi * s
+        if m == 1:
+            or_ref[0] = jnp.swapaxes(br, 0, 1).astype(out_dtype)
+            oi_ref[0] = jnp.swapaxes(bi, 0, 1).astype(out_dtype)
+        else:
+            or_ref[:, o, :] = jnp.swapaxes(br, 0, 1).astype(out_dtype)
+            oi_ref[:, o, :] = jnp.swapaxes(bi, 0, 1).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_conv_v3_call(n: int, batch: int, interpret: bool,
+                        dtype_name: str = "float32", m: int = 1,
+                        rows: int = 1, conj_data: bool = False,
+                        xpow: bool = False, post_scale: float = 1.0):
+    """One-kernel circular convolution of ``batch`` lines of length n.
+
+    ``m`` > 1: matrix convolution — operands are (batch, m, n) planes and
+    the table is an (n, m*m) host array (column o*m+i = K[o, i] spectrum).
+    ``rows`` > 1: N-D last-axis mode — the table is (n, rows) and line j
+    multiplies by column j %% rows (requires sb | rows).
+    ``post_scale`` != 1: in-kernel multiply after the inverse stages (used
+    with ``xpow`` where a table scale would cancel in Y/|Y|; otherwise
+    callers bake normalization into the table)."""
+    dtype = jnp.dtype(dtype_name)
+    fwd_tabs = _v3_tables(n, False)
+    inv_tabs = _v3_tables(n, True)
+    sb = _V3_SB
+    pad = (-batch) % sb
+    padded = batch + pad
+    if rows > 1:
+        assert m == 1 and rows % sb == 0 and padded % rows == 0, \
+            (rows, sb, batch)
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+
+    def np_tables(tabs):
+        out = []
+        for twr, twi, *_ in tabs[0]:
+            out += [twr, twi]
+        for Dp, twr, twi, r, L0, Mp in tabs[1]:
+            out.append(Dp)
+            if Mp > 1:
+                out += [twr, twi]
+        return out
+
+    fwd_np = np_tables(fwd_tabs)
+    inv_np = np_tables(inv_tabs)
+    kernel = functools.partial(_conv_v3_kernel, n, sb, m, dtype, prec,
+                               conj_data, xpow, post_scale,
+                               fwd_tabs, inv_tabs, len(fwd_np), len(inv_np))
+
+    if m == 1:
+        spec = pl.BlockSpec((1, sb, n), lambda b: (0, b, 0),
+                            memory_space=pltpu.VMEM)
+        out_struct = jax.ShapeDtypeStruct((1, padded, n), dtype)
+    else:
+        spec = pl.BlockSpec((sb, m, n), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+        out_struct = jax.ShapeDtypeStruct((padded, m, n), dtype)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    if rows > 1:
+        tab_spec = pl.BlockSpec((n, sb), lambda b: (0, b % (rows // sb)),
+                                memory_space=pltpu.VMEM)
+    elif m > 1:
+        tab_spec = pl.BlockSpec((n, m * m), lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        tab_spec = pl.BlockSpec((n, 1), lambda b: (0, 0),
+                                memory_space=pltpu.VMEM)
+    in_specs = ([spec, spec] + [const(t) for t in fwd_np]
+                + [const(t) for t in inv_np] + [tab_spec, tab_spec])
+    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    mxu_macs = (sum(r for *_, r, _, _ in fwd_tabs[1])
+                + sum(r for *_, r, _, _ in inv_tabs[1]))
+    kw = {
+        "cost_estimate": pl.CostEstimate(
+            flops=2 * m * padded * n * (mxu_macs * 8 * passes + 80),
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * m * padded * n * 2),
+    }
+    if not interpret:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
+    call = pl.pallas_call(
+        kernel, grid=(padded // sb,),
+        in_specs=in_specs, out_specs=[spec, spec],
+        out_shape=[out_struct] * 2,
+        interpret=interpret,
+        **kw)
+
+    def run(xr, xi, cr, ci):
+        """m == 1: (1, batch, n) planes; m > 1: (batch, m, n) planes.
+        ``cr/ci``: (n, cols) table planes."""
+        if pad:
+            pads = (((0, 0), (0, pad), (0, 0)) if m == 1
+                    else ((0, pad), (0, 0), (0, 0)))
+            xr = jnp.pad(xr, pads)
+            xi = jnp.pad(xi, pads)
+        tabs = [jnp.asarray(t) for t in fwd_np] + \
+               [jnp.asarray(t) for t in inv_np]
+        a, b = call(xr, xi, *tabs, cr, ci)
+        if pad:
+            return ((a[:, :batch], b[:, :batch]) if m == 1
+                    else (a[:batch], b[:batch]))
+        return a, b
+
+    return run
+
+
+def use_conv_v3(n: int) -> bool:
+    return _use_v3(n)
+
+
+def conv_fused_v3(x: Planar, n: int, table, scale: float = 1.0,
+                  conj_data: bool = False, xpow: bool = False) -> Planar:
+    """Single-kernel circular convolution of (B, n) planar lines with a
+    fixed kernel whose natural-order spectrum is ``table`` (n,) complex.
+    ``scale``: normalization constant (e.g. 1/n) — baked into the table,
+    or applied post-inverse under ``xpow`` (where table scales cancel)."""
+    B = x.shape[0]
+    run = _build_conv_v3_call(n, B, _INTERPRET, str(x.dtype), 1, 1,
+                              conj_data, xpow,
+                              post_scale=scale if xpow else 1.0)
+    tab = np.asarray(table) * (1.0 if xpow else scale)
+    cr = jnp.asarray(np.real(tab).astype(np.float32).reshape(n, 1))
+    ci = jnp.asarray(np.imag(tab).astype(np.float32).reshape(n, 1))
+    orr, oi = run(x.re[None], x.im[None], cr, ci)
+    return Planar(orr[0], oi[0])
+
+
+def conv_fused_v3_rows(x: Planar, n: int, rows: int, table_t,
+                       scale: float = 1.0, conj_data: bool = False,
+                       xpow: bool = False) -> Planar:
+    """N-D last-axis fused pass: (B, n) lines where line j multiplies by
+    spectrum column j %% rows of ``table_t`` — an (n, rows) complex array
+    (the transposed last-axis-major N-D kernel spectrum)."""
+    B = x.shape[0]
+    run = _build_conv_v3_call(n, B, _INTERPRET, str(x.dtype), 1, rows,
+                              conj_data, xpow,
+                              post_scale=scale if xpow else 1.0)
+    tab = np.asarray(table_t) * (1.0 if xpow else scale)
+    cr = jnp.asarray(np.real(tab).astype(np.float32))
+    ci = jnp.asarray(np.imag(tab).astype(np.float32))
+    orr, oi = run(x.re[None], x.im[None], cr, ci)
+    return Planar(orr[0], oi[0])
+
+
+def conv_fused_v3_matrix(x: Planar, n: int, m: int, table,
+                         scale: float = 1.0, conj_data: bool = False,
+                         xpow: bool = False) -> Planar:
+    """Matrix convolution: ``x`` is (B, m, n) planes, ``table`` an
+    (m, m, n) complex host array; output (B, m, n) planes of
+    out[:, o] = ifft(sum_i table[o, i] * fft(x[:, i]))."""
+    B = x.shape[0]
+    run = _build_conv_v3_call(n, B, _INTERPRET, str(x.dtype), m, 1,
+                              conj_data, xpow,
+                              post_scale=scale if xpow else 1.0)
+    tab = np.asarray(table).reshape(m * m, n).T * (1.0 if xpow else scale)
+    cr = jnp.asarray(np.ascontiguousarray(np.real(tab)).astype(np.float32))
+    ci = jnp.asarray(np.ascontiguousarray(np.imag(tab)).astype(np.float32))
+    orr, oi = run(x.re, x.im, cr, ci)
     return Planar(orr, oi)

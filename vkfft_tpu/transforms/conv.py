@@ -107,34 +107,70 @@ class ConvolutionApplication:
             self.kernel_f = kp
         else:
             self.kernel_f = api.fftn(kp, axes=tuple(range(-ndim, 0)), engine=engine)
-        self._fused_table = self._try_fused_table()
+        self._fused = self._plan_fused()
         self._call = jax.jit(self._convolve)
 
-    def _try_fused_table(self):
-        """Precompute the host spectrum table for the fused 1-D scalar path
-        (multiply folded into the inverse kernel — the reference's in-kernel
-        convolution fusion, ``vkFFT_FFT.h:241-351``)."""
+    def _plan_fused(self):
+        """Select the in-kernel fusion strategy (the reference executes every
+        convolution inside the last-axis kernel with an inline inverse,
+        ``vkFFT_FFT.h:241-351``; here the single-kernel v3 paths cover 1-D
+        scalar, N-D scalar (last axis fused, table row-blocked), and m x m
+        matrix kernels; pre-v3 1-D sizes keep the two-kernel v2 form).
+
+        Returns (mode, host_table) or None (XLA composition fallback)."""
         cfg = self.config
-        if (len(cfg.shape) != 1 or cfg.matrix_convolution != 1
-                or cfg.number_kernels != 1 or cfg.coordinate_features != 1
-                or cfg.cross_power_spectrum_normalization
-                or self.kernel_f.ndim != 1):
+        coord_ok = cfg.coordinate_features in (1, cfg.matrix_convolution)
+        if (cfg.number_kernels != 1 or not coord_ok
+                or cfg.zeropad_output is not None):
+            return None
+        if (self.engine or api.default_engine()) != "pallas":
             return None
         try:
             from vkfft_tpu.ops import pallas_engine as pe
             from vkfft_tpu.planner.plan import plan_axis
-            n = cfg.shape[0]
-            plan = plan_axis(n)
             from vkfft_tpu.planner.factorize import Algorithm
-            if plan.algorithm is not Algorithm.DIRECT or not pe._use_v2(n):
+            shape = cfg.shape
+            ndim = len(shape)
+            m = cfg.matrix_convolution
+            n = shape[-1]
+            for s in shape:
+                if plan_axis(s).algorithm is not Algorithm.DIRECT:
+                    return None
+            if not pe.use_conv_v3(n):
+                # two-kernel v2 fallback for 1-D scalar only
+                if (ndim == 1 and m == 1 and pe._use_v2(n)
+                        and not cfg.cross_power_spectrum_normalization
+                        and self.kernel_f.ndim == 1):
+                    tab = (np.asarray(self.kernel_f.re, np.float64)
+                           + 1j * np.asarray(self.kernel_f.im, np.float64))
+                    if cfg.conjugate_convolution == 1:
+                        tab = np.conj(tab)
+                    return ("v2_2k", tab)
                 return None
-            if (self.engine or api.default_engine()) != "pallas":
-                return None
-            tab = (np.asarray(self.kernel_f.re, np.float64)
-                   + 1j * np.asarray(self.kernel_f.im, np.float64))
-            if cfg.conjugate_convolution == 1:
-                tab = np.conj(tab)
-            return tab
+            if m == 1 and ndim == 1 and self.kernel_f.ndim == 1:
+                tab = (np.asarray(self.kernel_f.re, np.float64)
+                       + 1j * np.asarray(self.kernel_f.im, np.float64))
+                if cfg.conjugate_convolution == 1:
+                    tab = np.conj(tab)
+                return ("v3_1d", tab)
+            if m == 1 and ndim > 1 and self.kernel_f.ndim == ndim:
+                rows = int(np.prod(shape[:-1]))
+                if rows % 128:
+                    return None
+                tab = (np.asarray(self.kernel_f.re, np.float64)
+                       + 1j * np.asarray(self.kernel_f.im, np.float64))
+                if cfg.conjugate_convolution == 1:
+                    tab = np.conj(tab)
+                # (n, rows): last-axis-major transposed spectrum
+                return ("v3_rows", np.ascontiguousarray(
+                    tab.reshape(rows, n).T))
+            if m > 1 and ndim == 1 and self.kernel_f.ndim == 3:
+                tab = (np.asarray(self.kernel_f.re, np.float64)
+                       + 1j * np.asarray(self.kernel_f.im, np.float64))
+                if cfg.conjugate_convolution == 1:
+                    tab = np.conj(tab)
+                return ("v3_mat", tab)
+            return None
         except Exception:
             return None
 
@@ -151,15 +187,55 @@ class ConvolutionApplication:
             helper = api.get_application(FFTConfig(shape=cfg.shape), self.engine)
             x = helper._apply_zeropad(x, cfg.zeropad_input, ndim)
 
-        if (self._fused_table is not None and isinstance(x, Planar)
-                and cfg.conjugate_convolution != 2
-                and cfg.zeropad_output is None):
+        if self._fused is not None and isinstance(x, Planar):
             from vkfft_tpu.ops import pallas_engine as pe
-            n = cfg.shape[0]
-            lead = x.shape[:-1]
-            flat = x.reshape(-1, n)
-            out = pe.conv_fused_planar(flat, n, self._fused_table, normalize=True)
-            return out.reshape(*lead, n)
+            mode, tab = self._fused
+            n = cfg.shape[-1]
+            total = int(np.prod(cfg.shape))
+            conj_d = cfg.conjugate_convolution == 2
+            xpow = bool(cfg.cross_power_spectrum_normalization)
+            if mode == "v2_2k" and not conj_d and not xpow:
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                out = pe.conv_fused_planar(flat, n, tab, normalize=True)
+                return out.reshape(*lead, n)
+            if mode == "v3_1d":
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                out = pe.conv_fused_v3(flat, n, tab, scale=1.0 / n,
+                                       conj_data=conj_d, xpow=xpow)
+                return out.reshape(*lead, n)
+            if mode == "v3_rows":
+                # N-D: strided forward over the outer axes, then one fused
+                # last-axis kernel (forward + multiply + inline inverse),
+                # then strided inverse over the outer axes — the reference's
+                # kernel count (vkFFT_RunApp.h:323-464: only the last-axis
+                # kernel carries the convolution).
+                eng = api._engine(self.engine or api.default_engine())
+                from vkfft_tpu.planner.plan import plan_axis
+                rows = int(np.prod(cfg.shape[:-1]))
+                off = x.ndim - ndim
+                for ax in range(ndim - 1):
+                    x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
+                                       False)
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                out = pe.conv_fused_v3_rows(flat, n, rows, tab,
+                                            scale=1.0 / total,
+                                            conj_data=conj_d, xpow=xpow)
+                x = out.reshape(*lead, n)
+                for ax in range(ndim - 2, -1, -1):
+                    x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
+                                       True)
+                return x
+            if mode == "v3_mat":
+                m_ = cfg.matrix_convolution
+                lead = x.shape[:-2]
+                flat = x.reshape(-1, m_, n)
+                out = pe.conv_fused_v3_matrix(flat, n, m_, tab,
+                                              scale=1.0 / n,
+                                              conj_data=conj_d, xpow=xpow)
+                return out.reshape(*lead, m_, n)
 
         X = api.fftn(x, axes=axes, engine=self.engine)
         Kf = self.kernel_f
