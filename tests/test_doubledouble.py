@@ -51,3 +51,38 @@ def test_dd_fft_roundtrip():
     x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
     z = fft_dd(fft_dd(x), inverse=True, normalize=True)
     assert np.abs(z - x).max() < 1e-12
+
+
+@pytest.mark.parametrize("n", [17, 97, 257])
+def test_dd_rader_primes(n):
+    """Primes > 13 take the dd Rader path (exact-size p-1 convolution)
+    instead of a Bluestein detour — the reference's quad tier has in-kernel
+    Rader (``VkFFTGenerateRaderFFTKernel`` per precision)."""
+    from vkfft_tpu.precision import dd_fft
+    assert dd_fft._DD_MAX_PRIME < n
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    y = fft_dd(x)
+    ref = np.fft.fft(x)
+    assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-12
+
+
+def test_dd_pallas_kernel_interpret():
+    """The single-kernel dd pipeline (VMEM-resident stages) matches the
+    oracle at dd precision in interpreter mode."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.precision.dd_kernel import dd_fft_pallas, use_dd_kernel
+    from vkfft_tpu.precision.doubledouble import (ddc_from_complex128,
+                                                  ddc_to_complex128)
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(9)
+        for n in (64, 1000):
+            assert use_dd_kernel(n)
+            x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+            y = dd_fft_pallas(ddc_from_complex128(x), n, False)
+            got = ddc_to_complex128(y)
+            ref = np.fft.fft(x)
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-12
+    finally:
+        pe.set_interpret(False)

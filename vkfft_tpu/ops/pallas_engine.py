@@ -768,6 +768,7 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural",
 _V3_MAX_N = 2048  # (1, 128, n) f32 blocks + stage temps; larger n has
                   # crashed the remote Mosaic compiler (E4, n=4096)
 _V3_SB = 128      # lines per block = one full lane tile
+_V3_IL_OVERRIDE = None  # experiments only: force the interleave depth
 
 
 @functools.lru_cache(maxsize=1024)
@@ -927,10 +928,17 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     dtype = jnp.dtype(dtype_name)
     vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
     sb = _V3_SB
-    # two interleaved pipelines per grid step when the batch is large enough
-    # to amortize the wider block (E9/E10: +10-15%); n*2*sb*4B must stay
-    # under the Mosaic block ceiling (il=4 / 2MB crashes the compiler)
-    il = 2 if (batch >= 4 * sb and n * 2 * sb * 4 <= (1 << 20)) else 1
+    # interleaved independent pipelines per grid step (E9-E11: Mosaic
+    # overlaps one chain's VPU work with another's MXU stage; production
+    # 128MB systems measure n=256: 276 -> 379 GB/s at il=8, n=512:
+    # 332 -> 396 at il=4).  Block bytes n*il*sb*4 must stay <= 1MB —
+    # bigger blocks crash the remote Mosaic compiler.
+    il = _V3_IL_OVERRIDE
+    if not il:
+        il = 1
+        while (il < 8 and n * (2 * il) * sb * 4 <= (1 << 20)
+               and batch >= 4 * il * sb):
+            il *= 2
     gb = sb * il
     pad = (-batch) % gb
     padded = batch + pad

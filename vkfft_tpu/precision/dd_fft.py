@@ -83,7 +83,20 @@ def _apply_stages_dd(x: DDComplex, stages, inverse: bool) -> DDComplex:
     return x.reshape(B, -1)
 
 
+def _use_dd_pallas(n: int) -> bool:
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.precision.dd_kernel import use_dd_kernel
+    if not use_dd_kernel(n):
+        return False
+    if pe._INTERPRET:
+        return True
+    return jax.devices()[0].platform != "cpu"
+
+
 def _core_fft_dd(x: DDComplex, n: int, inverse: bool) -> DDComplex:
+    if _use_dd_pallas(n):
+        from vkfft_tpu.precision.dd_kernel import dd_fft_pallas
+        return dd_fft_pallas(x, n, inverse)
     stages = build_stages(n, _dd_radices(n))
     return _apply_stages_dd(x, stages, inverse)
 
@@ -106,12 +119,73 @@ def _pad_tail_dd(x: DDComplex, pad: int) -> DDComplex:
 _DD_MAX_PRIME = 13
 
 
+def _ddc_map(x: DDComplex, f) -> DDComplex:
+    return DDComplex(DD(f(x.re.hi), f(x.re.lo)), DD(f(x.im.hi), f(x.im.lo)))
+
+
+def _dd_tree_sum(x: DDComplex) -> DDComplex:
+    """Sum over the last axis with a compensated pairwise tree (log-depth
+    dd_add reduction; a plain jnp.sum would round at fp32)."""
+    n = x.shape[-1]
+    m = 1 << (n - 1).bit_length()
+    if m != n:
+        x = _pad_tail_dd(x, m - n)
+    while m > 1:
+        m //= 2
+        lo = x[..., :m]
+        hi = x[..., m:]
+        x = lo + hi
+    return x
+
+
+def _fft_rader_dd(x: DDComplex, p: int, inverse: bool) -> DDComplex:
+    """Rader prime FFT in double-double: length-(p-1) cyclic convolution
+    with dd arithmetic throughout (the reference's quad tier computes its
+    Rader kernels per precision incl. double-double:
+    ``VkFFTGenerateRaderFFTKernel``, ``vkFFT_RecursiveFFTGenerators.h:996``).
+    The dd engine previously sent every prime > 13 on a Bluestein detour
+    (two padded transforms + chirp mults); Rader runs the exact-size
+    convolution instead.  Inverse by conjugation."""
+    if inverse:
+        conj = lambda v: DDComplex(v.re, DD(-v.im.hi, -v.im.lo))
+        return conj(_fft_rader_dd(conj(x), p, False))
+    perm, inv_perm, b_fft = luts.rader_tables(p)
+    x0 = x[:, :1]
+    X0 = _dd_tree_sum(x)
+    a = _ddc_map(x, lambda pl: jnp.take(pl, jnp.asarray(perm), axis=1))
+    A = fft_lines_dd(a, p - 1, False)
+    C = A * _bcast_tab(_dd_table(b_fft))
+    c = fft_lines_dd(C, p - 1, True)
+    inv_m = _dd_scalar(complex(1.0 / (p - 1)))
+    c = (c * inv_m) + _ddc_map(x0, lambda pl: jnp.broadcast_to(
+        pl, pl.shape[:-1] + (p - 1,)))
+    scat = jnp.asarray(inv_perm)
+    out0 = lambda pl: jnp.concatenate(
+        [pl, jnp.zeros(pl.shape[:-1] + (p - 1,), pl.dtype)], axis=-1)
+    out = _ddc_map(X0, out0)
+
+    def scatter(dst, src):
+        return dst.at[:, scat].set(src)
+    return DDComplex(
+        DD(scatter(out.re.hi, c.re.hi), scatter(out.re.lo, c.re.lo)),
+        DD(scatter(out.im.hi, c.im.hi), scatter(out.im.lo, c.im.lo)))
+
+
+def _bcast_tab(t: DDComplex) -> DDComplex:
+    return DDComplex(DD(t.re.hi[None, :], t.re.lo[None, :]),
+                     DD(t.im.hi[None, :], t.im.lo[None, :]))
+
+
 def fft_lines_dd(x: DDComplex, n: int, inverse: bool = False) -> DDComplex:
     """Unnormalized double-double DFT over (B, n) quad planes."""
     if n == 1:
         return x
     if max(prime_factors(n)) <= _DD_MAX_PRIME:
         return _core_fft_dd(x, n, inverse)
+    if len(prime_factors(n)) == 1 and max(prime_factors(n - 1)) <= _DD_MAX_PRIME:
+        # prime n with a smooth p-1: exact-size Rader beats the Bluestein
+        # detour (two padded transforms)
+        return _fft_rader_dd(x, n, inverse)
     from vkfft_tpu.planner.factorize import _bluestein_padded_size
     m = _bluestein_padded_size(n)
     a_t, b_t = luts.bluestein_chirp(n, m, inverse)
