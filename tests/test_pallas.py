@@ -416,7 +416,9 @@ def test_v3_plan_rules():
     assert pallas_engine._v3_plan(2048) == ((4, 4, 2), (64,))
     assert pallas_engine._v3_plan(47) == ((), (47,))
     assert pallas_engine._v3_plan(2 * 67) is None        # prime factor > 64
-    assert pallas_engine._v3_plan(4096) is None          # beyond _V3_MAX_N
+    assert pallas_engine._v3_plan(4096) == ((4, 4, 4), (64,))
+    assert pallas_engine._v3_plan(8192) == ((4, 4, 4, 2), (64,))
+    assert pallas_engine._v3_plan(16384) is None         # beyond _V3_MAX_N
     assert pallas_engine._v3_plan(1) is None
 
 

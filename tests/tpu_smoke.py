@@ -49,7 +49,8 @@ def main() -> int:
     print("v3 kernel (batch-in-lanes Stockham):")
     for n, b in [(64, 128), (256, 128), (1024, 128), (1024, 37),
                  (500, 128), (1000, 64), (320, 128), (729, 128),
-                 (60, 128), (2048, 128)]:
+                 (60, 128), (2048, 128), (4096, 256), (8192, 256),
+                 (6144, 128)]:
         if not pe._use_v3(n):
             print(f"  skip n={n} (no v3 plan)")
             continue

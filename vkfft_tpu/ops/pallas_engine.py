@@ -202,6 +202,7 @@ def _build_fft_call(n: int, inverse: bool, batch: int, interpret: bool,
             jax.ShapeDtypeStruct((padded, n2, n1), dtype),
         ],
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
     )
 
     def run(xr, xi):
@@ -663,6 +664,7 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
         out_shape=[jax.ShapeDtypeStruct((padded, out_rows, lane), dtype),
                    jax.ShapeDtypeStruct((padded, out_rows, lane), dtype)],
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
         **kw,
     )
 
@@ -765,10 +767,17 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural",
 # (here: free — the stage reshape IS the shuffle).
 # ---------------------------------------------------------------------------
 
-_V3_MAX_N = 2048  # (1, 128, n) f32 blocks + stage temps; larger n has
-                  # crashed the remote Mosaic compiler (E4, n=4096)
+_V3_MAX_N = 8192  # single-kernel ceiling: (1, il*128, n) f32 blocks up to
+                  # ~4MB compile once the Mosaic VMEM limit is raised via
+                  # CompilerParams (E12/E13 — the earlier "n=4096 crash"
+                  # was the default VMEM budget, not a layout hazard)
 _V3_SB = 128      # lines per block = one full lane tile
 _V3_IL_OVERRIDE = None  # experiments only: force the interleave depth
+_VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic VMEM budget for big blocks
+
+
+def _vmem_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
 
 
 @functools.lru_cache(maxsize=1024)
@@ -928,15 +937,15 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     dtype = jnp.dtype(dtype_name)
     vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
     sb = _V3_SB
-    # interleaved independent pipelines per grid step (E9-E11: Mosaic
+    # interleaved independent pipelines per grid step (E9-E13: Mosaic
     # overlaps one chain's VPU work with another's MXU stage; production
     # 128MB systems measure n=256: 276 -> 379 GB/s at il=8, n=512:
-    # 332 -> 396 at il=4).  Block bytes n*il*sb*4 must stay <= 1MB —
-    # bigger blocks crash the remote Mosaic compiler.
+    # 332 -> 396 at il=4, n=1024: 334 -> 361 at il=4, n=4096:
+    # 309 -> 321 at il=2).  Block budget 4MB with the raised VMEM limit.
     il = _V3_IL_OVERRIDE
     if not il:
         il = 1
-        while (il < 8 and n * (2 * il) * sb * 4 <= (1 << 20)
+        while (il < 8 and n * (2 * il) * sb * 4 <= (4 << 20)
                and batch >= 4 * il * sb):
             il *= 2
     gb = sb * il
@@ -983,6 +992,7 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         out_shape=[jax.ShapeDtypeStruct((padded // gb, gb, out_len),
                                         dtype)] * 2,
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
         **kw)
 
     def run(xr, xi):
@@ -1192,7 +1202,8 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
             out_specs=[spec_c, spec_c],
             out_shape=[jax.ShapeDtypeStruct((padded // sb, sb, m + 1),
                                             dtype)] * 2,
-            interpret=interpret, cost_estimate=ce)
+            interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(), cost_estimate=ce)
 
         def run(x):
             if pad:
@@ -1211,7 +1222,8 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         in_specs=[spec_c, spec_c] + stage_specs + extra_specs,
         out_specs=spec_r,
         out_shape=jax.ShapeDtypeStruct((padded // sb, sb, n), dtype),
-        interpret=interpret, cost_estimate=ce)
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(), cost_estimate=ce)
 
     def run_inv(xr, xi):
         if pad:
@@ -1448,9 +1460,11 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     long-sequence inter-pass twiddle, reference LUT_4step)."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
-    use_v3 = _use_v3(n)
     r2, r1, twr, twi = _strided_tables(n, inverse)
     tile_s = _strided_tile_s(n, s)
+    # v3-stage path: block (1, n, tile_s) must stay within the tested
+    # Mosaic budget (~4MB with the raised VMEM limit, E13)
+    use_v3 = _use_v3(n) and n * tile_s * 4 <= (4 << 20)
     col_ncs = {d[2] for d in factors if d[0] in ("dim1_col", "dim2_col")}
     if col_ncs:
         # column-selected factors address the table by S-block position:
@@ -1530,6 +1544,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         out_specs=[spec_out, spec_out],
         out_shape=[out_struct] * 2,
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
         **kw,
     )
 
@@ -1882,6 +1897,7 @@ def _build_conv_inv_call(n: int, batch: int, interpret: bool,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((padded, n2, lane), dtype)] * 2,
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
         **kw,
     )
 
@@ -2088,6 +2104,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
         in_specs=in_specs, out_specs=[spec, spec],
         out_shape=[out_struct] * 2,
         interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
         **kw)
 
     def run(xr, xi, cr, ci):
