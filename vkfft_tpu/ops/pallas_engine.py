@@ -431,10 +431,11 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
         shape = x.shape
         p = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
         s = int(np.prod(shape[axis + 1:], dtype=np.int64))
-        # Mosaic miscompiles multi-dim contractions with <128 lanes (verified
-        # empirically: 4D dot_general crashes the compiler below one full
-        # lane tile), so require a full tile of trailing batch.
-        if s >= 128:
+        # s < 128 runs with the lane dim zero-padded to one full tile
+        # (Mosaic miscompiles contractions below a full lane tile); below
+        # s=16 the padding waste exceeds the two moveaxis passes of the
+        # contiguous fallback.
+        if s >= 16:
             xr = x.re.reshape(p, plan.n, s)
             xi = x.im.reshape(p, plan.n, s)
             orr, oi = strided_fft_planar(xr, xi, plan.n, inverse, donate=donate)
@@ -1280,6 +1281,11 @@ def _strided_tile_s(n: int, s: int) -> int:
     at least two 128-lane tiles, whole-S when S is small — tiny transform
     lengths (e.g. the long-path carry factor) would otherwise produce
     KB-sized blocks and a dispatch-bound grid."""
+    if s < 128:
+        # small trailing batch: pad the lane dim to one full tile (the
+        # builder's pad_s machinery zero-fills); beats the old fallback of
+        # two moveaxis passes around the contiguous kernel
+        return 128
     target = max(256, min(8192, (1 << 18) // (4 * n)))
     if s <= target:
         return s
