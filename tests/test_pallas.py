@@ -478,7 +478,8 @@ def test_r2c_kernel_fwd_inv(n):
 def test_r2c_kernel_gate():
     assert not pallas_engine.use_r2c_kernel(7)       # odd
     assert not pallas_engine.use_r2c_kernel(4)       # too small
-    assert not pallas_engine.use_r2c_kernel(4096)    # m=2048 VMEM OOM (v5e)
+    assert pallas_engine.use_r2c_kernel(4096)        # m=2048 (VMEM raised)
+    assert not pallas_engine.use_r2c_kernel(16384)   # m=8192 over the cap
     assert not pallas_engine.use_r2c_kernel(2 * 67)  # m has prime > 64
     assert pallas_engine.use_r2c_kernel(2048)
 

@@ -80,7 +80,7 @@ def main() -> int:
 
     # --- in-kernel R2C / C2R
     print("in-kernel R2C/C2R:")
-    for n in [8, 64, 256, 1000, 1024, 2048]:
+    for n in [8, 64, 256, 1000, 1024, 2048, 4096, 8192]:
         if not pe.use_r2c_kernel(n):
             print(f"  skip n={n} (gate)")
             continue

@@ -804,6 +804,10 @@ def main(argv=None):
     ap.add_argument("-N", type=int, default=10, help="iterations")
     ap.add_argument("-R2C", type=int, default=0)
     ap.add_argument("-DCT", type=int, default=0)
+    ap.add_argument("-compare", action="store_true",
+                    help="second-implementation race: run the sample on "
+                         "both engines (pallas vs jnp/XLA) — the cuFFT/"
+                         "rocFFT comparison-suite analog")
     args = ap.parse_args(argv)
 
     if args.cpu:
@@ -827,12 +831,20 @@ def main(argv=None):
             print(f"  device {i}: {d.device_kind} ({d.platform})")
         return 0
 
-    ctx = Ctx(args)
     fn, desc = _SAMPLES[args.sample]
-    ctx.log(f"sample {args.sample}: {desc}")
-    t0 = time.time()
-    fn(ctx)
-    ctx.log(f"  done in {time.time() - t0:.1f} s")
+    engines = ["pallas", "jnp"] if args.compare else [args.engine]
+    for eng in engines:
+        args.engine = eng
+        if eng == "pallas" and _jax.default_backend() == "cpu":
+            # CPU has no Mosaic: run the pallas engine in interpreter mode
+            from vkfft_tpu.ops import pallas_engine as _pe
+            _pe.set_interpret(True)
+        ctx = Ctx(args)
+        label = f" [engine={eng}]" if args.compare else ""
+        ctx.log(f"sample {args.sample}: {desc}{label}")
+        t0 = time.time()
+        fn(ctx)
+        ctx.log(f"  done in {time.time() - t0:.1f} s")
     return 0
 
 

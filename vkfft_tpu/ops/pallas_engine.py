@@ -1240,9 +1240,9 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
 
 def use_r2c_kernel(n: int) -> bool:
     """Even n whose half-length runs on v3 (the in-kernel R2C path).
-    m <= 1024: the (m, 128) working set of m = 2048 blows the 16 MB scoped
-    VMEM limit on v5e (measured: 25.4 MB requested)."""
-    return n >= 8 and n % 2 == 0 and n // 2 <= 1024 and _use_v3(n // 2)
+    m <= 4096 under the raised VMEM limit (the old m <= 1024 cap was the
+    default 16MB scoped budget, since lifted via CompilerParams — E12)."""
+    return n >= 8 and n % 2 == 0 and n // 2 <= 4096 and _use_v3(n // 2)
 
 
 def rfft_lines_planar(x: jax.Array):
