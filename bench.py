@@ -56,17 +56,14 @@ def bench_system(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
     eng = api._engine(engine_name)
     plan = plan_axis(n)
     rng = np.random.default_rng(0)
-    inv_n = np.float32(1.0 / n)
-    # Note: donated (in-place) kernels measure faster in bare swapped-order
-    # chains but slower here where the natural-order digit reorder sits
-    # between kernels, so the public path is measured undonated.
-    kw = {}
+    # Normalization rides the inverse kernel's stage tables (in-kernel
+    # scale, the reference's stageNormalization) — no separate multiply
+    # pass over HBM.
 
     @jax.jit
     def fwd_inv(p):
-        y = eng.fft_lines_p(p, plan, False, **kw)
-        z = eng.fft_lines_p(y, plan, True, **kw)
-        return Planar(z.re * inv_n, z.im * inv_n)
+        y = eng.fft_lines_p(p, plan, False)
+        return eng.fft_lines_p(y, plan, True, scale=1.0 / n)
 
     p0 = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
                 jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
@@ -113,17 +110,17 @@ def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
     eng = api._engine(api.default_engine())
     plans = [plan_axis(s) for s in shape]
     total = int(np.prod(shape))
-    inv_n = np.float32(1.0 / total)
 
     @jax.jit
     def fwd_inv(p):
         # (donation measured slower here: the allocator already reuses the
-        # dead intermediates, and aliasing constrains scheduling)
+        # dead intermediates, and aliasing constrains scheduling); the 1/N
+        # normalization rides the last inverse pass in-kernel
         for ax in range(3):
             p = eng.fft_axis_p(p, ax, plans[ax], False)
-        for ax in (2, 1, 0):
+        for ax in (2, 1):
             p = eng.fft_axis_p(p, ax, plans[ax], True)
-        return Planar(p.re * inv_n, p.im * inv_n)
+        return eng.fft_axis_p(p, 0, plans[0], True, scale=1.0 / total)
 
     rng = np.random.default_rng(0)
     p0 = Planar(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),

@@ -220,12 +220,10 @@ class FFTApplication:
                     and not _pe._use_v3(n)):
                 lead = x.shape[:-1]
                 flat = x.reshape(-1, n)
+                s = (1.0 / n) if (inverse and cfg.normalize) else 1.0
                 rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n, inverse,
-                                                order="swapped")
-                out = Planar(rr, ii).reshape(*lead, n)
-                if inverse and cfg.normalize:
-                    out = out * np.asarray(1.0 / n, dtype=np.float32)
-                return out
+                                                order="swapped", scale=s)
+                return Planar(rr, ii).reshape(*lead, n)
 
         # Zero-pad work elision (reference ``vkFFT_Zeropad.h``, README.md:14):
         # a declared-zero tail on a 1-D pallas DIRECT transform skips the
@@ -254,10 +252,9 @@ class FFTApplication:
                 if not inverse:
                     rr, ii = core(flat.re, flat.im, n, False, in_nonzero=h)
                     return Planar(rr, ii).reshape(*lead, n)
-                rr, ii = core(flat.re, flat.im, n, True, out_keep=h)
+                s = (1.0 / n) if cfg.normalize else 1.0
+                rr, ii = core(flat.re, flat.im, n, True, out_keep=h, scale=s)
                 out = Planar(rr, ii)
-                if cfg.normalize:
-                    out = out * np.asarray(1.0 / n, dtype=np.float32)
                 tail = ((0, 0), (0, n - h))
                 out = Planar(jnp.pad(out.re, tail), jnp.pad(out.im, tail))
                 return out.reshape(*lead, n)
@@ -266,21 +263,26 @@ class FFTApplication:
         if not inverse:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
-        for ax in axes:
+        # in-kernel normalization: fold 1/N into the LAST inverse axis pass
+        # (reference stageNormalization, ``vkFFT_RadixShuffle.h:49-65``) —
+        # saves the full read+write of a separate scalar-multiply pass
+        norm_scale = 1.0
+        if inverse and cfg.normalize and planar:
+            for ax in cfg.axes:
+                norm_scale /= cfg.shape[ax]
+        for i, ax in enumerate(axes):
             plan = self.axis_plans[ax]
-            x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
+            if planar:
+                s = norm_scale if i == len(axes) - 1 else 1.0
+                x = fft_axis(x, x.ndim - ndim + ax, plan, inverse, scale=s)
+            else:
+                x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
         if inverse:
-            if cfg.normalize:
+            if cfg.normalize and not planar:
                 total = 1
                 for ax in cfg.axes:
                     total *= cfg.shape[ax]
-                if planar:
-                    # scale in the planes' precision (min fp32 so narrow
-                    # storage modes don't round the normalization constant)
-                    sdt = x.dtype if x.dtype in (jnp.float32, jnp.float64) else jnp.float32
-                else:
-                    sdt = x.dtype
-                x = x * np.asarray(1.0 / total, dtype=sdt)
+                x = x * np.asarray(1.0 / total, dtype=x.dtype)
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         else:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)

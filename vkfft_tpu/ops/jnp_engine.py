@@ -209,13 +209,20 @@ def _fft_split_p(x: Planar, plan: AxisPlan, tabs, inverse: bool) -> Planar:
     return swap(y, B, a, b).reshape(B, a * b)
 
 
-def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
-    """Unnormalized planar DFT over the last axis of (B, n) planes.
+def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
+                scale: float = 1.0) -> Planar:
+    """Planar DFT over the last axis of (B, n) planes, scaled by ``scale``
+    (default unnormalized).  On this engine the scale multiply is a plain
+    XLA op — the elementwise fuser folds it into the adjacent stage, so no
+    table fold is needed (unlike the Pallas engine).
 
     bf16/f16 planes are *storage-only* tiers (config.py:29-30): upcast to
     fp32 for every stage's arithmetic and cast back at the end, matching the
     Pallas engine's in-VMEM upcast — otherwise this fallback would silently
     compute in narrow precision."""
+    if scale != 1.0:
+        y = fft_lines_p(x, plan, inverse)
+        return y * np.asarray(scale, dtype=y.dtype)
     if plan.n == 1:
         return x
     if x.dtype in (jnp.bfloat16, jnp.float16):
@@ -260,8 +267,9 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False) -> Planar:
     return Planar(out_r, out_i)
 
 
-def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> Planar:
-    """Unnormalized planar DFT along ``axis`` of N-D planes."""
+def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
+               scale: float = 1.0) -> Planar:
+    """Planar DFT along ``axis`` of N-D planes, scaled by ``scale``."""
     axis = axis % x.ndim
     if x.shape[axis] != plan.n:
         raise ValueError(f"axis {axis} has length {x.shape[axis]}, plan is for {plan.n}")
@@ -269,7 +277,8 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False) -> P
     if moved:
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
     shape = x.shape
-    y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse).reshape(*shape)
+    y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse,
+                    scale=scale).reshape(*shape)
     if moved:
         y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
     return y

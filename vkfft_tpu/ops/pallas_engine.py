@@ -224,22 +224,30 @@ def _use_v2(n: int) -> bool:
 
 
 def core_fft_planar(xr: jax.Array, xi: jax.Array, n: int, inverse: bool,
-                    donate: bool = False):
-    """Unnormalized DFT of planar lines (B, n) -> (B, n); storage dtype of
-    the planes (f32/bf16/f16) is preserved, compute is fp32.  Dispatches to
-    the lane-major v2 kernel when its lane fill is adequate, and to the
-    two-level long-sequence path beyond the single-kernel range."""
+                    donate: bool = False, scale: float = 1.0):
+    """DFT of planar lines (B, n) -> (B, n), scaled by ``scale`` (folded
+    into the kernels' stage tables — in-kernel normalization, no extra HBM
+    pass); storage dtype of the planes (f32/bf16/f16) is preserved, compute
+    is fp32.  Dispatches to the lane-major v2 kernel when its lane fill is
+    adequate, and to the two-level long-sequence path beyond the
+    single-kernel range."""
     batch = xr.shape[0]
     if n > MAX_SINGLE_KERNEL_N:
-        return fft_long_planar(xr, xi, n, inverse, order="natural")
+        return fft_long_planar(xr, xi, n, inverse, order="natural",
+                               scale=scale)
     if _use_v3(n):
         # natural-order native batch-in-lanes kernel (no reorder pass)
-        return core_fft_planar_v3(xr, xi, n, inverse, donate=donate)
+        return core_fft_planar_v3(xr, xi, n, inverse, donate=donate,
+                                  scale=scale)
     if _use_v2(n):
         return core_fft_planar_v2(xr, xi, n, inverse, order="natural",
-                                  donate=donate)
+                                  donate=donate, scale=scale)
     run = _build_fft_call(n, inverse, batch, _INTERPRET, str(xr.dtype))
-    return run(xr, xi)
+    orr, oi = run(xr, xi)
+    if scale != 1.0:  # v1 fallback kernel has no table fold
+        s = xr.dtype.type(scale)
+        orr, oi = orr * s, oi * s
+    return orr, oi
 
 
 def _core_fft(x: jax.Array, n: int, inverse: bool) -> jax.Array:
@@ -324,8 +332,10 @@ def fft_axis(x: jax.Array, axis: int, plan: AxisPlan, inverse: bool = False) -> 
 from vkfft_tpu.pcomplex import Planar, planar_table  # noqa: E402
 
 
-def _core_fft_p(x: Planar, n: int, inverse: bool, donate: bool = False) -> Planar:
-    orr, oi = core_fft_planar(x.re, x.im, n, inverse, donate=donate)
+def _core_fft_p(x: Planar, n: int, inverse: bool, donate: bool = False,
+                scale: float = 1.0) -> Planar:
+    orr, oi = core_fft_planar(x.re, x.im, n, inverse, donate=donate,
+                              scale=scale)
     return Planar(orr, oi)
 
 
@@ -366,13 +376,17 @@ def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
 
 
 def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
-                donate: bool = False) -> Planar:
-    """Unnormalized planar DFT over (B, n) planes, Pallas-accelerated.
-    ``donate=True`` allows in-place operation on DIRECT plans when the
-    caller's planes are dead after the call."""
+                donate: bool = False, scale: float = 1.0) -> Planar:
+    """Planar DFT over (B, n) planes, Pallas-accelerated, scaled by
+    ``scale`` (unnormalized at the default 1.0).  ``donate=True`` allows
+    in-place operation on DIRECT plans when the caller's planes are dead
+    after the call.  ``scale`` is folded into kernel stage tables (DIRECT/
+    SPLIT) or the pre/post host tables (Bluestein/Rader) — in-kernel
+    normalization with no output multiply pass (stageNormalization analog,
+    ``vkFFT_RadixShuffle.h:49-65``)."""
     n = plan.n
     if n == 1:
-        return x
+        return x * np.asarray(scale, x.dtype) if scale != 1.0 else x
     alg = plan.algorithm
     if alg is Algorithm.SPLIT:
         from vkfft_tpu.planner.plan import plan_axis as _plan_axis
@@ -388,43 +402,53 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
         y = fft_lines_p(y, _plan_axis(fa), inverse).reshape(B, fb, fa)
         y = y * Planar(tw.re[None], tw.im[None])
         y = swap(y, B, fb, fa).reshape(B * fa, fb)
-        y = fft_lines_p(y, _plan_axis(fb), inverse).reshape(B, fa, fb)
+        # fold the caller's scale into the second-factor pass
+        y = fft_lines_p(y, _plan_axis(fb), inverse,
+                        scale=scale).reshape(B, fa, fb)
         return swap(y, B, fa, fb).reshape(B, n)
     if alg is Algorithm.DIRECT:
-        return _core_fft_p(x, n, inverse, donate=donate)
+        return _core_fft_p(x, n, inverse, donate=donate, scale=scale)
     if alg is Algorithm.BLUESTEIN:
         m = plan.decomp.bluestein_size
         a_t, b_t = luts.bluestein_chirp(n, m, inverse)
         a = planar_table(a_t, x.dtype)
         y = _pad_tail_p(x * a[None, :], m - n)
-        y = _conv_roundtrip_p(y, m, b_t) * np.asarray(1.0 / m, x.dtype)
-        return y[:, :n] * a[None, :]
+        # 1/m (and the caller's scale) ride the host-side conv table and the
+        # post-chirp table — no separate scalar-multiply HBM passes
+        y = _conv_roundtrip_p(y, m, b_t * (1.0 / m))
+        return y[:, :n] * planar_table(a_t * scale, x.dtype)[None, :] \
+            if scale != 1.0 else y[:, :n] * a[None, :]
     if inverse:
-        return fft_lines_p(x.conj(), plan, False).conj()
+        return fft_lines_p(x.conj(), plan, False, scale=scale).conj()
     p = plan.n
     perm, inv_perm, b_t = luts.rader_tables(p)
     x0 = x[:, :1]
     X0 = Planar(jnp.sum(x.re, axis=1, keepdims=True),
                 jnp.sum(x.im, axis=1, keepdims=True))
-    c = _conv_roundtrip_p(x[:, perm], p - 1, b_t) * np.asarray(1.0 / (p - 1), x.dtype)
-    val = x0 + c
-    out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0.re).at[:, inv_perm].set(val.re)
-    out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0.im).at[:, inv_perm].set(val.im)
+    # 1/(p-1) and the caller's scale fold into the Rader kernel spectrum;
+    # the DC terms (B, 1) are scaled individually (negligible traffic)
+    c = _conv_roundtrip_p(x[:, perm], p - 1, b_t * (scale / (p - 1)))
+    s = np.asarray(scale, x.dtype)
+    val = (x0 * s if scale != 1.0 else x0) + c
+    X0s = X0 * s if scale != 1.0 else X0
+    out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0s.re).at[:, inv_perm].set(val.re)
+    out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0s.im).at[:, inv_perm].set(val.im)
     return Planar(out_r, out_i)
 
 
 def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
-               donate: bool = False) -> Planar:
+               donate: bool = False, scale: float = 1.0) -> Planar:
     """Planar pallas DFT along ``axis``; jnp-engine fallback for unsupported
     core sizes.
 
     Non-minor axes of DIRECT plans run the strided kernel in place (lanes =
     trailing batch, reference strided-kernel analog) — no moveaxis/transpose
     passes.  ``donate=True`` allows in-place kernels when the caller's planes
-    are dead (e.g. intermediates between N-D axis passes)."""
+    are dead (e.g. intermediates between N-D axis passes).  ``scale``:
+    in-kernel normalization (see ``fft_lines_p``)."""
     if not supports(plan):
         from vkfft_tpu.ops import jnp_engine
-        return jnp_engine.fft_axis_p(x, axis, plan, inverse)
+        return jnp_engine.fft_axis_p(x, axis, plan, inverse, scale=scale)
     axis = axis % x.ndim
     ndim = x.ndim
     if axis != ndim - 1 and plan.algorithm is Algorithm.DIRECT and _use_v2(plan.n):
@@ -438,14 +462,15 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
         if s >= 16:
             xr = x.re.reshape(p, plan.n, s)
             xi = x.im.reshape(p, plan.n, s)
-            orr, oi = strided_fft_planar(xr, xi, plan.n, inverse, donate=donate)
+            orr, oi = strided_fft_planar(xr, xi, plan.n, inverse,
+                                         donate=donate, scale=scale)
             return Planar(orr.reshape(shape), oi.reshape(shape))
     moved = axis != ndim - 1
     if moved:
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
     shape = x.shape
     y = fft_lines_p(x.reshape(-1, plan.n), plan, inverse,
-                    donate=donate).reshape(*shape)
+                    donate=donate, scale=scale).reshape(*shape)
     if moved:
         y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
     return y
@@ -498,7 +523,7 @@ def _pack_lane_matrix(C: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=512)
-def _v2_tables(n: int, inverse: bool):
+def _v2_tables(n: int, inverse: bool, scale: float = 1.0):
     n1, n2 = split_lane_major(n)
     sign = 2.0j if inverse else -2.0j
     D1 = luts.dft_matrix(n1, inverse)            # lane side (n1 x n1)
@@ -506,6 +531,10 @@ def _v2_tables(n: int, inverse: bool):
     k2 = np.arange(n2)[:, None]
     nn1 = np.arange(n1)[None, :]
     tw = np.exp(sign * np.pi / n * ((k2 * nn1) % n))   # (n2, n1): w_N^(n1*k2)
+    if scale != 1.0:
+        # in-kernel normalization folded into the always-applied inter-digit
+        # twiddle (stageNormalization analog, vkFFT_RadixShuffle.h:49-65)
+        tw = tw * scale
     return (
         _pack_complex_matrix(D2),     # (2n2, 2n2) sublane matmul
         _pack_lane_matrix(D1),        # (2n1, 2n1) lane matmul
@@ -592,7 +621,8 @@ def _v2_lines_per_block(n: int) -> int:
 @functools.lru_cache(maxsize=512)
 def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
                        dtype_name: str = "float32", donate: bool = False,
-                       in_rows: int = 0, out_rows: int = 0):
+                       in_rows: int = 0, out_rows: int = 0,
+                       scale: float = 1.0):
     """``donate=True`` aliases the input planes to the output buffers
     (in-place transform) — measured +32% bandwidth on v5e.  Only safe when
     the caller's operands are dead after the call (internal pipeline
@@ -606,7 +636,7 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
     matrix) for discarded-tail outputs.  0 = full."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
-    rsub, mlane, twr, twi = _v2_tables(n, inverse)
+    rsub, mlane, twr, twi = _v2_tables(n, inverse, scale)
     in_rows = in_rows or n2
     out_rows = out_rows or n2
     if not inverse and in_rows < n2:
@@ -715,7 +745,7 @@ def zeropad_rows(n: int, nonzero: int) -> int:
 
 def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural",
                        donate: bool = False, in_nonzero: int = 0,
-                       out_keep: int = 0):
+                       out_keep: int = 0, scale: float = 1.0):
     """v2 core.  Forward: natural in; 'swapped' order skips the output
     reorder.  Inverse: natural out; 'swapped' means the *input* is in swapped
     order (as produced by a swapped forward).  ``donate`` transforms
@@ -729,7 +759,7 @@ def core_fft_planar_v2(xr, xi, n: int, inverse: bool, order: str = "natural",
     in_rows = zeropad_rows(n, in_nonzero) if (in_nonzero and not inverse) else 0
     out_rows = zeropad_rows(n, out_keep) if (out_keep and inverse) else 0
     run = _build_fft_call_v2(n, inverse, xr.shape[0], _INTERPRET, str(xr.dtype),
-                             donate, in_rows, out_rows)
+                             donate, in_rows, out_rows, scale)
     if not inverse:
         orr, oi = run(xr, xi)
         if order == "natural":
@@ -810,11 +840,15 @@ def _use_v3(n: int) -> bool:
 
 
 @functools.lru_cache(maxsize=512)
-def _v3_tables(n: int, inverse: bool, plan=None):
+def _v3_tables(n: int, inverse: bool, plan=None, scale: float = 1.0):
     """Per-stage constants.  Stage walk: L = lines done, M = remaining; a
     stage reshapes the state to (L, r, M/r) [flat, batch lanes trailing],
     butterflies/contracts r, twiddles by w_M^(k_r * m), and flattens with the
-    new digit in FRONT: (r, L, M/r) — the self-sorting Stockham order."""
+    new digit in FRONT: (r, L, M/r) — the self-sorting Stockham order.
+
+    ``scale`` is folded into the first stage's table host-side — in-kernel
+    normalization at zero runtime cost, the reference's stageNormalization
+    (``vkFFT_RadixShuffle.h:49-65``) done as constant folding."""
     vpu_r, mxu_r = plan if plan is not None else _v3_plan(n)
     sign = 2.0j if inverse else -2.0j
     vpu_tabs, mxu_tabs = [], []
@@ -822,12 +856,16 @@ def _v3_tables(n: int, inverse: bool, plan=None):
     for r in vpu_r:
         Mp = M // r
         tw = np.exp(sign * np.pi / M * np.outer(np.arange(r), np.arange(Mp)))
+        if scale != 1.0 and L == 1:
+            tw = tw * scale
         vpu_tabs.append((np.real(tw).astype(np.float32),
                          np.imag(tw).astype(np.float32), r, L, Mp))
         L, M = L * r, Mp
     for r in mxu_r:
         Mp = M // r
         D = luts.dft_matrix(r, inverse)
+        if scale != 1.0 and L == 1:
+            D = D * scale
         Dp = np.ascontiguousarray(_pack_complex_matrix(D).T)
         if Mp > 1:
             tw = np.exp(sign * np.pi / M
@@ -929,14 +967,16 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
 @functools.lru_cache(maxsize=512)
 def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
                        dtype_name: str = "float32", donate: bool = False,
-                       in_keep: int = 0, out_keep: int = 0):
+                       in_keep: int = 0, out_keep: int = 0,
+                       scale: float = 1.0):
     """``in_keep`` (forward): read only the first in_keep entries of each
     line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
     write only the first out_keep entries (the returned planes have that
     length).  Unlike v2's elision, any prefix length works — no row
-    alignment requirement.  0 = full."""
+    alignment requirement.  0 = full.  ``scale``: in-kernel normalization
+    folded into the stage tables (no output multiply pass)."""
     dtype = jnp.dtype(dtype_name)
-    vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
+    vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale)
     sb = _V3_SB
     # interleaved independent pipelines per grid step (E9-E13: Mosaic
     # overlaps one chain's VPU work with another's MXU stage; production
@@ -1011,24 +1051,28 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
 
 
 def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
-                       in_nonzero: int = 0, out_keep: int = 0):
+                       in_nonzero: int = 0, out_keep: int = 0,
+                       scale: float = 1.0):
     """v3 core: natural order in, natural order out, both directions.
 
     ``in_nonzero`` (forward): the tail [in_nonzero, n) of each input line is
     declared zero and never read (pass full-width planes; only the prefix is
     DMA'd).  ``out_keep`` (inverse): only [0, out_keep) is computed into the
-    returned planes (of that width)."""
+    returned planes (of that width).  ``scale``: normalization folded into
+    the stage tables — no output multiply pass."""
     if in_nonzero and not inverse:
         run = _build_fft_call_v3(n, False, xr.shape[0], _INTERPRET,
-                                 str(xr.dtype), False, in_keep=in_nonzero)
+                                 str(xr.dtype), False, in_keep=in_nonzero,
+                                 scale=scale)
         # full-width planes; the BlockSpec window DMAs only the prefix
         return run(xr, xi)
     if out_keep and inverse:
         run = _build_fft_call_v3(n, True, xr.shape[0], _INTERPRET,
-                                 str(xr.dtype), False, out_keep=out_keep)
+                                 str(xr.dtype), False, out_keep=out_keep,
+                                 scale=scale)
         return run(xr, xi)
     run = _build_fft_call_v3(n, inverse, xr.shape[0], _INTERPRET,
-                             str(xr.dtype), donate)
+                             str(xr.dtype), donate, scale=scale)
     return run(xr, xi)
 
 
@@ -1294,7 +1338,7 @@ def _strided_tile_s(n: int, s: int) -> int:
 
 
 @functools.lru_cache(maxsize=512)
-def _strided_tables(n: int, inverse: bool):
+def _strided_tables(n: int, inverse: bool, scale: float = 1.0):
     n1, n2 = split_lane_major(n)  # n1 fast digit, n2 slow
     sign = 2.0j if inverse else -2.0j
     D2 = luts.dft_matrix(n2, inverse)
@@ -1302,6 +1346,8 @@ def _strided_tables(n: int, inverse: bool):
     k2 = np.arange(n2)[:, None]
     nn1 = np.arange(n1)[None, :]
     tw = np.exp(sign * np.pi / n * ((k2 * nn1) % n))   # (n2, n1)
+    if scale != 1.0:
+        tw = tw * scale  # in-kernel normalization (stageNormalization analog)
     return (_pack_complex_matrix(D2), _pack_complex_matrix(D1),
             np.real(tw).astype(np.float32), np.imag(tw).astype(np.float32))
 
@@ -1459,14 +1505,16 @@ def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
 @functools.lru_cache(maxsize=512)
 def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                         dtype_name: str = "float32", fused: str = "",
-                        factors: tuple = (), donate: bool = False):
+                        factors: tuple = (), donate: bool = False,
+                        scale: float = 1.0):
     """(P, n, S) planar transform over the middle axis, natural order.
     ``fused`` = 'pre'/'post' multiplies the input/output block by the complex
     product of the separable twiddle factors described by ``factors`` (the
-    long-sequence inter-pass twiddle, reference LUT_4step)."""
+    long-sequence inter-pass twiddle, reference LUT_4step).  ``scale``:
+    in-kernel normalization folded into the stage tables."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
-    r2, r1, twr, twi = _strided_tables(n, inverse)
+    r2, r1, twr, twi = _strided_tables(n, inverse, scale)
     tile_s = _strided_tile_s(n, s)
     # v3-stage path: block (1, n, tile_s) must stay within the tested
     # Mosaic budget (~4MB with the raised VMEM limit, E13)
@@ -1490,7 +1538,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     if use_v3:
-        vpu_tabs, mxu_tabs = _v3_tables(n, inverse)
+        vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale)
         v3_np = []
         for tr_, ti_, *_ in vpu_tabs:
             v3_np += [tr_, ti_]
@@ -1584,11 +1632,13 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     return run
 
 
-def strided_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False):
-    """Natural-order DFT over the middle axis of (P, n, S) planes."""
+def strided_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False,
+                       scale: float = 1.0):
+    """Natural-order DFT over the middle axis of (P, n, S) planes, scaled
+    by ``scale`` in-kernel."""
     p, _, s = xr.shape
     run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype),
-                              donate=donate)
+                              donate=donate, scale=scale)
     return run(xr, xi)
 
 
@@ -1669,13 +1719,15 @@ def split_long3(n: int) -> Optional[tuple[int, int, int]]:
     return None
 
 
-def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
+def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
+                    scale: float = 1.0):
     """DFT of (B, n) planar lines for n beyond the single-kernel range.
     The inter-pass twiddle is fused into the strided kernel (post-multiply on
     the forward write, pre-multiply on the inverse read) as separable digit
-    factors — no separate elementwise HBM pass and no O(n) twiddle table."""
+    factors — no separate elementwise HBM pass and no O(n) twiddle table.
+    ``scale`` folds into the last kernel of the pipeline."""
     if split_long(n) is None:
-        return _fft_long3_planar(xr, xi, n, inverse, order)
+        return _fft_long3_planar(xr, xi, n, inverse, order, scale)
     nc, ns = split_long(n)
     B = xr.shape[0]
     c1, c2 = split_lane_major(nc)
@@ -1694,10 +1746,12 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
         if _use_v2(ns):
             orr, oi = core_fft_planar_v2(tr.reshape(B * nc, ns),
                                          ti.reshape(B * nc, ns), ns, False,
-                                         order="natural", donate=True)
+                                         order="natural", donate=True,
+                                         scale=scale)
         else:
             orr, oi = core_fft_planar(tr.reshape(B * nc, ns),
-                                      ti.reshape(B * nc, ns), ns, False)
+                                      ti.reshape(B * nc, ns), ns, False,
+                                      scale=scale)
         orr = orr.reshape(B, nc, ns)
         oi = oi.reshape(B, nc, ns)
         if order == "natural":
@@ -1725,13 +1779,15 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
     fb = _sep_twiddle(c1, 1, ns, n, True)
     run = _build_strided_call(nc, True, B, ns, _INTERPRET, str(xr.dtype),
                               fused="pre",
-                              factors=(("dim1", c2), ("dim2", c1)))
+                              factors=(("dim1", c2), ("dim2", c1)),
+                              scale=scale)
     orr, oi = run(br, bi, jnp.asarray(fa[0]), jnp.asarray(fa[1]),
                   jnp.asarray(fb[0]), jnp.asarray(fb[1]))
     return orr.reshape(B, n), oi.reshape(B, n)
 
 
-def _fft_long3_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
+def _fft_long3_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
+                      scale: float = 1.0):
     """Three-upload four-step for axes beyond the 2-level range (~2^28),
     matching the reference's numPasses==3 regime (``vkFFT_Scheduler.h:
     2590-2893``; axis ceiling 2^32, README.md:8).
@@ -1781,7 +1837,8 @@ def _fft_long3_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
 
         orr, oi = core_fft_planar_v2(tr.reshape(B * nc, ns),
                                      ti.reshape(B * nc, ns), ns, False,
-                                     order="natural", donate=True)
+                                     order="natural", donate=True,
+                                     scale=scale)
         orr = orr.reshape(B, na, nb, ns)
         oi = oi.reshape(B, na, nb, ns)
         if order == "natural":
@@ -1815,7 +1872,7 @@ def _fft_long3_planar(xr, xi, n: int, inverse: bool, order: str = "natural"):
     cb = _sep_twiddle(a1, 1, nb, nc, True)
     run1 = _build_strided_call(
         na, True, B, nb * ns, _INTERPRET, dt, fused="pre",
-        factors=(("dim1_col", a2, nb), ("dim2_col", a1, nb)))
+        factors=(("dim1_col", a2, nb), ("dim2_col", a1, nb)), scale=scale)
     orr, oi = run1(br.reshape(B, na, nb * ns), bi.reshape(B, na, nb * ns),
                    jnp.asarray(ca[0]), jnp.asarray(ca[1]),
                    jnp.asarray(cb[0]), jnp.asarray(cb[1]))
