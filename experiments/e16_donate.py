@@ -14,6 +14,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from vkfft_tpu import cache
 from vkfft_tpu.pcomplex import Planar
 from vkfft_tpu.planner import plan_axis
 from vkfft_tpu.ops import pallas_engine as pe
@@ -22,13 +23,11 @@ from vkfft_tpu.ops import pallas_engine as pe
 def bench_system(n: int, batch: int, donate: bool, n_lo=10, n_hi=60):
     plan = plan_axis(n)
     rng = np.random.default_rng(0)
-    inv_n = np.float32(1.0 / n)
 
     @jax.jit
     def fwd_inv(p):
         y = pe.fft_lines_p(p, plan, False, donate=donate)
-        z = pe.fft_lines_p(y, plan, True, donate=donate)
-        return Planar(z.re * inv_n, z.im * inv_n)
+        return pe.fft_lines_p(y, plan, True, donate=donate, scale=1.0 / n)
 
     p0 = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
                 jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
@@ -58,15 +57,15 @@ def bench_system(n: int, batch: int, donate: bool, n_lo=10, n_hi=60):
 def bench_3d(donate: bool, shape=(256, 256, 256), n_lo=2, n_hi=8):
     plans = [plan_axis(s) for s in shape]
     total = int(np.prod(shape))
-    inv_n = np.float32(1.0 / total)
 
     @jax.jit
     def fwd_inv(p):
         for ax in range(3):
             p = pe.fft_axis_p(p, ax, plans[ax], False, donate=donate)
-        for ax in (2, 1, 0):
+        for ax in (2, 1):
             p = pe.fft_axis_p(p, ax, plans[ax], True, donate=donate)
-        return Planar(p.re * inv_n, p.im * inv_n)
+        return pe.fft_axis_p(p, 0, plans[0], True, donate=donate,
+                             scale=1.0 / total)
 
     rng = np.random.default_rng(0)
     p0 = Planar(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
@@ -95,6 +94,10 @@ def bench_3d(donate: bool, shape=(256, 256, 256), n_lo=2, n_hi=8):
 
 
 def main():
+    try:
+        cache.enable_persistent_cache()
+    except Exception as e:
+        print("no persistent cache:", e, flush=True)
     target_bytes = 128 * 1024 * 1024
     for n in (256, 1024, 4096):
         batch = max(1, target_bytes // (8 * n))

@@ -1193,13 +1193,14 @@ def _revmod_tail(X, m, F_ref, S):
 
 @functools.lru_cache(maxsize=512)
 def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
-                    dtype_name: str = "float32"):
+                    dtype_name: str = "float32", scale: float = 1.0):
     """Forward: real (batch, n) -> planar (batch, m+1) half spectrum.
-    Inverse: planar (batch, m+1) -> real (batch, n), scaled by m (the
-    caller applies 1/m for numpy-irfft normalization)."""
+    Inverse: planar (batch, m+1) -> real (batch, n), scaled by m*scale —
+    callers pass ``scale=1/m`` to get numpy-irfft normalization in-kernel
+    (folded into the stage tables, no output multiply pass)."""
     dtype = jnp.dtype(dtype_name)
     m = n // 2
-    vpu_tabs, mxu_tabs = _v3_tables(m, inverse)
+    vpu_tabs, mxu_tabs = _v3_tables(m, inverse, scale=scale)
     fb, F = _flip_block(m)
     k = np.arange(m)
     sign = 2.0j if inverse else -2.0j
@@ -1297,10 +1298,13 @@ def rfft_lines_planar(x: jax.Array):
     return run(x)
 
 
-def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int):
+def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int,
+                       scale: float = 1.0):
     """Planar (B, n//2+1) half spectrum -> real (B, n) lines, scaled by
-    n//2 (callers divide by n//2 for numpy ``irfft`` normalization)."""
-    run = _build_r2c_call(n, xr.shape[0], _INTERPRET, True, str(xr.dtype))
+    (n//2)*scale — pass ``scale=1/(n//2)`` for numpy ``irfft``
+    normalization folded into the kernel."""
+    run = _build_r2c_call(n, xr.shape[0], _INTERPRET, True, str(xr.dtype),
+                          scale=scale)
     return run(xr, xi)
 
 

@@ -145,9 +145,11 @@ def irfft(X, n: Optional[int] = None, axis: int = -1, engine: Optional[str] = No
         from vkfft_tpu.ops import pallas_engine as pe
         lead = p.shape[:-1]
         b = int(np.prod(lead, dtype=np.int64)) if lead else 1
-        y = pe.irfft_lines_planar(p.re.reshape(b, m), p.im.reshape(b, m), n)
-        out = (y * jnp.float32(1.0 / (n // 2))).reshape(*lead, n)
-        return _move_back(out, axis, ndim)
+        # 1/m normalization rides the kernel's stage tables (no output
+        # multiply pass — reference stageNormalization)
+        y = pe.irfft_lines_planar(p.re.reshape(b, m), p.im.reshape(b, m), n,
+                                  scale=1.0 / (n // 2))
+        return _move_back(y.reshape(*lead, n), axis, ndim)
     if n % 2 or n < 4:
         # rebuild the full Hermitian spectrum, complex inverse, take re
         tail = p[..., 1 : n - m + 1][..., ::-1].conj()
