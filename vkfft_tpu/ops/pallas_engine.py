@@ -804,6 +804,7 @@ _V3_MAX_N = 8192  # single-kernel ceiling: (1, il*128, n) f32 blocks up to
                   # was the default VMEM budget, not a layout hazard)
 _V3_SB = 128      # lines per block = one full lane tile
 _V3_IL_OVERRIDE = None  # experiments only: force the interleave depth
+_V3_MXU_SPLIT3 = False  # experiments only: 3-pass bf16 MXU emulation
 _VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic VMEM budget for big blocks
 
 
@@ -919,9 +920,25 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
         # 3-D form (L0, 2r, Mp*S) compiles for every factorization.
         z = jnp.concatenate([xr.reshape(L0, r, Mp * S),
                              xi.reshape(L0, r, Mp * S)], axis=1)
-        y = jax.lax.dot_general(
-            D_ref[:], z, (((0,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec)
+        if _V3_MXU_SPLIT3 and prec is jax.lax.Precision.HIGHEST:
+            # Manual 3-pass bf16 emulation (Mosaic does not lower
+            # Precision.HIGH): split both operands into bf16 hi+lo and drop
+            # the lo*lo term — half the MXU passes of HIGHEST at ~1.5e-5
+            # relative error (vs ~2e-7 / 3e-3 for HIGHEST / DEFAULT).
+            D32 = D_ref[:]
+            Dh = D32.astype(jnp.bfloat16)
+            Dl = (D32 - Dh.astype(jnp.float32)).astype(jnp.bfloat16)
+            zh = z.astype(jnp.bfloat16)
+            zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
+            dims = (((0,), (1,)), ((), ()))
+            dot = functools.partial(jax.lax.dot_general,
+                                    dimension_numbers=dims,
+                                    preferred_element_type=jnp.float32)
+            y = dot(Dh, zh) + dot(Dh, zl) + dot(Dl, zh)
+        else:
+            y = jax.lax.dot_general(
+                D_ref[:], z, (((0,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
         ar, ai = y[:r], y[r:]                                # (r, L0, Mp*S)
         if Mp == 1:
             xr = ar.reshape(-1, S)
