@@ -178,20 +178,83 @@ def err_once(L0=8, r=64, MpS=128 * 8):
     print("device rel err:", np.linalg.norm(y - ref) / np.linalg.norm(ref))
 
 
+def bench_production(n: int, batch: int, n_lo=10, n_hi=60):
+    import jax
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    from vkfft_tpu.planner import plan_axis
+    from vkfft_tpu.ops import pallas_engine as pe
+
+    plan = plan_axis(n)
+    rng = np.random.default_rng(0)
+
+    @jax.jit
+    def fwd_inv(p):
+        y = pe.fft_lines_p(p, plan, False)
+        return pe.fft_lines_p(y, plan, True, scale=1.0 / n)
+
+    p0 = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
+                jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
+
+    def make(iters):
+        @jax.jit
+        def run(p):
+            return jax.lax.fori_loop(0, iters, lambda i, v: fwd_inv(v), p)
+        return run
+
+    f_lo, f_hi = make(n_lo), make(n_hi)
+    float(np.asarray(f_lo(p0).re[0, 0]))
+    float(np.asarray(f_hi(p0).re[0, 0]))
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(f(p0).re[0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(f_hi) - timed(f_lo)) / (n_hi - n_lo)
+    # error vs fp64 oracle on a small slice
+    x = rng.standard_normal((256, n)) + 1j * rng.standard_normal((256, n))
+    ps = Planar(jnp.asarray(x.real.astype(np.float32)),
+                jnp.asarray(x.imag.astype(np.float32)))
+    y = pe.fft_lines_p(ps, plan, False)
+    got = (np.asarray(y.re, np.float64) + 1j * np.asarray(y.im, np.float64))
+    ref = np.fft.fft(x)
+    err = float(np.linalg.norm(got - ref) / np.linalg.norm(ref))
+    return 4 * 2 * batch * n * 4 / dt / 1e9, err
+
+
 def main():
     if "--selftest" in sys.argv:
         selftest()
         return
     selftest()
+    from vkfft_tpu import cache
+    from vkfft_tpu.ops import pallas_engine as pe
+    try:
+        cache.enable_persistent_cache()
+    except Exception as e:
+        print("no persistent cache:", e, flush=True)
     if not probe_pallas():
         print("int8 dot does not lower; stopping")
         return
     err_once()
     t_f32, tf32 = bench_stage(False)
-    print(f"HIGHEST f32 stage: {t_f32*1e3:8.2f} ms  ({tf32:6.2f} Tmac/s)")
+    print(f"HIGHEST f32 stage: {t_f32*1e3:8.2f} ms  ({tf32:6.2f} Tmac/s)",
+          flush=True)
     t_i8, ti8 = bench_stage(True)
     print(f"int8 6-pass stage: {t_i8*1e3:8.2f} ms  ({ti8:6.2f} Tmac/s)  "
-          f"speedup {t_f32/t_i8:.2f}x")
+          f"speedup {t_f32/t_i8:.2f}x", flush=True)
+    target_bytes = 128 * 1024 * 1024
+    for mode in (False, True):
+        pe.set_mxu_int8(mode)
+        tag = "int8  " if mode else "HIGHEST"
+        for n in (256, 1024, 4096):
+            batch = max(1, target_bytes // (8 * n))
+            g, e = bench_production(n, batch)
+            print(f"{tag} n={n:5d}: {g:6.1f} GB/s  err {e:.2e}", flush=True)
 
 
 if __name__ == "__main__":

@@ -502,3 +502,37 @@ def test_rfft_irfft_uses_kernel_path():
     ref0 = np.fft.rfft(x.astype(np.float64), axis=1)
     got0 = np.asarray(y0.re) + 1j * np.asarray(y0.im) if hasattr(y0, "re") else np.asarray(y0)
     assert rel_err(got0, ref0) < 2e-5
+
+
+@pytest.mark.parametrize("n", [256, 1000, 1024])
+def test_v3_int8_mxu_mode(n):
+    """6-pass int8 MXU emulation (experiments/e18): fp32-class accuracy
+    (~3e-7) through the v3-family kernels when toggled on."""
+    import jax.numpy as jnp
+    pallas_engine.set_mxu_int8(True)
+    try:
+        plan = plan_axis(n)
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n))
+        from vkfft_tpu.pcomplex import Planar
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        y = pallas_engine.fft_lines_p(p, plan, False)
+        got = np.asarray(y.re, np.float64) + 1j * np.asarray(y.im, np.float64)
+        assert rel_err(got, np.fft.fft(x)) < 2e-6
+        z = pallas_engine.fft_lines_p(y, plan, True, scale=1.0 / n)
+        zc = np.asarray(z.re, np.float64) + 1j * np.asarray(z.im, np.float64)
+        assert rel_err(zc, x) < 2e-6
+    finally:
+        pallas_engine.set_mxu_int8(False)
+
+
+def test_int8_digits_exactness():
+    """The three-digit int8 decomposition reconstructs to ~23 bits."""
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((64, 64))
+    s = float(np.max(np.abs(X)))
+    d = pallas_engine._int8_digits(X, s)
+    rec = sum(di.astype(np.float64) / sc
+              for di, sc in zip(d, pallas_engine._INT8_SCALES)) * s
+    assert np.max(np.abs(rec - X)) < 2.5e-7 * s

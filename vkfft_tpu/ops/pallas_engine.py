@@ -70,6 +70,27 @@ def set_matmul_precision(level: str) -> None:
     _build_fft_call_v3.cache_clear()
 
 
+def set_mxu_int8(value: bool) -> None:
+    """Toggle the 6-pass int8 MXU emulation for fp32-tier v3-family
+    kernels (fp32-class accuracy at half the bf16-HIGHEST MXU time on
+    MXUs with 2x int8 rate; see experiments/e18_int8_mxu.py)."""
+    global _V3_MXU_INT8
+    _V3_MXU_INT8 = bool(value)
+    for b in (_build_fft_call_v3, _build_r2c_call, _build_strided_call,
+              _build_conv_inv_call, _build_conv_v3_call):
+        b.cache_clear()
+
+
+
+def _mxu_passes(prec) -> int:
+    """Effective bf16-pass-equivalents per MXU MAC, for cost estimates:
+    HIGHEST = 6 bf16 passes; int8 emulation = 6 int8 passes at 2x rate = 3;
+    DEFAULT = 1."""
+    if _V3_MXU_INT8:
+        return 3
+    return 6 if prec is jax.lax.Precision.HIGHEST else 1
+
+
 @functools.lru_cache(maxsize=1024)
 def split_two_factors(n: int) -> Optional[tuple[int, int]]:
     """Best (N1, N2) with N1*N2 == n, both <= MAX_FACTOR, near-square with
@@ -805,6 +826,31 @@ _V3_MAX_N = 8192  # single-kernel ceiling: (1, il*128, n) f32 blocks up to
 _V3_SB = 128      # lines per block = one full lane tile
 _V3_IL_OVERRIDE = None  # experiments only: force the interleave depth
 _V3_MXU_SPLIT3 = False  # experiments only: 3-pass bf16 MXU emulation
+_V3_MXU_INT8 = False    # experiments only: 6-pass int8 MXU emulation
+
+# int8 emulated-f32 matmul: operands decompose into three int8 digits with
+# these scales (7+8+8 = 23 bits); the six digit products with combined order
+# < 3 recombine in f32 to ~2e-7 relative error (validated in
+# experiments/e18_int8_mxu.py).  v5e MXU runs int8 at 2x the bf16 rate, so
+# 6 int8 passes cost half of HIGHEST's 6 bf16 passes at equal accuracy.
+_INT8_SCALES = (127.0, 127.0 * 254.0, 127.0 * 254.0 * 254.0)
+
+
+def _int8_digits(X: np.ndarray, scale: float) -> tuple[np.ndarray, ...]:
+    """Three int8 digit planes of ``X / scale`` (|X| <= scale)."""
+    r = (X / scale).astype(np.float64)
+    out = []
+    for sc in _INT8_SCALES:
+        d = np.clip(np.round(r * sc), -127, 127)
+        out.append(d.astype(np.int8))
+        r = r - d / sc
+    return tuple(out)
+
+
+def _mxu_const_arrays(Dp) -> list:
+    """Kernel operand arrays for one MXU stage matrix: the f32 matrix, or
+    the three int8 digit planes when the stage is digit-decomposed."""
+    return list(Dp[:3]) if isinstance(Dp, tuple) else [Dp]
 _VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic VMEM budget for big blocks
 
 
@@ -840,8 +886,17 @@ def _use_v3(n: int) -> bool:
     return _v3_plan(n) is not None
 
 
+def _v3_tables(n: int, inverse: bool, plan=None, scale: float = 1.0,
+               int8=None):
+    """See `_v3_tables_impl`; resolves the int8-MXU flag before caching."""
+    if int8 is None:
+        int8 = _V3_MXU_INT8
+    return _v3_tables_impl(n, inverse, plan, scale, int8)
+
+
 @functools.lru_cache(maxsize=512)
-def _v3_tables(n: int, inverse: bool, plan=None, scale: float = 1.0):
+def _v3_tables_impl(n: int, inverse: bool, plan=None, scale: float = 1.0,
+                    int8: bool = False):
     """Per-stage constants.  Stage walk: L = lines done, M = remaining; a
     stage reshapes the state to (L, r, M/r) [flat, batch lanes trailing],
     butterflies/contracts r, twiddles by w_M^(k_r * m), and flattens with the
@@ -868,6 +923,12 @@ def _v3_tables(n: int, inverse: bool, plan=None, scale: float = 1.0):
         if scale != 1.0 and L == 1:
             D = D * scale
         Dp = np.ascontiguousarray(_pack_complex_matrix(D).T)
+        if int8:
+            # digit-decomposed constant matrix for the 6-pass int8 path;
+            # sD rides in the tuple and is folded into the recombine
+            # weights inside the kernel (host-side floats)
+            sD = float(np.max(np.abs(Dp))) or 1.0
+            Dp = (*_int8_digits(Dp, sD), sD)
         if Mp > 1:
             tw = np.exp(sign * np.pi / M
                         * np.outer(np.arange(r), np.arange(Mp)))
@@ -910,9 +971,7 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
             ai = jnp.stack([zi[:, 0] + zi[:, 1], zi[:, 0] - zi[:, 1]], axis=0)
         xr = (ar * twr - ai * twi).reshape(-1, S)
         xi = (ar * twi + ai * twr).reshape(-1, S)
-    for (_, twr_t, twi_t, r, L0, Mp) in mxu_tabs:
-        D_ref = table_refs[ti]
-        ti += 1
+    for (Dp_t, twr_t, twi_t, r, L0, Mp) in mxu_tabs:
         # Merge (Mp, S) into one trailing dim for the contraction: Mosaic
         # lowers the non-leading contraction as a transpose, and a 4-D
         # transpose whose second-minor dim is a small Mp (e.g. 5) fails
@@ -920,25 +979,54 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
         # 3-D form (L0, 2r, Mp*S) compiles for every factorization.
         z = jnp.concatenate([xr.reshape(L0, r, Mp * S),
                              xi.reshape(L0, r, Mp * S)], axis=1)
-        if _V3_MXU_SPLIT3 and prec is jax.lax.Precision.HIGHEST:
+        dims = (((0,), (1,)), ((), ()))
+        if isinstance(Dp_t, tuple):
+            # 6-pass int8 emulation (experiments/e18): quantize z into
+            # three int8 digits against the block max, contract each
+            # needed digit pair on the int8 MXU (2x bf16 rate), and
+            # recombine the three digit-order groups in f32.
+            ds = (table_refs[ti][:], table_refs[ti + 1][:],
+                  table_refs[ti + 2][:])
+            ti += 3
+            sD = Dp_t[3]
+            s = jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
+            rn = z * (1.0 / s)
+            zq = []
+            for sc in _INT8_SCALES:
+                q = jnp.clip(jnp.round(rn * sc), -127.0, 127.0)
+                zq.append(q.astype(jnp.int8))
+                rn = rn - q * np.float32(1.0 / sc)
+            dot8 = functools.partial(jax.lax.dot_general,
+                                     dimension_numbers=dims,
+                                     preferred_element_type=jnp.int32)
+            o0 = dot8(ds[0], zq[0])
+            o1 = dot8(ds[0], zq[1]) + dot8(ds[1], zq[0])
+            o2 = dot8(ds[0], zq[2]) + dot8(ds[1], zq[1]) + dot8(ds[2], zq[0])
+            c0 = np.float32(sD / (127.0 * 127.0))
+            y = (o0.astype(jnp.float32) * c0
+                 + o1.astype(jnp.float32) * (c0 / np.float32(254.0))
+                 + o2.astype(jnp.float32) * (c0 / np.float32(254.0 * 254.0))
+                 ) * s
+        elif _V3_MXU_SPLIT3 and prec is jax.lax.Precision.HIGHEST:
             # Manual 3-pass bf16 emulation (Mosaic does not lower
             # Precision.HIGH): split both operands into bf16 hi+lo and drop
-            # the lo*lo term — half the MXU passes of HIGHEST at ~1.5e-5
+            # the lo*lo term — half the MXU passes of HIGHEST at ~4e-6
             # relative error (vs ~2e-7 / 3e-3 for HIGHEST / DEFAULT).
-            D32 = D_ref[:]
+            D32 = table_refs[ti][:]
+            ti += 1
             Dh = D32.astype(jnp.bfloat16)
             Dl = (D32 - Dh.astype(jnp.float32)).astype(jnp.bfloat16)
             zh = z.astype(jnp.bfloat16)
             zl = (z - zh.astype(jnp.float32)).astype(jnp.bfloat16)
-            dims = (((0,), (1,)), ((), ()))
             dot = functools.partial(jax.lax.dot_general,
                                     dimension_numbers=dims,
                                     preferred_element_type=jnp.float32)
             y = dot(Dh, zh) + dot(Dh, zl) + dot(Dl, zh)
         else:
             y = jax.lax.dot_general(
-                D_ref[:], z, (((0,), (1,)), ((), ())),
+                table_refs[ti][:], z, dims,
                 preferred_element_type=jnp.float32, precision=prec)
+            ti += 1
         ar, ai = y[:r], y[r:]                                # (r, L0, Mp*S)
         if Mp == 1:
             xr = ar.reshape(-1, S)
@@ -1027,13 +1115,14 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         in_specs += [const(twr), const(twi)]
         np_tables += [twr, twi]
     for Dp, twr, twi, r, L0, Mp in mxu_tabs:
-        in_specs.append(const(Dp))
-        np_tables.append(Dp)
+        for d in _mxu_const_arrays(Dp):
+            in_specs.append(const(d))
+            np_tables.append(d)
         if Mp > 1:
             in_specs += [const(twr), const(twi)]
             np_tables += [twr, twi]
 
-    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    passes = _mxu_passes(prec)
     mxu_macs = sum(r for *_, r, _, _ in mxu_tabs)
     kw = {
         "cost_estimate": pl.CostEstimate(
@@ -1241,15 +1330,16 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         stage_specs += [const(s_twr), const(s_twi)]
         np_tables += [s_twr, s_twi]
     for Dp, s_twr, s_twi, r, L0, Mp in mxu_tabs:
-        stage_specs.append(const(Dp))
-        np_tables.append(Dp)
+        for d in _mxu_const_arrays(Dp):
+            stage_specs.append(const(d))
+            np_tables.append(d)
         if Mp > 1:
             stage_specs += [const(s_twr), const(s_twi)]
             np_tables += [s_twr, s_twi]
     np_tables += [F, twr, twi]
     extra_specs = [const(F), const(twr), const(twi)]
 
-    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    passes = _mxu_passes(prec)
     mxu_macs = sum(r for *_, r, _, _ in mxu_tabs) + fb
     ce = pl.CostEstimate(
         flops=2 * padded * m * (mxu_macs * 8 * passes + 40),
@@ -1564,7 +1654,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         for tr_, ti_, *_ in vpu_tabs:
             v3_np += [tr_, ti_]
         for Dp, tr_, ti_, r, L0, Mp in mxu_tabs:
-            v3_np.append(Dp)
+            v3_np += _mxu_const_arrays(Dp)
             if Mp > 1:
                 v3_np += [tr_, ti_]
         kernel = functools.partial(_strided_kernel_v3, n, n1, n2, tile_s,
@@ -1601,7 +1691,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         in_specs += [spec, spec]
         f_shapes.append(shape)
         f_pads.append(pad_trailing)
-    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    passes = _mxu_passes(prec)
     kw = {
         # accurate cost hints improve Mosaic's pipeline scheduling
         # (measured +6..18% on the contiguous kernels, experiments E3/E5)
@@ -2140,7 +2230,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
         for twr, twi, *_ in tabs[0]:
             out += [twr, twi]
         for Dp, twr, twi, r, L0, Mp in tabs[1]:
-            out.append(Dp)
+            out += _mxu_const_arrays(Dp)
             if Mp > 1:
                 out += [twr, twi]
         return out
@@ -2172,7 +2262,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
                                 memory_space=pltpu.VMEM)
     in_specs = ([spec, spec] + [const(t) for t in fwd_np]
                 + [const(t) for t in inv_np] + [tab_spec, tab_spec])
-    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    passes = _mxu_passes(prec)
     mxu_macs = (sum(r for *_, r, _, _ in fwd_tabs[1])
                 + sum(r for *_, r, _, _ in inv_tabs[1]))
     kw = {
