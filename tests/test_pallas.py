@@ -536,3 +536,27 @@ def test_int8_digits_exactness():
     rec = sum(di.astype(np.float64) / sc
               for di, sc in zip(d, pallas_engine._INT8_SCALES)) * s
     assert np.max(np.abs(rec - X)) < 2.5e-7 * s
+
+
+def test_v2_int8_mxu_mode():
+    """6-pass int8 emulation through the v2 kernel (natural + swapped)."""
+    import jax.numpy as jnp
+    pallas_engine.set_mxu_int8(True)
+    try:
+        n = 4096
+        rng = np.random.default_rng(7)
+        xr = jnp.asarray(rng.standard_normal((4, n)).astype(np.float32))
+        xi = jnp.asarray(rng.standard_normal((4, n)).astype(np.float32))
+        fr, fi = pallas_engine.core_fft_planar_v2(xr, xi, n, False)
+        ref = np.fft.fft(np.asarray(xr).astype(np.complex128)
+                         + 1j * np.asarray(xi))
+        assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 2e-6
+        sr, si = pallas_engine.core_fft_planar_v2(xr, xi, n, False,
+                                                  order="swapped")
+        br, bi = pallas_engine.core_fft_planar_v2(sr, si, n, True,
+                                                  order="swapped",
+                                                  scale=1.0 / n)
+        assert rel_err(np.asarray(br), np.asarray(xr)) < 2e-6
+        assert rel_err(np.asarray(bi), np.asarray(xi)) < 2e-6
+    finally:
+        pallas_engine.set_mxu_int8(False)

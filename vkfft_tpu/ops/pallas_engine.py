@@ -31,6 +31,7 @@ Bluestein composition over this core.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -76,19 +77,19 @@ def set_mxu_int8(value: bool) -> None:
     MXUs with 2x int8 rate; see experiments/e18_int8_mxu.py)."""
     global _V3_MXU_INT8
     _V3_MXU_INT8 = bool(value)
-    for b in (_build_fft_call_v3, _build_r2c_call, _build_strided_call,
-              _build_conv_inv_call, _build_conv_v3_call):
+    for b in (_build_fft_call_v2, _build_fft_call_v3, _build_r2c_call,
+              _build_strided_call, _build_conv_inv_call, _build_conv_v3_call):
         b.cache_clear()
 
 
 
 def _mxu_passes(prec) -> int:
     """Effective bf16-pass-equivalents per MXU MAC, for cost estimates:
-    HIGHEST = 6 bf16 passes; int8 emulation = 6 int8 passes at 2x rate = 3;
-    DEFAULT = 1."""
-    if _V3_MXU_INT8:
-        return 3
-    return 6 if prec is jax.lax.Precision.HIGHEST else 1
+    HIGHEST = 6 bf16 passes; int8 emulation (fp32 tier only) = 6 int8
+    passes at 2x rate = 3; DEFAULT (storage tiers) = 1."""
+    if prec is not jax.lax.Precision.HIGHEST:
+        return 1
+    return 3 if _V3_MXU_INT8 else 6
 
 
 @functools.lru_cache(maxsize=1024)
@@ -564,9 +565,8 @@ def _v2_tables(n: int, inverse: bool, scale: float = 1.0):
     )
 
 
-def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
-                   xr_ref, xi_ref, rsub_ref, mlane_ref, twr_ref, twi_ref,
-                   or_ref, oi_ref):
+def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec, i8,
+                   xr_ref, xi_ref, *refs):
     """Batched formulation: one dot_general per step for the whole block
     (measured 2.7x faster than a per-line unrolled loop on v5e — Mosaic
     vectorizes batched contractions across the line dimension).
@@ -575,7 +575,36 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
     only the nonzero sublane rows (rsub arrives column-cropped to match), and
     an inverse output block only the kept rows (rsub row-cropped) — the MXU
     rendition of the reference's read/write skipping (``vkFFT_Zeropad.h``),
-    saving both HBM traffic and MACs."""
+    saving both HBM traffic and MACs.
+
+    ``i8`` = None (one matrix operand per step, precision ``prec``) or
+    ``(s_rsub, s_mlane)`` host scales (three int8 digit operands per step
+    — the 6-pass int8 emulation, see `_int8_dot_lhsm`)."""
+    if i8 is None:
+        rsub_op, mlane_op = refs[0], refs[1]
+        twr_ref, twi_ref, or_ref, oi_ref = refs[2:]
+    else:
+        rsub_op, mlane_op = refs[0:3], refs[3:6]
+        twr_ref, twi_ref, or_ref, oi_ref = refs[6:]
+    dims_sub = (((1,), (1,)), ((), ()))
+    dims_lane = (((2,), (0,)), ((), ()))
+
+    def dot_sub(z):
+        if i8 is None:
+            return jax.lax.dot_general(rsub_op[:], z, dims_sub,
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+        return _int8_dot_lhsm(tuple(r[:] for r in rsub_op), i8[0], z,
+                              dims_sub)
+
+    def dot_lane(z2):
+        if i8 is None:
+            return jax.lax.dot_general(z2, mlane_op[:], dims_lane,
+                                       preferred_element_type=jnp.float32,
+                                       precision=prec)
+        return _int8_dot_rhsm(z2, tuple(m[:] for m in mlane_op), i8[1],
+                              dims_lane)
+
     twr = twr_ref[:]
     twi = twi_ref[:]
     xr = xr_ref[:].astype(jnp.float32)                   # (TB, R2<=N2, N1)
@@ -583,9 +612,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
     if not inverse:
         if xr.shape[1] > 1 or n2 > 1:
             z = jnp.concatenate([xr, xi], axis=1)        # (TB, 2R2, N1)
-            y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)  # (2N2, TB, N1)
+            y = dot_sub(z)                               # (2N2, TB, N1)
             ar, ai = y[:n2], y[n2:]
         else:
             ar = jnp.swapaxes(xr, 0, 1)                  # (1, TB, N1)
@@ -596,9 +623,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
         ti = ar * tw_i + ai * tw_r
         if n1 > 1:
             z2 = jnp.concatenate([tr, ti], axis=2)       # (N2, TB, 2N1)
-            y2 = jax.lax.dot_general(z2, mlane_ref[:], (((2,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=prec)  # (N2, TB, 2N1)
+            y2 = dot_lane(z2)                            # (N2, TB, 2N1)
             outr, outi = y2[..., :n1], y2[..., n1:]
         else:
             outr, outi = tr, ti
@@ -607,9 +632,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
     else:
         if n1 > 1:
             z2 = jnp.concatenate([xr, xi], axis=2)       # (TB, N2, 2N1)
-            y2 = jax.lax.dot_general(z2, mlane_ref[:], (((2,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32,
-                                     precision=prec)  # (TB, N2, 2N1)
+            y2 = dot_lane(z2)                            # (TB, N2, 2N1)
             ar, ai = y2[..., :n1], y2[..., n1:]
         else:
             ar, ai = xr, xi
@@ -620,9 +643,7 @@ def _fft_kernel_v2(n1, n2, tb, inverse, out_dtype, prec,
         keep = or_ref.shape[1]                           # kept output rows
         if n2 > 1:
             z = jnp.concatenate([tr, ti], axis=1)        # (TB, 2N2, N1)
-            y = jax.lax.dot_general(rsub_ref[:], z, (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32,
-                                    precision=prec)  # (2*keep, TB, N1)
+            y = dot_sub(z)                               # (2*keep, TB, N1)
             outr = jnp.swapaxes(y[:keep], 0, 1)
             outi = jnp.swapaxes(y[keep:], 0, 1)
         else:
@@ -689,7 +710,18 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
         twi = np.pad(twi, ((0, 0), (0, lane - n1)))
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    kernel = functools.partial(_fft_kernel_v2, lane, n2, tb, inverse, dtype, prec)
+    if _V3_MXU_INT8 and dtype == jnp.float32:
+        # 6-pass int8 emulation: digit-decompose both (cropped/padded)
+        # constant matrices host-side; data quantizes in-kernel
+        s_r = float(np.max(np.abs(rsub))) or 1.0
+        s_m = float(np.max(np.abs(mlane))) or 1.0
+        i8 = (s_r, s_m)
+        mat_tables = [*_int8_digits(rsub, s_r), *_int8_digits(mlane, s_m)]
+    else:
+        i8 = None
+        mat_tables = [rsub, mlane]
+    kernel = functools.partial(_fft_kernel_v2, lane, n2, tb, inverse, dtype,
+                               prec, i8)
     spec_in = pl.BlockSpec((tb, in_rows, lane), lambda b: (b, 0, 0),
                            memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((tb, out_rows, lane), lambda b: (b, 0, 0),
@@ -697,7 +729,7 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
 
-    passes = 6 if prec is jax.lax.Precision.HIGHEST else 1
+    passes = _mxu_passes(prec)
     kw = {
         "cost_estimate": pl.CostEstimate(
             flops=2 * padded * (in_rows * n1) * (n2 + lane) * 8 * passes,
@@ -710,8 +742,8 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
     call = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
-        in_specs=[spec_in, spec_in, const(rsub.shape), const(mlane.shape),
-                  const(twr.shape), const(twi.shape)],
+        in_specs=[spec_in, spec_in] + [const(t.shape) for t in mat_tables]
+        + [const(twr.shape), const(twi.shape)],
         out_specs=[spec_out, spec_out],
         out_shape=[jax.ShapeDtypeStruct((padded, out_rows, lane), dtype),
                    jax.ShapeDtypeStruct((padded, out_rows, lane), dtype)],
@@ -727,7 +759,7 @@ def _build_fft_call_v2(n: int, inverse: bool, batch: int, interpret: bool,
         if pad or lane != n1:
             xr = jnp.pad(xr, pads)
             xi = jnp.pad(xi, pads)
-        orr, oi = call(xr, xi, jnp.asarray(rsub), jnp.asarray(mlane),
+        orr, oi = call(xr, xi, *(jnp.asarray(t) for t in mat_tables),
                        jnp.asarray(twr), jnp.asarray(twi))
         if lane != n1:
             orr = orr[..., :n1]
@@ -826,7 +858,9 @@ _V3_MAX_N = 8192  # single-kernel ceiling: (1, il*128, n) f32 blocks up to
 _V3_SB = 128      # lines per block = one full lane tile
 _V3_IL_OVERRIDE = None  # experiments only: force the interleave depth
 _V3_MXU_SPLIT3 = False  # experiments only: 3-pass bf16 MXU emulation
-_V3_MXU_INT8 = False    # experiments only: 6-pass int8 MXU emulation
+# 6-pass int8 MXU emulation for the fp32 tier (see set_mxu_int8); the env
+# var lets the test suite / driver sweep the whole surface in either mode.
+_V3_MXU_INT8 = os.environ.get("VKFFT_TPU_INT8_MXU", "0") == "1"
 
 # int8 emulated-f32 matmul: operands decompose into three int8 digits with
 # these scales (7+8+8 = 23 bits); the six digit products with combined order
@@ -851,6 +885,51 @@ def _mxu_const_arrays(Dp) -> list:
     """Kernel operand arrays for one MXU stage matrix: the f32 matrix, or
     the three int8 digit planes when the stage is digit-decomposed."""
     return list(Dp[:3]) if isinstance(Dp, tuple) else [Dp]
+
+
+def _int8_quantize(z):
+    """In-kernel digit decomposition of f32 data: three int8 planes plus
+    the dynamic block scale."""
+    s = jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
+    rn = z * (1.0 / s)
+    zq = []
+    for sc in _INT8_SCALES:
+        q = jnp.clip(jnp.round(rn * sc), -127.0, 127.0)
+        zq.append(q.astype(jnp.int8))
+        rn = rn - q * np.float32(1.0 / sc)
+    return zq, s
+
+
+def _int8_recombine(o0, o1, o2, sD, s):
+    c0 = np.float32(sD / (127.0 * 127.0))
+    return (o0.astype(jnp.float32) * c0
+            + o1.astype(jnp.float32) * (c0 / np.float32(254.0))
+            + o2.astype(jnp.float32) * (c0 / np.float32(254.0 * 254.0))) * s
+
+
+def _int8_dot_lhsm(ds, sD, z, dims):
+    """Emulated-f32 contraction with the constant matrix on the LHS:
+    ``ds`` = three int8 digit planes of the matrix (host scale ``sD``),
+    ``z`` = f32 data quantized in-kernel.  Six int8 MXU passes (2x bf16
+    rate) ~= 3 bf16 passes at fp32-class accuracy (~2.6e-7)."""
+    zq, s = _int8_quantize(z)
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            preferred_element_type=jnp.int32)
+    o0 = dot(ds[0], zq[0])
+    o1 = dot(ds[0], zq[1]) + dot(ds[1], zq[0])
+    o2 = dot(ds[0], zq[2]) + dot(ds[1], zq[1]) + dot(ds[2], zq[0])
+    return _int8_recombine(o0, o1, o2, sD, s)
+
+
+def _int8_dot_rhsm(z, ds, sD, dims):
+    """As `_int8_dot_lhsm` with the constant matrix on the RHS."""
+    zq, s = _int8_quantize(z)
+    dot = functools.partial(jax.lax.dot_general, dimension_numbers=dims,
+                            preferred_element_type=jnp.int32)
+    o0 = dot(zq[0], ds[0])
+    o1 = dot(zq[1], ds[0]) + dot(zq[0], ds[1])
+    o2 = dot(zq[2], ds[0]) + dot(zq[1], ds[1]) + dot(zq[0], ds[2])
+    return _int8_recombine(o0, o1, o2, sD, s)
 _VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic VMEM budget for big blocks
 
 
@@ -988,25 +1067,7 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
             ds = (table_refs[ti][:], table_refs[ti + 1][:],
                   table_refs[ti + 2][:])
             ti += 3
-            sD = Dp_t[3]
-            s = jnp.maximum(jnp.max(jnp.abs(z)), 1e-30)
-            rn = z * (1.0 / s)
-            zq = []
-            for sc in _INT8_SCALES:
-                q = jnp.clip(jnp.round(rn * sc), -127.0, 127.0)
-                zq.append(q.astype(jnp.int8))
-                rn = rn - q * np.float32(1.0 / sc)
-            dot8 = functools.partial(jax.lax.dot_general,
-                                     dimension_numbers=dims,
-                                     preferred_element_type=jnp.int32)
-            o0 = dot8(ds[0], zq[0])
-            o1 = dot8(ds[0], zq[1]) + dot8(ds[1], zq[0])
-            o2 = dot8(ds[0], zq[2]) + dot8(ds[1], zq[1]) + dot8(ds[2], zq[0])
-            c0 = np.float32(sD / (127.0 * 127.0))
-            y = (o0.astype(jnp.float32) * c0
-                 + o1.astype(jnp.float32) * (c0 / np.float32(254.0))
-                 + o2.astype(jnp.float32) * (c0 / np.float32(254.0 * 254.0))
-                 ) * s
+            y = _int8_dot_lhsm(ds, Dp_t[3], z, dims)
         elif _V3_MXU_SPLIT3 and prec is jax.lax.Precision.HIGHEST:
             # Manual 3-pass bf16 emulation (Mosaic does not lower
             # Precision.HIGH): split both operands into bf16 hi+lo and drop
@@ -1081,7 +1142,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     alignment requirement.  0 = full.  ``scale``: in-kernel normalization
     folded into the stage tables (no output multiply pass)."""
     dtype = jnp.dtype(dtype_name)
-    vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale)
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8)
     sb = _V3_SB
     # interleaved independent pipelines per grid step (E9-E13: Mosaic
     # overlaps one chain's VPU work with another's MXU stage; production
@@ -1306,7 +1368,8 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
     (folded into the stage tables, no output multiply pass)."""
     dtype = jnp.dtype(dtype_name)
     m = n // 2
-    vpu_tabs, mxu_tabs = _v3_tables(m, inverse, scale=scale)
+    vpu_tabs, mxu_tabs = _v3_tables(m, inverse, scale=scale,
+                                    int8=_V3_MXU_INT8 and dtype == jnp.float32)
     fb, F = _flip_block(m)
     k = np.arange(m)
     sign = 2.0j if inverse else -2.0j
@@ -1649,7 +1712,9 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
     if use_v3:
-        vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale)
+        vpu_tabs, mxu_tabs = _v3_tables(
+            n, inverse, scale=scale,
+            int8=_V3_MXU_INT8 and dtype == jnp.float32)
         v3_np = []
         for tr_, ti_, *_ in vpu_tabs:
             v3_np += [tr_, ti_]
@@ -2215,8 +2280,9 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     with ``xpow`` where a table scale would cancel in Y/|Y|; otherwise
     callers bake normalization into the table)."""
     dtype = jnp.dtype(dtype_name)
-    fwd_tabs = _v3_tables(n, False)
-    inv_tabs = _v3_tables(n, True)
+    _i8 = _V3_MXU_INT8 and dtype == jnp.float32
+    fwd_tabs = _v3_tables(n, False, int8=_i8)
+    inv_tabs = _v3_tables(n, True, int8=_i8)
     sb = _V3_SB
     pad = (-batch) % sb
     padded = batch + pad
