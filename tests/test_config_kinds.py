@@ -84,3 +84,20 @@ def test_r2c_kind_wrong_shape_raises():
     app = FFTApplication(FFTConfig(shape=(64,), kind=TransformKind.R2C))
     with pytest.raises(InvalidConfigError):
         app.forward(np.zeros((5, 32), np.float32))
+
+
+def test_set_compute_mode_flags():
+    import vkfft_tpu as vt
+    from vkfft_tpu.ops import pallas_engine as pe
+    try:
+        vt.set_compute_mode("fp32_int8")
+        assert pe._V3_MXU_INT8 and pe._PRECISION is __import__("jax").lax.Precision.HIGHEST
+        vt.set_compute_mode("bf16")
+        assert not pe._V3_MXU_INT8
+        vt.set_compute_mode("fp32")
+        assert pe._PRECISION is __import__("jax").lax.Precision.HIGHEST
+        import pytest
+        with pytest.raises(ValueError):
+            vt.set_compute_mode("nope")
+    finally:
+        vt.set_compute_mode("fp32")
