@@ -140,6 +140,27 @@ def main() -> int:
           np.asarray(out.re) + 1j * np.asarray(out.im),
           np.fft.ifft(np.einsum("oin,bin->bon", Km, np.fft.fft(xm))))
 
+    # --- int8 compute mode (6-pass digit emulation on the int8 MXU)
+    print("int8 compute mode (set_compute_mode('fp32_int8')):")
+    vk.set_compute_mode("fp32_int8")
+    try:
+        for n in [256, 1024, 1000, 4096]:
+            xq = (rng.standard_normal((64, n)) + 1j * rng.standard_normal((64, n)))
+            xr8 = jnp.asarray(xq.real.astype(np.float32))
+            xi8 = jnp.asarray(xq.imag.astype(np.float32))
+            fr, fi = pe.core_fft_planar_v3(xr8, xi8, n, False)
+            check(f"int8 v3 fwd n={n}", np.asarray(fr) + 1j * np.asarray(fi),
+                  np.fft.fft(xq, axis=-1))
+        xq = (rng.standard_normal((8, 16384))
+              + 1j * rng.standard_normal((8, 16384)))
+        fr, fi = pe.core_fft_planar_v2(
+            jnp.asarray(xq.real.astype(np.float32)),
+            jnp.asarray(xq.imag.astype(np.float32)), 16384, False)
+        check("int8 v2 fwd n=16384", np.asarray(fr) + 1j * np.asarray(fi),
+              np.fft.fft(xq, axis=-1))
+    finally:
+        vk.set_compute_mode("fp32")
+
     # --- long path (fused inter-pass twiddles ride the strided kernel)
     print("long path (multi-upload four-step):")
     nL = 1 << 17
