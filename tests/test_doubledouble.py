@@ -67,6 +67,48 @@ def test_dd_rader_primes(n):
     assert np.abs(y - ref).max() / np.abs(ref).max() < 5e-12
 
 
+def test_dd_strided_kernel_interpret():
+    """Strided dd kernel (middle axis of (P, n, S), lanes = trailing batch)
+    matches the oracle at dd precision — no transpose, the dd analog of the
+    fp32 strided path."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.precision.dd_kernel import dd_fft_strided_pallas
+    from vkfft_tpu.precision.doubledouble import (ddc_from_complex128,
+                                                  ddc_to_complex128)
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(11)
+        for n, s in ((64, 128), (100, 40)):   # s=40 exercises lane padding
+            x = (rng.standard_normal((2, n, s))
+                 + 1j * rng.standard_normal((2, n, s)))
+            y = dd_fft_strided_pallas(ddc_from_complex128(x), n, False)
+            got = ddc_to_complex128(y)
+            ref = np.fft.fft(x, axis=1)
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-12
+    finally:
+        pe.set_interpret(False)
+
+
+def test_dd_axis_routes_strided():
+    """fft_axis_dd sends non-minor smooth axes through the strided kernel
+    (no moveaxis) and matches the oracle."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.precision import dd_fft
+    from vkfft_tpu.precision.doubledouble import (ddc_from_complex128,
+                                                  ddc_to_complex128)
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(12)
+        x = (rng.standard_normal((3, 32, 20))
+             + 1j * rng.standard_normal((3, 32, 20)))
+        y = dd_fft.fft_axis_dd(ddc_from_complex128(x), 1, 32)
+        got = ddc_to_complex128(y)
+        ref = np.fft.fft(x, axis=1)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-12
+    finally:
+        pe.set_interpret(False)
+
+
 def test_dd_pallas_kernel_interpret():
     """The single-kernel dd pipeline (VMEM-resident stages) matches the
     oracle at dd precision in interpreter mode."""

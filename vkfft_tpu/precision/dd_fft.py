@@ -243,9 +243,21 @@ def fft_dd(x: np.ndarray, inverse: bool = False, normalize: bool = False) -> np.
 
 
 def fft_axis_dd(x: DDComplex, axis: int, n: int, inverse: bool = False) -> DDComplex:
-    """Unnormalized double-double DFT along ``axis`` of N-D quad planes."""
+    """Unnormalized double-double DFT along ``axis`` of N-D quad planes.
+
+    Non-minor smooth axes run the strided dd kernel in place (trailing dims
+    flattened into lanes — transpose-free, like the fp32 strided path); other
+    shapes fall back to moveaxis + the contiguous engine."""
     ndim = x.ndim
     axis = axis % ndim
+    shape = x.shape
+    if axis != ndim - 1 and _use_dd_pallas(n):
+        from vkfft_tpu.precision.dd_kernel import dd_fft_strided_pallas
+        p = int(np.prod(shape[:axis], dtype=np.int64))
+        s = int(np.prod(shape[axis + 1:], dtype=np.int64))
+        xs = _ddc_map(x, lambda pl: pl.reshape(p, n, s))
+        y = dd_fft_strided_pallas(xs, n, inverse)
+        return _ddc_map(y, lambda pl: pl.reshape(*shape))
     moved = axis != ndim - 1
 
     def mv(p, src, dst):
@@ -254,8 +266,8 @@ def fft_axis_dd(x: DDComplex, axis: int, n: int, inverse: bool = False) -> DDCom
     if moved:
         x = DDComplex(DD(mv(x.re.hi, axis, -1), mv(x.re.lo, axis, -1)),
                       DD(mv(x.im.hi, axis, -1), mv(x.im.lo, axis, -1)))
-    shape = x.shape
-    y = fft_lines_dd(x.reshape(-1, n), n, inverse).reshape(*shape)
+    y = fft_lines_dd(x.reshape(-1, n), n, inverse).reshape(
+        *(x.shape if moved else shape))
     if moved:
         y = DDComplex(DD(mv(y.re.hi, -1, axis), mv(y.re.lo, -1, axis)),
                       DD(mv(y.im.hi, -1, axis), mv(y.im.lo, -1, axis)))

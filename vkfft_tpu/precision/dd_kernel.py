@@ -223,3 +223,77 @@ def dd_fft_pallas(x: DDComplex, n: int, inverse: bool) -> DDComplex:
     from vkfft_tpu.ops import pallas_engine as pe
     run = _build_dd_call(n, inverse, x.shape[0], pe._INTERPRET)
     return run(x)
+
+
+# ---------------------------------------------------------------------------
+# Strided dd kernel: transform the middle axis of (P, n, S) quad planes with
+# the trailing batch S in lanes.  The contiguous kernel above already runs
+# its stages in (n, S) layout (it swaps the (sb, n) block on entry); a
+# strided axis arrives in that layout natively, so this variant is the same
+# stage pipeline with no transpose at either end — the dd analog of the fp32
+# strided kernel (the reference's quad tier likewise reuses one kernel
+# structure for strided axes, ``vkFFT_Plan_FFT.h`` axis_upload dispatch).
+
+_DD_TILE_S = 128      # lanes per block
+
+
+def _dd_strided_kernel(n, tile_s, stages, *refs):
+    (rh_ref, rl_ref, ih_ref, il_ref) = refs[:4]
+    table_refs = refs[4:-4]
+    (orh, orl, oih, oil) = refs[-4:]
+    xr = DD(rh_ref[0], rl_ref[0])            # (n, tile_s)
+    xi = DD(ih_ref[0], il_ref[0])
+    xr, xi = _dd_apply_stages(xr, xi, tile_s, stages, table_refs)
+    orh[0] = xr.hi.reshape(n, tile_s)
+    orl[0] = xr.lo.reshape(n, tile_s)
+    oih[0] = xi.hi.reshape(n, tile_s)
+    oil[0] = xi.lo.reshape(n, tile_s)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_dd_strided_call(n: int, inverse: bool, p: int, s: int,
+                           interpret: bool):
+    stages = _dd_stage_tables(n, inverse)
+    tile_s = _DD_TILE_S
+    pad_s = (-s) % tile_s
+    s_pad = s + pad_s
+    np_tables = []
+    for (_, _, Mp, _, tw_planes) in stages:
+        if tw_planes is not None:
+            np_tables += list(tw_planes)
+    kernel = functools.partial(_dd_strided_kernel, n, tile_s, stages)
+    spec = pl.BlockSpec((1, n, tile_s), lambda b, t: (b, 0, t),
+                        memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    macs = sum(r for (r, *_) in stages)
+    call = pl.pallas_call(
+        kernel, grid=(p, s_pad // tile_s),
+        in_specs=[spec] * 4 + [const(t) for t in np_tables],
+        out_specs=[spec] * 4,
+        out_shape=[jax.ShapeDtypeStruct((p, n, s_pad), jnp.float32)] * 4,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * p * s_pad * n * macs * 40,
+            transcendentals=0,
+            bytes_accessed=4 * 4 * p * n * s_pad * 2))
+
+    def run(x: DDComplex) -> DDComplex:
+        planes = [x.re.hi, x.re.lo, x.im.hi, x.im.lo]
+        if pad_s:
+            planes = [jnp.pad(pn, ((0, 0), (0, 0), (0, pad_s)))
+                      for pn in planes]
+        outs = call(*planes, *(jnp.asarray(t) for t in np_tables))
+        if pad_s:
+            outs = [o[..., :s] for o in outs]
+        return DDComplex(DD(outs[0], outs[1]), DD(outs[2], outs[3]))
+
+    return run
+
+
+def dd_fft_strided_pallas(x: DDComplex, n: int, inverse: bool) -> DDComplex:
+    """Natural-order dd DFT over the middle axis of (P, n, S) quad planes."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    p, _, s = x.shape
+    run = _build_dd_strided_call(n, inverse, p, s, pe._INTERPRET)
+    return run(x)
