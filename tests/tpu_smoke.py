@@ -174,6 +174,21 @@ def main() -> int:
     check("long roundtrip n=2^17",
           (np.asarray(br) + 1j * np.asarray(bi)) / nL, xl, tol=2e-4)
 
+    # --- dd kernels on hardware (EFT barriers hold; CPU fusion hazard
+    # does not apply here): contiguous + the strided (transpose-free) form
+    print("double-double kernels:")
+    from vkfft_tpu.precision.dd_kernel import dd_fft_pallas, dd_fft_strided_pallas
+    from vkfft_tpu.precision.doubledouble import (ddc_from_complex128,
+                                                  ddc_to_complex128)
+    xd = rng.standard_normal((4, 1024)) + 1j * rng.standard_normal((4, 1024))
+    got = ddc_to_complex128(dd_fft_pallas(ddc_from_complex128(xd), 1024, False))
+    check("dd contiguous n=1024", got, np.fft.fft(xd), tol=1e-12)
+    xs = rng.standard_normal((2, 256, 192)) + 1j * rng.standard_normal((2, 256, 192))
+    got = ddc_to_complex128(
+        dd_fft_strided_pallas(ddc_from_complex128(xs), 256, False))
+    check("dd strided n=256 (S=192, lane-padded)", got,
+          np.fft.fft(xs, axis=1), tol=1e-12)
+
     # --- 3-D (strided v3 passes on two axes)
     print("3-D:")
     sh = (64, 64, 64)
