@@ -109,6 +109,28 @@ def test_dd_axis_routes_strided():
         pe.set_interpret(False)
 
 
+def test_dd_four_step_interpret():
+    """n beyond the dd kernel's VMEM ceiling runs the dd four-step
+    (strided-dd + twiddle + contiguous-dd + transpose) at dd accuracy —
+    the quad multi-upload analog."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.precision import dd_fft
+    from vkfft_tpu.precision.doubledouble import (ddc_from_complex128,
+                                                  ddc_to_complex128)
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(13)
+        for n in (4096, 6144):
+            assert dd_fft._use_dd_fourstep(n)
+            x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+            y = ddc_to_complex128(
+                dd_fft.fft_lines_dd(ddc_from_complex128(x), n, False))
+            ref = np.fft.fft(x)
+            assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-14
+    finally:
+        pe.set_interpret(False)
+
+
 def test_dd_pallas_kernel_interpret():
     """The single-kernel dd pipeline (VMEM-resident stages) matches the
     oracle at dd precision in interpreter mode."""

@@ -93,10 +93,55 @@ def _use_dd_pallas(n: int) -> bool:
     return jax.devices()[0].platform != "cpu"
 
 
+@functools.lru_cache(maxsize=256)
+def _dd_split(n: int):
+    """Balanced n = n1*n2 with both factors runnable by the dd kernel."""
+    import math
+    from vkfft_tpu.precision.dd_kernel import use_dd_kernel
+    for n1 in range(math.isqrt(n), 1, -1):
+        if n % n1 == 0 and use_dd_kernel(n1) and use_dd_kernel(n // n1):
+            return n1, n // n1
+    return None
+
+
+def _use_dd_fourstep(n: int) -> bool:
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.precision.dd_kernel import _DD_MAX_N
+    if n <= _DD_MAX_N or _dd_split(n) is None:
+        return False
+    if pe._INTERPRET:
+        return True
+    return jax.devices()[0].platform != "cpu"
+
+
+def _dd_four_step(x: DDComplex, n: int, inverse: bool) -> DDComplex:
+    """Four-step dd transform for n beyond the single-kernel VMEM ceiling:
+    strided dd kernel over n1 (trailing n2 in lanes), inter-factor twiddle,
+    contiguous dd kernel over n2, transpose to natural order — the dd analog
+    of the fp32 long path / the reference quad tier's multi-upload regime
+    (``vkFFT_Scheduler.h`` numPasses>1 at quad precision)."""
+    from vkfft_tpu.precision.dd_kernel import dd_fft_pallas, dd_fft_strided_pallas
+    n1, n2 = _dd_split(n)
+    B = x.shape[0]
+    xs = _ddc_map(x, lambda p: p.reshape(B, n1, n2))
+    a = dd_fft_strided_pallas(xs, n1, inverse)
+    # w_n^{k1*j2} as (n1, n2), split exactly from host fp64
+    tw = _dd_table(np.ascontiguousarray(luts.ct_twiddle(n1, n2, inverse).T))
+    twb = DDComplex(DD(tw.re.hi[None], tw.re.lo[None]),
+                    DD(tw.im.hi[None], tw.im.lo[None]))
+    a = a * twb
+    b = dd_fft_pallas(_ddc_map(a, lambda p: p.reshape(B * n1, n2)), n2, inverse)
+    # X[k1 + n1*k2] = B[k1, k2]: natural order is the (k2, k1) transpose
+    return _ddc_map(b, lambda p: jnp.swapaxes(
+        p.reshape(B, n1, n2), 1, 2).reshape(B, n))
+
+
 def _core_fft_dd(x: DDComplex, n: int, inverse: bool) -> DDComplex:
     if _use_dd_pallas(n):
         from vkfft_tpu.precision.dd_kernel import dd_fft_pallas
         return dd_fft_pallas(x, n, inverse)
+    if _use_dd_fourstep(n):
+        return _dd_four_step(x, n, inverse)
     stages = build_stages(n, _dd_radices(n))
     return _apply_stages_dd(x, stages, inverse)
 
