@@ -560,3 +560,48 @@ def test_v2_int8_mxu_mode():
         assert rel_err(np.asarray(bi), np.asarray(xi)) < 2e-6
     finally:
         pallas_engine.set_mxu_int8(False)
+
+
+# ---------------------------------------------------------------------------
+# Fused two-axis kernel (both minor axes in one VMEM-resident pass)
+# ---------------------------------------------------------------------------
+
+
+def test_pair_kernel():
+    import jax.numpy as jnp
+    rng = np.random.default_rng(21)
+    for ny, nz in ((128, 256), (256, 128)):
+        assert pallas_engine.pair_available(ny, nz)
+        x = (rng.standard_normal((2, ny, nz))
+             + 1j * rng.standard_normal((2, ny, nz)))
+        fr, fi = pallas_engine.fft_pair_planar(
+            jnp.asarray(x.real.astype(np.float32)),
+            jnp.asarray(x.imag.astype(np.float32)), ny, nz, False)
+        ref = np.fft.fft2(x, axes=(1, 2))
+        assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 2e-6
+        br, bi = pallas_engine.fft_pair_planar(fr, fi, ny, nz, True,
+                                               scale=1.0 / (ny * nz))
+        assert rel_err(np.asarray(br) + 1j * np.asarray(bi), x) < 2e-6
+
+
+def test_pair_gate():
+    assert not pallas_engine.pair_available(128, 192)   # nz % 128 != 0
+    assert not pallas_engine.pair_available(1024, 1024) # VMEM cap
+    assert not pallas_engine.pair_available(131, 256)   # prime > 64
+
+
+def test_pair_routing_application():
+    """2-D and 3-D applications route the two minor axes through the fused
+    pair kernel (and match the oracle with normalization)."""
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    rng = np.random.default_rng(22)
+    for shape in ((128, 128), (4, 128, 256)):
+        cfg = vt.FFTConfig(shape=shape, normalize=True)
+        app = vt.FFTApplication(cfg, engine="pallas")
+        x = (rng.standard_normal(shape)
+             + 1j * rng.standard_normal(shape)).astype(np.complex64)
+        y = app.forward(from_complex(x))
+        ref = np.fft.fftn(x.astype(np.complex128))
+        assert rel_err(to_numpy(y), ref) < 5e-6
+        z = to_numpy(app.inverse(y))
+        assert rel_err(z, x) < 5e-6

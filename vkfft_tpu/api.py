@@ -270,13 +270,38 @@ class FFTApplication:
         if inverse and cfg.normalize and planar:
             for ax in cfg.axes:
                 norm_scale /= cfg.shape[ax]
-        for i, ax in enumerate(axes):
-            plan = self.axis_plans[ax]
-            if planar:
-                s = norm_scale if i == len(axes) - 1 else 1.0
-                x = fft_axis(x, x.ndim - ndim + ax, plan, inverse, scale=s)
-            else:
-                x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
+        # Fused two-axis pass: when the two minor axes are both DIRECT and
+        # fit the pair kernel, they run as ONE kernel (one HBM read+write
+        # instead of two) — reference single-upload 2-D regime
+        # (``vkFFT_Scheduler.h`` numAxisUploads==1).
+        pair = None
+        if planar and hasattr(eng, "fft_pair_p") and len(cfg.axes) >= 2:
+            from vkfft_tpu.planner.factorize import Algorithm as _Alg
+            ay, az = ndim - 2, ndim - 1
+            if (ay in cfg.axes and az in cfg.axes
+                    and self.axis_plans[ay].algorithm is _Alg.DIRECT
+                    and self.axis_plans[az].algorithm is _Alg.DIRECT
+                    and eng.pair_available(cfg.shape[ay], cfg.shape[az])):
+                pair = (cfg.shape[ay], cfg.shape[az])
+        if pair is not None:
+            rest = [ax for ax in axes if ax < ndim - 2]
+            if not inverse:
+                x = eng.fft_pair_p(x, pair[0], pair[1], False)
+            for ax in rest:
+                x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
+                             inverse, scale=1.0)
+            if inverse:
+                x = eng.fft_pair_p(x, pair[0], pair[1], True,
+                                   scale=norm_scale)
+        else:
+            for i, ax in enumerate(axes):
+                plan = self.axis_plans[ax]
+                if planar:
+                    s = norm_scale if i == len(axes) - 1 else 1.0
+                    x = fft_axis(x, x.ndim - ndim + ax, plan, inverse,
+                                 scale=s)
+                else:
+                    x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
         if inverse:
             if cfg.normalize and not planar:
                 total = 1

@@ -1245,6 +1245,119 @@ def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
 
 
 # ---------------------------------------------------------------------------
+# Fused two-axis kernel: one VMEM-resident pass computes the full 2-D DFT of
+# each trailing (ny, nz) plane — Y stages in the natural (y, z-in-lanes)
+# layout (no transpose, like the strided kernel), an in-tile transpose, Z
+# stages (y in lanes), transpose back, write.  A 2-D transform becomes ONE
+# HBM read+write per direction instead of two, and a 3-D transform drops
+# from 3 passes to 2 (the reference reaches its single-upload regime the
+# same way for small sequences: both axes inside one shared-memory kernel,
+# ``vkFFT_Scheduler.h`` numAxisUploads==1).
+# ---------------------------------------------------------------------------
+
+_PAIR_MAX_PTS = 1 << 17   # ny*nz cap: in+out f32 planes + stage temps ~<=4MB
+
+
+def pair_available(ny: int, nz: int, dtype_name: str = "float32") -> bool:
+    """Can the fused two-axis kernel run this (ny, nz) plane shape?"""
+    return (_use_v3(ny) and _use_v3(nz)
+            and ny * nz <= _PAIR_MAX_PTS
+            and nz % 128 == 0 and ny % 128 == 0)
+
+
+def _pair_kernel(ny, nz, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
+                 mxu_z, n_y_refs, xr_ref, xi_ref, *refs):
+    or_ref, oi_ref = refs[-2:]
+    tabs = refs[:-2]
+    xr = xr_ref[0].astype(jnp.float32)                     # (ny, nz)
+    xi = xi_ref[0].astype(jnp.float32)
+    xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
+                              prec, inverse)
+    xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)            # (nz, ny)
+    xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
+    xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
+                              prec, inverse)
+    or_ref[0] = jnp.swapaxes(xr.reshape(nz, ny), 0, 1).astype(out_dtype)
+    oi_ref[0] = jnp.swapaxes(xi.reshape(nz, ny), 0, 1).astype(out_dtype)
+
+
+def _pair_operands(vpu_tabs, mxu_tabs, const):
+    """(np_tables, in_specs) for one stage set, `_build_fft_call_v3` order."""
+    np_tables, specs = [], []
+    for twr, twi, *_ in vpu_tabs:
+        specs += [const(twr), const(twi)]
+        np_tables += [twr, twi]
+    for Dp, twr, twi, r, L0, Mp in mxu_tabs:
+        for d in _mxu_const_arrays(Dp):
+            specs.append(const(d))
+            np_tables.append(d)
+        if Mp > 1:
+            specs += [const(twr), const(twi)]
+            np_tables += [twr, twi]
+    return np_tables, specs
+
+
+@functools.lru_cache(maxsize=256)
+def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
+                     dtype_name: str = "float32", scale: float = 1.0):
+    dtype = jnp.dtype(dtype_name)
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    # scale folds into the Y stage set's first stage (applied exactly once)
+    vpu_y, mxu_y = _v3_tables(ny, inverse, scale=scale, int8=int8)
+    vpu_z, mxu_z = _v3_tables(nz, inverse, int8=int8)
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    tabs_y, specs_y = _pair_operands(vpu_y, mxu_y, const)
+    tabs_z, specs_z = _pair_operands(vpu_z, mxu_z, const)
+    kernel = functools.partial(_pair_kernel, ny, nz, dtype, prec, inverse,
+                               vpu_y, mxu_y, vpu_z, mxu_z, len(tabs_y))
+    spec = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    passes = _mxu_passes(prec)
+    macs = (sum(r for *_, r, _, _ in mxu_y) * nz
+            + sum(r for *_, r, _, _ in mxu_z) * ny)
+    call = pl.pallas_call(
+        kernel, grid=(b,),
+        in_specs=[spec, spec] + specs_y + specs_z,
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b, ny, nz), dtype)] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * macs * 8 * passes,
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * b * ny * nz * 2))
+
+    def run(xr, xi):
+        a, c = call(xr, xi, *(jnp.asarray(t) for t in tabs_y + tabs_z))
+        return a, c
+
+    return run
+
+
+def fft_pair_planar(xr, xi, ny: int, nz: int, inverse: bool,
+                    scale: float = 1.0):
+    """Fused 2-D DFT over the two minor axes of (..., ny, nz) planes."""
+    lead = xr.shape[:-2]
+    b = 1
+    for d in lead:
+        b *= d
+    run = _build_pair_call(ny, nz, inverse, b, _INTERPRET, str(xr.dtype),
+                           scale=scale)
+    a, c = run(xr.reshape(b, ny, nz), xi.reshape(b, ny, nz))
+    return a.reshape(*lead, ny, nz), c.reshape(*lead, ny, nz)
+
+
+def fft_pair_p(x: Planar, ny: int, nz: int, inverse: bool,
+               scale: float = 1.0) -> Planar:
+    """Planar wrapper over `fft_pair_planar` (engine interface for the
+    application-level axis walk)."""
+    rr, ii = fft_pair_planar(x.re, x.im, ny, nz, inverse, scale=scale)
+    return Planar(rr, ii)
+
+
+# ---------------------------------------------------------------------------
 # In-kernel R2C / C2R on the v3 layout (reference: ``appendR2C_write``
 # vkFFT_R2C.h:450, ``appendC2R_read`` :178 — the pack/untangle passes run
 # inside the FFT kernel instead of as XLA pre/post passes, so a real
