@@ -99,28 +99,29 @@ def bench_system(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
 
 def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
     """Effective bandwidth of a 3-D C2C fp32 FFT (fwd+inv), counting one
-    read+write per axis pass per direction (reference num_tot_transfers
-    convention)."""
+    read+write per *actual* axis upload per direction (reference
+    num_tot_transfers convention).  Runs through the application axis walk,
+    which fuses the two minor axes into one kernel when possible (2 uploads
+    per direction instead of 3)."""
     import jax
     import jax.numpy as jnp
     from vkfft_tpu.pcomplex import Planar
-    from vkfft_tpu.planner import plan_axis
     from vkfft_tpu import api
+    from vkfft_tpu.config import FFTConfig
+    from vkfft_tpu.ops import pallas_engine as _pe
 
-    eng = api._engine(api.default_engine())
-    plans = [plan_axis(s) for s in shape]
+    eng_name = api.default_engine()
+    app = api.FFTApplication(FFTConfig(shape=shape, normalize=True),
+                             engine=eng_name)
+    fused = (eng_name == "pallas"
+             and _pe.pair_available(shape[-2], shape[-1]))
+    passes = 2 if fused else 3
     total = int(np.prod(shape))
 
     @jax.jit
     def fwd_inv(p):
-        # (donation measured slower here: the allocator already reuses the
-        # dead intermediates, and aliasing constrains scheduling); the 1/N
-        # normalization rides the last inverse pass in-kernel
-        for ax in range(3):
-            p = eng.fft_axis_p(p, ax, plans[ax], False)
-        for ax in (2, 1):
-            p = eng.fft_axis_p(p, ax, plans[ax], True)
-        return eng.fft_axis_p(p, 0, plans[0], True, scale=1.0 / total)
+        # 1/N normalization rides the last inverse kernel in-graph
+        return app.inverse(app.forward(p))
 
     rng = np.random.default_rng(0)
     p0 = Planar(jnp.asarray(rng.standard_normal(shape).astype(np.float32)),
@@ -146,8 +147,8 @@ def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
 
     dt = (timed(f_hi) - timed(f_lo)) / (n_hi - n_lo)
     data_bytes = 2 * total * 4
-    moved = 2 * 2 * 3 * data_bytes  # fwd+inv, r+w, 3 axis passes each
-    return moved / dt / 1e9, dt
+    moved = 2 * 2 * passes * data_bytes  # fwd+inv, r+w, per axis upload
+    return moved / dt / 1e9, dt, passes
 
 
 def main():
@@ -175,9 +176,10 @@ def main():
                        "batch": v[2]} for n, v in results.items()}
     try:
         shape3 = (256, 256, 256) if device.platform != "cpu" else (64, 64, 64)
-        gbs3, dt3 = bench_3d(shape3)
+        gbs3, dt3, passes3 = bench_3d(shape3)
         detail["3d_" + "x".join(map(str, shape3))] = {
-            "GBs": round(gbs3, 2), "ms": round(dt3 * 1e3, 3)}
+            "GBs": round(gbs3, 2), "ms": round(dt3 * 1e3, 3),
+            "axis_uploads_per_dir": passes3}
     except Exception as e:  # 3D bench is best-effort
         detail["3d_error"] = repr(e)[:120]
 
