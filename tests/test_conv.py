@@ -45,7 +45,9 @@ def test_fused_conv_app_2d_rows(_pallas_interpret):
     v3_rows) with only strided passes around it."""
     from vkfft_tpu.pcomplex import Planar
     import jax.numpy as jnp
-    shape = (128, 256)
+    # ny*nz above the conv-pair VMEM cap: the single-kernel two-axis mode
+    # declines and the last-axis-fused form is selected instead
+    shape = (256, 512)
     rng = np.random.default_rng(12)
     x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
     h = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
@@ -191,3 +193,53 @@ def test_zeropadded_linear_convolution():
     y = np.asarray(app(x + 0j))
     ref = np.convolve(x[:sig_len], h[:ker_len])  # linear conv, len 39 < 64
     assert np.abs(y[: sig_len + ker_len - 1] - ref).max() < 1e-10
+
+
+def test_fused_conv_app_pair(_pallas_interpret):
+    """App-level routing: 2-D and 3-D scalar convs with pair-eligible minor
+    axes take the single-kernel two-axis path (mode 'pair') — a 2-D conv is
+    ONE HBM read+write total."""
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    rng = np.random.default_rng(17)
+    for shape in ((128, 128), (4, 128, 128)):
+        h = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        x = (rng.standard_normal((2,) + shape)
+             + 1j * rng.standard_normal((2,) + shape))
+        cfg = FFTConfig(shape=shape, convolution=True)
+        app = vt.ConvolutionApplication(cfg, h.astype(np.complex64),
+                                        engine="pallas")
+        assert app._fused is not None and app._fused[0] == "pair", shape
+        xp = Planar(jnp.asarray(x.real.astype(np.float32)),
+                    jnp.asarray(x.imag.astype(np.float32)))
+        out = app(xp)
+        got = np.asarray(out.re) + 1j * np.asarray(out.im)
+        axes = tuple(range(-len(shape), 0))
+        ref = np.fft.ifftn(np.fft.fftn(x, axes=axes)
+                           * np.fft.fftn(h, axes=axes), axes=axes)
+        assert rel_err(got, ref) < 5e-6
+
+
+def test_fused_conv_pair_conjugate(_pallas_interpret):
+    """conjugate_convolution variants ride the pair kernel in-kernel."""
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    shape = (128, 128)
+    rng = np.random.default_rng(18)
+    h = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+    x = (rng.standard_normal((2,) + shape)
+         + 1j * rng.standard_normal((2,) + shape))
+    X = np.fft.fft2(x)
+    H = np.fft.fft2(h)
+    for cc, ref_spec in ((1, X * np.conj(H)), (2, np.conj(X) * H)):
+        cfg = FFTConfig(shape=shape, convolution=True,
+                        conjugate_convolution=cc)
+        app = vt.ConvolutionApplication(cfg, h.astype(np.complex64),
+                                        engine="pallas")
+        assert app._fused is not None and app._fused[0] == "pair"
+        xp = Planar(jnp.asarray(x.real.astype(np.float32)),
+                    jnp.asarray(x.imag.astype(np.float32)))
+        out = app(xp)
+        got = np.asarray(out.re) + 1j * np.asarray(out.im)
+        ref = np.fft.ifft2(ref_spec)
+        assert rel_err(got, ref) < 5e-6, cc

@@ -1357,6 +1357,128 @@ def fft_pair_p(x: Planar, ny: int, nz: int, inverse: bool,
     return Planar(rr, ii)
 
 
+# -- single-kernel two-axis convolution: forward pair + spectrum multiply +
+#    inverse pair, all VMEM-resident.  A 2-D scalar convolution costs ONE
+#    HBM read+write total (the reference's ideal: the whole convolution
+#    inside one kernel, ``vkFFT_FFT.h:241-351``); for 3-D the minor-axis
+#    pair fuses and only the outer axis pays strided passes.
+
+_CONV_PAIR_MAX_PTS = 1 << 16    # tighter than _PAIR_MAX_PTS: 4 stage sets + H
+
+
+def use_conv_pair(ny: int, nz: int) -> bool:
+    return pair_available(ny, nz) and ny * nz <= _CONV_PAIR_MAX_PTS
+
+
+def _conv_pair_kernel(ny, nz, out_dtype, prec, conj_data, xpow, counts,
+                      stage_sets, xr_ref, xi_ref, hr_ref, hi_ref, *refs):
+    (vy_f, my_f), (vz_f, mz_f), (vz_i, mz_i), (vy_i, my_i) = stage_sets
+    or_ref, oi_ref = refs[-2:]
+    tabs = refs[:-2]
+    c1, c2, c3 = counts
+    xr = xr_ref[0].astype(jnp.float32)                     # (ny, nz)
+    xi = xi_ref[0].astype(jnp.float32)
+    xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:c1], vy_f, my_f, prec, False)
+    xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)
+    xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
+    xr, xi = _v3_apply_stages(xr, xi, ny, tabs[c1:c2], vz_f, mz_f,
+                              prec, False)
+    xr = xr.reshape(nz, ny)
+    xi = xi.reshape(nz, ny)
+    if conj_data:
+        xi = -xi
+    hr = hr_ref[0]
+    hi = hi_ref[0]
+    yr = xr * hr - xi * hi
+    yi = xr * hi + xi * hr
+    if xpow:
+        inv = 1.0 / jnp.maximum(jnp.sqrt(yr * yr + yi * yi),
+                                np.float32(1e-30))
+        yr = yr * inv
+        yi = yi * inv
+    yr, yi = _v3_apply_stages(yr, yi, ny, tabs[c2:c3], vz_i, mz_i, prec, True)
+    yr = jnp.swapaxes(yr.reshape(nz, ny), 0, 1)
+    yi = jnp.swapaxes(yi.reshape(nz, ny), 0, 1)
+    yr, yi = _v3_apply_stages(yr, yi, nz, tabs[c3:], vy_i, my_i, prec, True)
+    or_ref[0] = yr.reshape(ny, nz).astype(out_dtype)
+    oi_ref[0] = yi.reshape(ny, nz).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
+                          dtype_name: str, scale: float, conj_data: bool,
+                          xpow: bool):
+    """``hp``: leading dim of the (hp, nz, ny) spectrum operand — 1 for a
+    shared 2-D kernel, the outer-axis length for per-slice 3-D spectra."""
+    dtype = jnp.dtype(dtype_name)
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    sets = [_v3_tables(ny, False, int8=int8),
+            _v3_tables(nz, False, int8=int8),
+            _v3_tables(nz, True, int8=int8),
+            _v3_tables(ny, True, scale=scale, int8=int8)]
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    np_tables, tab_specs, counts = [], [], []
+    for vpu, mxu in sets:
+        t, s = _pair_operands(vpu, mxu, const)
+        np_tables += t
+        tab_specs += s
+        counts.append(len(np_tables))
+    kernel = functools.partial(
+        _conv_pair_kernel, ny, nz, dtype, prec, conj_data, xpow,
+        tuple(counts[:3]), tuple(sets))
+    spec = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+                        memory_space=pltpu.VMEM)
+    h_spec = pl.BlockSpec((1, nz, ny),
+                          (lambda i: (i % hp, 0, 0)) if hp > 1
+                          else (lambda i: (0, 0, 0)),
+                          memory_space=pltpu.VMEM)
+    passes = _mxu_passes(prec)
+    macs = 2 * (sum(r for *_, r, _, _ in sets[0][1]) * nz
+                + sum(r for *_, r, _, _ in sets[1][1]) * ny)
+    call = pl.pallas_call(
+        kernel, grid=(b,),
+        in_specs=[spec, spec, h_spec, h_spec] + tab_specs,
+        out_specs=[spec, spec],
+        out_shape=[jax.ShapeDtypeStruct((b, ny, nz), dtype)] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * macs * 8 * passes,
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * b * ny * nz * 2))
+
+    def run(xr, xi, hr, hi):
+        return call(xr, xi, hr, hi, *(jnp.asarray(t) for t in np_tables))
+
+    return run
+
+
+def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
+                    conj_data: bool = False, xpow: bool = False) -> Planar:
+    """Single-kernel circular convolution over the two minor axes of
+    (..., ny, nz) planes.  ``Ht``: host complex spectrum, shape (nz, ny)
+    (shared) or (P, nz, ny) with P = the size of the axis immediately
+    before the pair (per-slice spectra of an N-D kernel)."""
+    Ht = np.asarray(Ht)
+    if Ht.ndim == 2:
+        Ht = Ht[None]
+    hp = Ht.shape[0]
+    lead = x.shape[:-2]
+    b = 1
+    for d in lead:
+        b *= d
+    if hp > 1:
+        assert b % hp == 0, (b, hp)
+    run = _build_conv_pair_call(ny, nz, b, hp, _INTERPRET, str(x.re.dtype),
+                                scale, conj_data, xpow)
+    hr = jnp.asarray(np.real(Ht).astype(np.float32))
+    hi = jnp.asarray(np.imag(Ht).astype(np.float32))
+    rr, ii = run(x.re.reshape(b, ny, nz), x.im.reshape(b, ny, nz), hr, hi)
+    return Planar(rr.reshape(*lead, ny, nz), ii.reshape(*lead, ny, nz))
+
+
 # ---------------------------------------------------------------------------
 # In-kernel R2C / C2R on the v3 layout (reference: ``appendR2C_write``
 # vkFFT_R2C.h:450, ``appendC2R_read`` :178 — the pack/untangle passes run

@@ -153,6 +153,18 @@ class ConvolutionApplication:
                 if cfg.conjugate_convolution == 1:
                     tab = np.conj(tab)
                 return ("v3_1d", tab)
+            if (m == 1 and ndim >= 2 and self.kernel_f.ndim == ndim
+                    and pe.use_conv_pair(shape[-2], shape[-1])):
+                # single-kernel two-axis convolution: a 2-D conv is ONE
+                # HBM read+write total; N-D pays only the outer strided
+                # passes (fwd+mult+inv of the minor pair fused)
+                tab = (np.asarray(self.kernel_f.re, np.float64)
+                       + 1j * np.asarray(self.kernel_f.im, np.float64))
+                if cfg.conjugate_convolution == 1:
+                    tab = np.conj(tab)
+                ny, nz = shape[-2], shape[-1]
+                tab = tab.reshape(-1, ny, nz)
+                return ("pair", np.ascontiguousarray(tab.transpose(0, 2, 1)))
             if m == 1 and ndim > 1 and self.kernel_f.ndim == ndim:
                 rows = int(np.prod(shape[:-1]))
                 if rows % 128:
@@ -205,6 +217,20 @@ class ConvolutionApplication:
                 out = pe.conv_fused_v3(flat, n, tab, scale=1.0 / n,
                                        conj_data=conj_d, xpow=xpow)
                 return out.reshape(*lead, n)
+            if mode == "pair":
+                eng = api._engine(self.engine or api.default_engine())
+                from vkfft_tpu.planner.plan import plan_axis
+                ny, nz = cfg.shape[-2], cfg.shape[-1]
+                off = x.ndim - ndim
+                for ax in range(ndim - 2):
+                    x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
+                                       False)
+                x = pe.conv_fused_pair(x, ny, nz, tab, scale=1.0 / total,
+                                       conj_data=conj_d, xpow=xpow)
+                for ax in range(ndim - 3, -1, -1):
+                    x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
+                                       True)
+                return x
             if mode == "v3_rows":
                 # N-D: strided forward over the outer axes, then one fused
                 # last-axis kernel (forward + multiply + inline inverse),
