@@ -140,6 +140,26 @@ def main() -> int:
           np.asarray(out.re) + 1j * np.asarray(out.im),
           np.fft.ifft(np.einsum("oin,bin->bon", Km, np.fft.fft(xm))))
 
+    # --- fused two-axis kernel (both minor axes in one VMEM pass) + the
+    # single-kernel two-axis convolution built on it
+    print("fused two-axis (pair) kernels:")
+    ny, nz = 256, 256
+    xy = (rng.standard_normal((2, ny, nz)) + 1j * rng.standard_normal((2, ny, nz)))
+    pr, pi = pe.fft_pair_planar(jnp.asarray(xy.real.astype(np.float32)),
+                                jnp.asarray(xy.imag.astype(np.float32)),
+                                ny, nz, False)
+    check("pair fwd 256x256", np.asarray(pr) + 1j * np.asarray(pi),
+          np.fft.fft2(xy, axes=(1, 2)), tol=2e-4)
+    hk = rng.standard_normal((ny, nz)) + 1j * rng.standard_normal((ny, nz))
+    Hk = np.fft.fft2(hk)
+    cv = pe.conv_fused_pair(
+        Planar(jnp.asarray(xy.real.astype(np.float32)),
+               jnp.asarray(xy.imag.astype(np.float32))),
+        ny, nz, np.ascontiguousarray(Hk.T), scale=1.0 / (ny * nz))
+    check("conv pair 256x256", np.asarray(cv.re) + 1j * np.asarray(cv.im),
+          np.fft.ifft2(np.fft.fft2(xy, axes=(1, 2)) * Hk, axes=(1, 2)),
+          tol=2e-4)
+
     # --- int8 compute mode (6-pass digit emulation on the int8 MXU)
     print("int8 compute mode (set_compute_mode('fp32_int8')):")
     vk.set_compute_mode("fp32_int8")

@@ -78,7 +78,8 @@ def set_mxu_int8(value: bool) -> None:
     global _V3_MXU_INT8
     _V3_MXU_INT8 = bool(value)
     for b in (_build_fft_call_v2, _build_fft_call_v3, _build_r2c_call,
-              _build_strided_call, _build_conv_inv_call, _build_conv_v3_call):
+              _build_strided_call, _build_conv_inv_call, _build_conv_v3_call,
+              _build_pair_call, _build_conv_pair_call):
         b.cache_clear()
 
 
