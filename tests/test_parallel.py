@@ -174,3 +174,25 @@ def test_slab_overlap_on_hybrid_mesh():
     app = DistributedFFT(shape, mesh, engine="jnp", overlap_chunks=2)
     z = np.asarray(app.inverse(app.forward(app.shard_input(x))))
     assert rel_err(z, x) < 1e-4
+
+
+def test_slab_tail_pair_fused():
+    """Slab 3-D on the pallas engine fuses the two device-local minor axes
+    into one pair kernel per device (one local HBM r+w less per direction)."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    pe.set_interpret(True)
+    try:
+        mesh = fft_mesh()
+        shape = (16, 128, 128)
+        rng = np.random.default_rng(55)
+        x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        app = DistributedFFT(shape, mesh, engine="pallas")
+        assert app._tail_pair
+        xp = app.shard_input(from_complex(x.astype(np.complex64)))
+        y = to_numpy(app.forward(xp))
+        assert rel_err(y, np.fft.fftn(x)) < 5e-5
+        z = to_numpy(app.inverse(app.forward(xp)))
+        assert rel_err(z, x) < 5e-5
+    finally:
+        pe.set_interpret(False)

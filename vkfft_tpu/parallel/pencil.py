@@ -137,6 +137,18 @@ class DistributedFFT:
                     f"axis {ax} length {self.shape[ax]} not divisible by mesh size {p}")
         self.plans = {i: plan_axis(self.shape[i]) for i in range(ndim)}
 
+        # slab tail fusion: the two minor axes are both device-local — fuse
+        # them into one pair kernel per device (one local HBM r+w less)
+        self._tail_pair = False
+        if self.kind == "slab" and ndim >= 3:
+            from vkfft_tpu.planner.factorize import Algorithm as _Alg
+            eng = _eng(self.engine)
+            self._tail_pair = (
+                hasattr(eng, "fft_pair_p")
+                and self.plans[ndim - 2].algorithm is _Alg.DIRECT
+                and self.plans[ndim - 1].algorithm is _Alg.DIRECT
+                and eng.pair_available(self.shape[-2], self.shape[-1]))
+
         self._fwd = self._build(inverse=False)
         self._inv = self._build(inverse=True)
 
@@ -172,12 +184,24 @@ class DistributedFFT:
         ndim = len(self.shape)
         oc = self.overlap_chunks
 
+        def tail_ffts(x):
+            # trailing local axes; the minor pair fuses into one kernel when
+            # eligible (slab: all trailing axes are device-local)
+            if self._tail_pair and isinstance(x, Planar):
+                eng = _eng(self.engine)
+                x = eng.fft_pair_p(x, self.shape[-2], self.shape[-1], inverse)
+                last = ndim - 2
+            else:
+                last = ndim
+            for ax in range(1, last):
+                x = self._local_fft(x, ax, inverse)
+            return x
+
         def fwd_slab(x):
             # x local: (X/P, Y, Z, ...) — transform trailing axes, transpose,
             # transform axis 0.  With >= 3 dims the a2a+FFT stage is chunked
             # along the last axis (untouched by both) for comm/compute overlap.
-            for ax in range(1, ndim):
-                x = self._local_fft(x, ax, inverse)
+            x = tail_ffts(x)
             stage = lambda c: self._local_fft(_a2a(c, names[0], 1, 0),
                                               0, inverse)
             x = _overlapped(x, ndim - 1, oc if ndim >= 3 else 1, stage)
@@ -192,8 +216,7 @@ class DistributedFFT:
             stage = lambda c: _a2a(self._local_fft(c, 0, inverse),
                                    names[0], 0, 1)
             x = _overlapped(x, ndim - 1, oc if ndim >= 3 else 1, stage)
-            for ax in range(ndim - 1, 0, -1):
-                x = self._local_fft(x, ax, inverse)
+            x = tail_ffts(x)
             return x
 
         def fwd_pencil(x):
@@ -242,8 +265,11 @@ class DistributedFFT:
 
         in_spec = self.output_spec() if inverse else self.input_spec()
         out_spec = self.input_spec() if inverse else self.output_spec()
+        # check_vma=False: pallas_call results carry no varying-mesh-axes
+        # annotation, which trips shard_map's vma checker (the specs above
+        # fully describe the sharding)
         mapped = shard_map(fn, mesh=self.mesh, in_specs=(in_spec,),
-                           out_specs=out_spec)
+                           out_specs=out_spec, check_vma=False)
         return jax.jit(mapped)
 
     def _check_rank(self, x):
@@ -323,7 +349,8 @@ def pfft(x, mesh: Mesh, engine: Optional[str] = None):
         eng = _eng(engine)
         return eng.fft_axis(v, v.ndim - 1, plan_axis(x.shape[-1]), False)
 
-    mapped = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec)
+    mapped = shard_map(local, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                       check_vma=False)
     xs = jax.device_put(x, NamedSharding(mesh, spec))
     return jax.jit(mapped)(xs)
 
