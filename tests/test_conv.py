@@ -243,3 +243,32 @@ def test_fused_conv_pair_conjugate(_pallas_interpret):
         got = np.asarray(out.re) + 1j * np.asarray(out.im)
         ref = np.fft.ifft2(ref_spec)
         assert rel_err(got, ref) < 5e-6, cc
+
+
+def test_linear_2d_conv_pair_elision(_pallas_interpret):
+    """Linear 2-D convolution: declared-zero input windows are read-elided
+    and the discarded output region write-elided, all inside the single
+    pair kernel (reference conv+zeropad composition, README.md:15-16)."""
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    rng = np.random.default_rng(19)
+    ny = nz = 128
+    hy = hz = 64
+    ky = kz = 16
+    x = np.zeros((2, ny, nz), dtype=np.complex64)
+    x[:, :hy, :hz] = (rng.standard_normal((2, hy, hz))
+                      + 1j * rng.standard_normal((2, hy, hz))).astype(np.complex64)
+    h = np.zeros((ny, nz), dtype=np.complex64)
+    h[:ky, :kz] = rng.standard_normal((ky, kz)).astype(np.float32)
+    cfg = FFTConfig(shape=(ny, nz), convolution=True,
+                    zeropad_input=((hy, ny), (hz, nz)),
+                    zeropad_output=((hy + ky - 1, ny), (hz + kz - 1, nz)))
+    app = vt.ConvolutionApplication(cfg, h, engine="pallas")
+    assert app._fused is not None and app._fused[0] == "pair"
+    got = to_numpy(app(from_complex(x)))
+    H = np.fft.fft2(h.astype(np.complex128))
+    full = np.fft.ifft2(np.fft.fft2(x.astype(np.complex128), axes=(1, 2)) * H,
+                        axes=(1, 2))
+    ref = np.zeros_like(full)
+    ref[:, :hy + ky - 1, :hz + kz - 1] = full[:, :hy + ky - 1, :hz + kz - 1]
+    assert rel_err(got, ref) < 5e-6
+    assert np.abs(got[:, hy + ky - 1:, :]).max() == 0.0

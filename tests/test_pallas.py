@@ -605,3 +605,24 @@ def test_pair_routing_application():
         assert rel_err(to_numpy(y), ref) < 5e-6
         z = to_numpy(app.inverse(y))
         assert rel_err(z, x) < 5e-6
+
+
+def test_pair_zeropad_elision_api():
+    """2-D/3-D prefix zero windows ride the pair kernel's read/write
+    elision (the N-D extension of the 1-D elision fast path)."""
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    rng = np.random.default_rng(23)
+    ny, nz, hy, hz = 128, 128, 64, 96
+    x = np.zeros((2, ny, nz), dtype=np.complex64)
+    x[:, :hy, :hz] = (rng.standard_normal((2, hy, hz))
+                      + 1j * rng.standard_normal((2, hy, hz))).astype(np.complex64)
+    cfg = vt.FFTConfig(shape=(ny, nz), zeropad_input=((hy, ny), (hz, nz)),
+                       normalize=True)
+    app = vt.FFTApplication(cfg, engine="pallas")
+    y = to_numpy(app.forward(from_complex(x)))
+    ref = np.fft.fft2(x.astype(np.complex128))
+    assert rel_err(y, ref) < 2e-6
+    z = to_numpy(app.inverse(app.forward(from_complex(x))))
+    assert rel_err(z[:, :hy, :hz], x[:, :hy, :hz]) < 2e-6
+    assert np.abs(z[:, hy:, :]).max() == 0.0
+    assert np.abs(z[:, :, hz:]).max() == 0.0

@@ -60,6 +60,23 @@ def _complex_dtype(precision: Precision):
     return jnp.complex64
 
 
+def _pair_prefix_keep(spec, shape):
+    """(keep_y, keep_z) when every declared-zero window in ``spec`` is a
+    to-the-end prefix window on one of the two minor axes (elidable by the
+    pair kernel); None otherwise.  0 in a slot = that axis unwindowed."""
+    ndim = len(shape)
+    keep = [0, 0]
+    any_w = False
+    for ax, w in enumerate(spec):
+        if w is None:
+            continue
+        if ax < ndim - 2 or w[1] != shape[ax] or not (0 < w[0] < shape[ax]):
+            return None
+        keep[ax - (ndim - 2)] = w[0]
+        any_w = True
+    return tuple(keep) if any_w else None
+
+
 class FFTApplication:
     """Planned, reusable FFT executor for a fixed configuration.
 
@@ -260,8 +277,6 @@ class FFTApplication:
                 return out.reshape(*lead, n)
 
         fft_axis = eng.fft_axis_p if planar else eng.fft_axis
-        if not inverse:
-            x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
         # in-kernel normalization: fold 1/N into the LAST inverse axis pass
         # (reference stageNormalization, ``vkFFT_RadixShuffle.h:49-65``) —
@@ -283,16 +298,41 @@ class FFTApplication:
                     and self.axis_plans[az].algorithm is _Alg.DIRECT
                     and eng.pair_available(cfg.shape[ay], cfg.shape[az])):
                 pair = (cfg.shape[ay], cfg.shape[az])
+        # Zero-pad read/write elision through the pair kernel: prefix-form
+        # declared-zero windows on the two minor axes skip the read of the
+        # zero region (forward) / the write of the discarded region
+        # (inverse) — extending the 1-D elision to 2-D/3-D windows
+        # (``vkFFT_Zeropad.h``, README.md:14).
+        pair_in = pair_out = (0, 0)
+        elide_in = False
+        if pair is not None and cfg.zeropad_input is not None:
+            keep = _pair_prefix_keep(cfg.zeropad_input, cfg.shape)
+            if keep is not None:
+                elide_in = True
+                if not inverse:
+                    pair_in = keep
+                else:
+                    pair_out = keep
+        if not inverse and not elide_in:
+            x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         if pair is not None:
             rest = [ax for ax in axes if ax < ndim - 2]
             if not inverse:
-                x = eng.fft_pair_p(x, pair[0], pair[1], False)
+                x = eng.fft_pair_p(x, pair[0], pair[1], False,
+                                   in_keep=pair_in)
             for ax in rest:
                 x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
                              inverse, scale=1.0)
             if inverse:
                 x = eng.fft_pair_p(x, pair[0], pair[1], True,
-                                   scale=norm_scale)
+                                   scale=norm_scale, out_keep=pair_out)
+                if pair_out != (0, 0):
+                    # declared-zero region restored as literal zeros
+                    oy = pair_out[0] or pair[0]
+                    oz = pair_out[1] or pair[1]
+                    tail = ([(0, 0)] * (x.ndim - 2)
+                            + [(0, pair[0] - oy), (0, pair[1] - oz)])
+                    x = Planar(jnp.pad(x.re, tail), jnp.pad(x.im, tail))
         else:
             for i, ax in enumerate(axes):
                 plan = self.axis_plans[ax]
@@ -308,7 +348,8 @@ class FFTApplication:
                 for ax in cfg.axes:
                     total *= cfg.shape[ax]
                 x = x * np.asarray(1.0 / total, dtype=x.dtype)
-            x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
+            if not elide_in:
+                x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         else:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)
         return x

@@ -1266,20 +1266,34 @@ def pair_available(ny: int, nz: int, dtype_name: str = "float32") -> bool:
             and nz % 128 == 0 and ny % 128 == 0)
 
 
+def _pair_pad_in(xr, xi, ny, nz):
+    """Zero-fill a (iy, iz) read window up to the full (ny, nz) plane —
+    the declared-zero region was never DMA'd (``vkFFT_Zeropad.h`` analog)."""
+    iy, iz = xr.shape
+    if iy < ny or iz < nz:
+        pads = ((0, ny - iy), (0, nz - iz))
+        xr = jnp.pad(xr, pads)
+        xi = jnp.pad(xi, pads)
+    return xr, xi
+
+
 def _pair_kernel(ny, nz, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
                  mxu_z, n_y_refs, xr_ref, xi_ref, *refs):
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
-    xr = xr_ref[0].astype(jnp.float32)                     # (ny, nz)
-    xi = xi_ref[0].astype(jnp.float32)
+    xr, xi = _pair_pad_in(xr_ref[0].astype(jnp.float32),
+                          xi_ref[0].astype(jnp.float32), ny, nz)
     xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
                               prec, inverse)
     xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)            # (nz, ny)
     xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
     xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
                               prec, inverse)
-    or_ref[0] = jnp.swapaxes(xr.reshape(nz, ny), 0, 1).astype(out_dtype)
-    oi_ref[0] = jnp.swapaxes(xi.reshape(nz, ny), 0, 1).astype(out_dtype)
+    oy, oz = or_ref.shape[1:]   # < (ny, nz): discarded-tail writes elided
+    xr = jnp.swapaxes(xr.reshape(nz, ny), 0, 1)[:oy, :oz]
+    xi = jnp.swapaxes(xi.reshape(nz, ny), 0, 1)[:oy, :oz]
+    or_ref[0] = xr.astype(out_dtype)
+    oi_ref[0] = xi.astype(out_dtype)
 
 
 def _pair_operands(vpu_tabs, mxu_tabs, const):
@@ -1300,7 +1314,12 @@ def _pair_operands(vpu_tabs, mxu_tabs, const):
 
 @functools.lru_cache(maxsize=256)
 def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
-                     dtype_name: str = "float32", scale: float = 1.0):
+                     dtype_name: str = "float32", scale: float = 1.0,
+                     in_keep: tuple = (0, 0), out_keep: tuple = (0, 0)):
+    """``in_keep`` (forward): read only the leading (iy, iz) window of each
+    plane — the declared-zero remainder is never DMA'd.  ``out_keep``
+    (inverse): write only the leading (oy, oz) window (the returned planes
+    have that shape).  0 = full extent."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
     # scale folds into the Y stage set's first stage (applied exactly once)
@@ -1313,22 +1332,28 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
     tabs_z, specs_z = _pair_operands(vpu_z, mxu_z, const)
     kernel = functools.partial(_pair_kernel, ny, nz, dtype, prec, inverse,
                                vpu_y, mxu_y, vpu_z, mxu_z, len(tabs_y))
-    spec = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+    iy = in_keep[0] or ny
+    iz = in_keep[1] or nz
+    oy = out_keep[0] or ny
+    oz = out_keep[1] or nz
+    spec_in = pl.BlockSpec((1, iy, iz), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, oy, oz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     passes = _mxu_passes(prec)
     macs = (sum(r for *_, r, _, _ in mxu_y) * nz
             + sum(r for *_, r, _, _ in mxu_z) * ny)
     call = pl.pallas_call(
         kernel, grid=(b,),
-        in_specs=[spec, spec] + specs_y + specs_z,
-        out_specs=[spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((b, ny, nz), dtype)] * 2,
+        in_specs=[spec_in, spec_in] + specs_y + specs_z,
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((b, oy, oz), dtype)] * 2,
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * macs * 8 * passes,
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * b * ny * nz * 2))
+            bytes_accessed=dtype.itemsize * 2 * b * (iy * iz + oy * oz)))
 
     def run(xr, xi):
         a, c = call(xr, xi, *(jnp.asarray(t) for t in tabs_y + tabs_z))
@@ -1338,23 +1363,32 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
 
 
 def fft_pair_planar(xr, xi, ny: int, nz: int, inverse: bool,
-                    scale: float = 1.0):
-    """Fused 2-D DFT over the two minor axes of (..., ny, nz) planes."""
+                    scale: float = 1.0, in_keep: tuple = (0, 0),
+                    out_keep: tuple = (0, 0)):
+    """Fused 2-D DFT over the two minor axes of (..., ny, nz) planes.
+    ``in_keep``/``out_keep``: zero-pad read/write elision windows — pass
+    full-size planes; only the leading window is DMA'd (forward), or the
+    returned planes have the ``out_keep`` shape (inverse)."""
     lead = xr.shape[:-2]
     b = 1
     for d in lead:
         b *= d
     run = _build_pair_call(ny, nz, inverse, b, _INTERPRET, str(xr.dtype),
-                           scale=scale)
+                           scale=scale, in_keep=tuple(in_keep),
+                           out_keep=tuple(out_keep))
+    oy = out_keep[0] or ny
+    oz = out_keep[1] or nz
     a, c = run(xr.reshape(b, ny, nz), xi.reshape(b, ny, nz))
-    return a.reshape(*lead, ny, nz), c.reshape(*lead, ny, nz)
+    return a.reshape(*lead, oy, oz), c.reshape(*lead, oy, oz)
 
 
 def fft_pair_p(x: Planar, ny: int, nz: int, inverse: bool,
-               scale: float = 1.0) -> Planar:
+               scale: float = 1.0, in_keep: tuple = (0, 0),
+               out_keep: tuple = (0, 0)) -> Planar:
     """Planar wrapper over `fft_pair_planar` (engine interface for the
     application-level axis walk)."""
-    rr, ii = fft_pair_planar(x.re, x.im, ny, nz, inverse, scale=scale)
+    rr, ii = fft_pair_planar(x.re, x.im, ny, nz, inverse, scale=scale,
+                             in_keep=in_keep, out_keep=out_keep)
     return Planar(rr, ii)
 
 
@@ -1377,8 +1411,8 @@ def _conv_pair_kernel(ny, nz, out_dtype, prec, conj_data, xpow, counts,
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
     c1, c2, c3 = counts
-    xr = xr_ref[0].astype(jnp.float32)                     # (ny, nz)
-    xi = xi_ref[0].astype(jnp.float32)
+    xr, xi = _pair_pad_in(xr_ref[0].astype(jnp.float32),
+                          xi_ref[0].astype(jnp.float32), ny, nz)
     xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:c1], vy_f, my_f, prec, False)
     xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)
     xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
@@ -1401,16 +1435,21 @@ def _conv_pair_kernel(ny, nz, out_dtype, prec, conj_data, xpow, counts,
     yr = jnp.swapaxes(yr.reshape(nz, ny), 0, 1)
     yi = jnp.swapaxes(yi.reshape(nz, ny), 0, 1)
     yr, yi = _v3_apply_stages(yr, yi, nz, tabs[c3:], vy_i, my_i, prec, True)
-    or_ref[0] = yr.reshape(ny, nz).astype(out_dtype)
-    oi_ref[0] = yi.reshape(ny, nz).astype(out_dtype)
+    oy, oz = or_ref.shape[1:]   # < (ny, nz): discarded-tail writes elided
+    or_ref[0] = yr.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
+    oi_ref[0] = yi.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=128)
 def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
                           dtype_name: str, scale: float, conj_data: bool,
-                          xpow: bool):
+                          xpow: bool, in_keep: tuple = (0, 0),
+                          out_keep: tuple = (0, 0)):
     """``hp``: leading dim of the (hp, nz, ny) spectrum operand — 1 for a
-    shared 2-D kernel, the outer-axis length for per-slice 3-D spectra."""
+    shared 2-D kernel, the outer-axis length for per-slice 3-D spectra.
+    ``in_keep``/``out_keep``: zero-pad read/write elision windows (linear
+    convolution reads only the data corner and writes only the kept corner —
+    the reference's conv+zeropad composition, README.md:15-16)."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
     sets = [_v3_tables(ny, False, int8=int8),
@@ -1429,8 +1468,14 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
     kernel = functools.partial(
         _conv_pair_kernel, ny, nz, dtype, prec, conj_data, xpow,
         tuple(counts[:3]), tuple(sets))
-    spec = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
-                        memory_space=pltpu.VMEM)
+    iy = in_keep[0] or ny
+    iz = in_keep[1] or nz
+    oy = out_keep[0] or ny
+    oz = out_keep[1] or nz
+    spec_in = pl.BlockSpec((1, iy, iz), lambda i: (i, 0, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, oy, oz), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, nz, ny),
                           (lambda i: (i % hp, 0, 0)) if hp > 1
                           else (lambda i: (0, 0, 0)),
@@ -1440,15 +1485,15 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
                 + sum(r for *_, r, _, _ in sets[1][1]) * ny)
     call = pl.pallas_call(
         kernel, grid=(b,),
-        in_specs=[spec, spec, h_spec, h_spec] + tab_specs,
-        out_specs=[spec, spec],
-        out_shape=[jax.ShapeDtypeStruct((b, ny, nz), dtype)] * 2,
+        in_specs=[spec_in, spec_in, h_spec, h_spec] + tab_specs,
+        out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((b, oy, oz), dtype)] * 2,
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=pl.CostEstimate(
             flops=2 * b * macs * 8 * passes,
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * b * ny * nz * 2))
+            bytes_accessed=dtype.itemsize * 2 * b * (iy * iz + oy * oz)))
 
     def run(xr, xi, hr, hi):
         return call(xr, xi, hr, hi, *(jnp.asarray(t) for t in np_tables))
@@ -1457,11 +1502,16 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
 
 
 def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
-                    conj_data: bool = False, xpow: bool = False) -> Planar:
+                    conj_data: bool = False, xpow: bool = False,
+                    in_keep: tuple = (0, 0),
+                    out_keep: tuple = (0, 0)) -> Planar:
     """Single-kernel circular convolution over the two minor axes of
     (..., ny, nz) planes.  ``Ht``: host complex spectrum, shape (nz, ny)
     (shared) or (P, nz, ny) with P = the size of the axis immediately
-    before the pair (per-slice spectra of an N-D kernel)."""
+    before the pair (per-slice spectra of an N-D kernel).
+    ``in_keep``/``out_keep``: elision windows — only the leading data
+    corner is read / the kept corner written; the returned planes have the
+    ``out_keep`` shape."""
     Ht = np.asarray(Ht)
     if Ht.ndim == 2:
         Ht = Ht[None]
@@ -1473,11 +1523,15 @@ def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
     if hp > 1:
         assert b % hp == 0, (b, hp)
     run = _build_conv_pair_call(ny, nz, b, hp, _INTERPRET, str(x.re.dtype),
-                                scale, conj_data, xpow)
+                                scale, conj_data, xpow,
+                                in_keep=tuple(in_keep),
+                                out_keep=tuple(out_keep))
+    oy = out_keep[0] or ny
+    oz = out_keep[1] or nz
     hr = jnp.asarray(np.real(Ht).astype(np.float32))
     hi = jnp.asarray(np.imag(Ht).astype(np.float32))
     rr, ii = run(x.re.reshape(b, ny, nz), x.im.reshape(b, ny, nz), hr, hi)
-    return Planar(rr.reshape(*lead, ny, nz), ii.reshape(*lead, ny, nz))
+    return Planar(rr.reshape(*lead, oy, oz), ii.reshape(*lead, oy, oz))
 
 
 # ---------------------------------------------------------------------------

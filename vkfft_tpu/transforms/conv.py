@@ -120,9 +120,16 @@ class ConvolutionApplication:
         Returns (mode, host_table) or None (XLA composition fallback)."""
         cfg = self.config
         coord_ok = cfg.coordinate_features in (1, cfg.matrix_convolution)
-        if (cfg.number_kernels != 1 or not coord_ok
-                or cfg.zeropad_output is not None):
+        if cfg.number_kernels != 1 or not coord_ok:
             return None
+        # only the pair mode can elide output windows in-kernel; every other
+        # fused form requires no output window
+        zp_out_keep = None
+        if cfg.zeropad_output is not None:
+            from vkfft_tpu.api import _pair_prefix_keep
+            zp_out_keep = _pair_prefix_keep(cfg.zeropad_output, cfg.shape)
+            if zp_out_keep is None:
+                return None
         if (self.engine or api.default_engine()) != "pallas":
             return None
         try:
@@ -136,6 +143,8 @@ class ConvolutionApplication:
             for s in shape:
                 if plan_axis(s).algorithm is not Algorithm.DIRECT:
                     return None
+            if cfg.zeropad_output is not None and ndim < 2:
+                return None  # 1-D fused forms cannot elide output windows
             if not pe.use_conv_v3(n):
                 # two-kernel v2 fallback for 1-D scalar only
                 if (ndim == 1 and m == 1 and pe._use_v2(n)
@@ -164,7 +173,10 @@ class ConvolutionApplication:
                     tab = np.conj(tab)
                 ny, nz = shape[-2], shape[-1]
                 tab = tab.reshape(-1, ny, nz)
-                return ("pair", np.ascontiguousarray(tab.transpose(0, 2, 1)))
+                return ("pair", (np.ascontiguousarray(tab.transpose(0, 2, 1)),
+                                 zp_out_keep))
+            if cfg.zeropad_output is not None:
+                return None  # only the pair mode elides output windows
             if m == 1 and ndim > 1 and self.kernel_f.ndim == ndim:
                 rows = int(np.prod(shape[:-1]))
                 if rows % 128:
@@ -193,11 +205,22 @@ class ConvolutionApplication:
         multi = cfg.number_kernels > 1
         axes = tuple(range(-ndim, 0))
 
+        pair_in = (0, 0)
         if cfg.zeropad_input is not None:
-            # declared-zero window elision before the forward pass (linear
-            # convolution via zero padding, reference README.md:15-16)
-            helper = api.get_application(FFTConfig(shape=cfg.shape), self.engine)
-            x = helper._apply_zeropad(x, cfg.zeropad_input, ndim)
+            keep_in = None
+            if self._fused is not None and self._fused[0] == "pair":
+                from vkfft_tpu.api import _pair_prefix_keep
+                keep_in = _pair_prefix_keep(cfg.zeropad_input, cfg.shape)
+            if keep_in is not None:
+                # the pair kernel's read window elides the declared-zero
+                # region — no masking pass (``vkFFT_Zeropad.h`` analog)
+                pair_in = keep_in
+            else:
+                # declared-zero window mask before the forward pass (linear
+                # convolution via zero padding, reference README.md:15-16)
+                helper = api.get_application(FFTConfig(shape=cfg.shape),
+                                             self.engine)
+                x = helper._apply_zeropad(x, cfg.zeropad_input, ndim)
 
         if self._fused is not None and isinstance(x, Planar):
             from vkfft_tpu.ops import pallas_engine as pe
@@ -218,6 +241,7 @@ class ConvolutionApplication:
                                        conj_data=conj_d, xpow=xpow)
                 return out.reshape(*lead, n)
             if mode == "pair":
+                tab, keep_out = tab
                 eng = api._engine(self.engine or api.default_engine())
                 from vkfft_tpu.planner.plan import plan_axis
                 ny, nz = cfg.shape[-2], cfg.shape[-1]
@@ -226,10 +250,18 @@ class ConvolutionApplication:
                     x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
                                        False)
                 x = pe.conv_fused_pair(x, ny, nz, tab, scale=1.0 / total,
-                                       conj_data=conj_d, xpow=xpow)
+                                       conj_data=conj_d, xpow=xpow,
+                                       in_keep=pair_in,
+                                       out_keep=keep_out or (0, 0))
                 for ax in range(ndim - 3, -1, -1):
                     x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
                                        True)
+                if keep_out is not None:
+                    oy = keep_out[0] or ny
+                    oz = keep_out[1] or nz
+                    tail = ([(0, 0)] * (x.ndim - 2)
+                            + [(0, ny - oy), (0, nz - oz)])
+                    x = Planar(jnp.pad(x.re, tail), jnp.pad(x.im, tail))
                 return x
             if mode == "v3_rows":
                 # N-D: strided forward over the outer axes, then one fused
