@@ -57,3 +57,25 @@ def test_rfft_fp32():
     y = np.asarray(vt.rfft(x, engine="jnp"))
     assert y.dtype == np.complex64
     assert rel_err(y, np.fft.rfft(x.astype(np.float64))) < 2e-6
+
+
+def test_rfft2_pair_single_kernel():
+    """The two minor axes of rfft2/irfft2 run as ONE kernel (r2c pair:
+    one real-plane read + one half-spectrum write)."""
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.transforms import r2c
+    import jax.numpy as jnp
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(31)
+        for shape in ((128, 256), (3, 128, 256)):
+            assert pe.use_r2c_pair(shape[-2], shape[-1])
+            x = rng.standard_normal(shape).astype(np.float32)
+            X = r2c.rfftn(jnp.asarray(x), engine="pallas")
+            ref = np.fft.rfftn(x.astype(np.float64))
+            got = np.asarray(X)
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+            y = r2c.irfftn(X, engine="pallas")
+            assert np.abs(np.asarray(y) - x).max() < 1e-5
+    finally:
+        pe.set_interpret(False)

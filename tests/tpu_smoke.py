@@ -160,6 +160,15 @@ def main() -> int:
           np.fft.ifft2(np.fft.fft2(xy, axes=(1, 2)) * Hk, axes=(1, 2)),
           tol=2e-4)
 
+    # --- single-kernel 2-D real transform (r2c pair)
+    print("r2c pair (single-kernel rfft2/irfft2):")
+    xrr = rng.standard_normal((2, 256, 256)).astype(np.float32)
+    Xp = pe.rfft2_pair_planar(jnp.asarray(xrr))
+    check("rfft2 pair 256x256", np.asarray(Xp.re) + 1j * np.asarray(Xp.im),
+          np.fft.rfft2(xrr.astype(np.float64), axes=(1, 2)), tol=2e-4)
+    yrr = pe.irfft2_pair_planar(Xp.re, Xp.im, 256, 256)
+    check("irfft2 pair roundtrip", np.asarray(yrr), xrr, tol=2e-4)
+
     # --- int8 compute mode (6-pass digit emulation on the int8 MXU)
     print("int8 compute mode (set_compute_mode('fp32_int8')):")
     vk.set_compute_mode("fp32_int8")

@@ -1769,6 +1769,204 @@ def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int,
 
 
 # ---------------------------------------------------------------------------
+# Single-kernel 2-D real transform (r2c pair): rfft2/irfft2 of each trailing
+# (ny, nz) plane in ONE VMEM-resident kernel — one real-plane read + one
+# half-spectrum write, i.e. half the HBM traffic of the complex pair kernel
+# on top of the pair fusion (the reference's R2C 2x, README.md:13, extended
+# to both axes).  The DC and Nyquist columns of the z-half-spectrum are real
+# for real input, so the Nyquist column rides the DC column's imaginary
+# plane through the y stages (two real FFTs in one complex one); the unpack
+# is one extra reversal matmul in-kernel.
+# ---------------------------------------------------------------------------
+
+
+def use_r2c_pair(ny: int, nz: int) -> bool:
+    m = nz // 2
+    return (nz >= 8 and nz % 256 == 0 and ny % 128 == 0
+            and _use_v3(ny) and _use_v3(m)
+            and ny * nz <= _PAIR_MAX_PTS)
+
+
+def _r2c_pair_kernel(ny, nz, m, out_dtype, prec, sets, c1, x_ref, *refs):
+    (vz, mz), (vy, my) = sets
+    or_ref, oi_ref = refs[-2:]
+    Fz_ref, twr_ref, twi_ref, Fy_ref = refs[-6:-2]
+    tabs = refs[:-6]
+    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)     # (nz, ny)
+    z = x.reshape(m, 2, ny)
+    Zr, Zi = _v3_apply_stages(z[:, 0], z[:, 1], ny, tabs[:c1], vz, mz,
+                              prec, False)
+    Zr = Zr.reshape(m, ny)
+    Zi = Zi.reshape(m, ny)
+    fbz = Fz_ref.shape[0]
+    Vr = _revmod(Zr, m, fbz, Fz_ref, ny)                      # conj(Z[-k])
+    Vi = -_revmod(Zi, m, fbz, Fz_ref, ny)
+    Er, Ei = 0.5 * (Zr + Vr), 0.5 * (Zi + Vi)
+    Or, Oi = 0.5 * (Zi - Vi), -0.5 * (Zr - Vr)
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    Xr = Er + Or * twr - Oi * twi                             # (m, ny)
+    Xi = Ei + Or * twi + Oi * twr
+    nyq = Zr[:1] - Zi[:1]                                     # (1, ny) real
+    # pack: row-0 imag (zero for real input) carries the Nyquist row
+    Xi = jnp.concatenate([nyq, Xi[1:]], axis=0)
+    Pr = jnp.swapaxes(Xr, 0, 1)                               # (ny, m)
+    Pi = jnp.swapaxes(Xi, 0, 1)
+    Qr, Qi = _v3_apply_stages(Pr, Pi, m, tabs[c1:], vy, my, prec, False)
+    Qr = Qr.reshape(ny, m)
+    Qi = Qi.reshape(ny, m)
+    # unpack the packed column: X0 = (Q + conj(Q[-k]))/2, XN = -i/2 (Q - conj)
+    fby = Fy_ref.shape[0]
+    Wr = _revmod(Qr, ny, fby, Fy_ref, m)
+    Wi = _revmod(Qi, ny, fby, Fy_ref, m)
+    X0r = (0.5 * (Qr + Wr))[:, :1]
+    X0i = (0.5 * (Qi - Wi))[:, :1]
+    XNr = (0.5 * (Qi + Wi))[:, :1]
+    XNi = (-0.5 * (Qr - Wr))[:, :1]
+    or_ref[0] = jnp.concatenate([X0r, Qr[:, 1:], XNr], axis=1).astype(out_dtype)
+    oi_ref[0] = jnp.concatenate([X0i, Qi[:, 1:], XNi], axis=1).astype(out_dtype)
+
+
+def _c2r_pair_kernel(ny, nz, m, out_dtype, prec, sets, c1,
+                     xr_ref, xi_ref, *refs):
+    (vy, my), (vz, mz) = sets
+    (o_ref,) = refs[-1:]
+    Fz_ref, twr_ref, twi_ref = refs[-4:-1]
+    tabs = refs[:-4]
+    Xr = xr_ref[0].astype(jnp.float32)                        # (ny, m+1)
+    Xi = xi_ref[0].astype(jnp.float32)
+    # repack: Q[:, 0] = X0 + i XN
+    Q0r = Xr[:, :1] - Xi[:, m:]
+    Q0i = Xi[:, :1] + Xr[:, m:]
+    Qr = jnp.concatenate([Q0r, Xr[:, 1:m]], axis=1)           # (ny, m)
+    Qi = jnp.concatenate([Q0i, Xi[:, 1:m]], axis=1)
+    Pr, Pi = _v3_apply_stages(Qr, Qi, m, tabs[:c1], vy, my, prec, True)
+    Ar = jnp.swapaxes(Pr.reshape(ny, m), 0, 1)                # (m, ny)
+    Ai = jnp.swapaxes(Pi.reshape(ny, m), 0, 1)
+    # rebuild the z half spectrum: rows 0 and m are the packed col's planes
+    zero = jnp.zeros_like(Ar[:1])
+    Xfr = jnp.concatenate([Ar[:1], Ar[1:m], Ai[:1]], axis=0)  # (m+1, ny)
+    Xfi = jnp.concatenate([zero, Ai[1:m], zero], axis=0)
+    Br = _revmod_tail(Xfr, m, Fz_ref, ny)                     # conj(X[m-k])
+    Bi = -_revmod_tail(Xfi, m, Fz_ref, ny)
+    Er, Ei = 0.5 * (Xfr[:m] + Br), 0.5 * (Xfi[:m] + Bi)
+    Dr, Di = 0.5 * (Xfr[:m] - Br), 0.5 * (Xfi[:m] - Bi)
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    Or = Dr * twr - Di * twi
+    Oi = Dr * twi + Di * twr
+    Zr = Er - Oi
+    Zi = Ei + Or
+    zr, zi = _v3_apply_stages(Zr, Zi, ny, tabs[c1:], vz, mz, prec, True)
+    x = jnp.stack([zr.reshape(m, ny), zi.reshape(m, ny)], axis=1)
+    o_ref[0] = jnp.swapaxes(x.reshape(nz, ny), 0, 1).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=128)
+def _build_r2c_pair_call(ny: int, nz: int, b: int, interpret: bool,
+                         inverse: bool, dtype_name: str = "float32",
+                         scale_y: float = 1.0, scale_z: float = 1.0):
+    """Forward: real (b, ny, nz) -> planar (b, ny, nz//2+1) half spectrum.
+    Inverse: planar half spectrum -> real, with ``scale_y`` folded into the
+    y stages and ``scale_z`` into the z stages (pass 1/ny and 1/(nz//2) for
+    numpy ``irfft2`` normalization, all in-kernel)."""
+    dtype = jnp.dtype(dtype_name)
+    m = nz // 2
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    set_z = _v3_tables(m, inverse, scale=scale_z, int8=int8)
+    set_y = _v3_tables(ny, inverse, scale=scale_y, int8=int8)
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    # kernel consumption order: forward z then y; inverse y then z
+    first, second = ((set_z, set_y) if not inverse else (set_y, set_z))
+    tabs1, specs1 = _pair_operands(first[0], first[1], const)
+    tabs2, specs2 = _pair_operands(second[0], second[1], const)
+    fbz, Fz = _flip_block(m)
+    fby, Fy = _flip_block(ny)
+    k = np.arange(m)
+    sign = 2.0j if inverse else -2.0j
+    t = np.exp(sign * np.pi / nz * k)
+    twr = np.real(t).astype(np.float32)[:, None]
+    twi = np.imag(t).astype(np.float32)[:, None]
+    extra = [Fz, twr, twi] + ([Fy] if not inverse else [])
+    np_tables = tabs1 + tabs2 + extra
+    tab_specs = specs1 + specs2 + [const(a) for a in extra]
+    spec_r = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    spec_c = pl.BlockSpec((1, ny, m + 1), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    passes = _mxu_passes(prec)
+    macs = (sum(r for *_, r, _, _ in set_z[1]) * ny
+            + sum(r for *_, r, _, _ in set_y[1]) * m + fbz * ny + fby * m)
+    ce = pl.CostEstimate(
+        flops=2 * b * macs * 8 * passes,
+        transcendentals=0,
+        bytes_accessed=dtype.itemsize * b * (ny * nz + 2 * ny * (m + 1)))
+
+    if not inverse:
+        kernel = functools.partial(_r2c_pair_kernel, ny, nz, m, dtype, prec,
+                                   (set_z, set_y), len(tabs1))
+        call = pl.pallas_call(
+            kernel, grid=(b,),
+            in_specs=[spec_r] + tab_specs,
+            out_specs=[spec_c, spec_c],
+            out_shape=[jax.ShapeDtypeStruct((b, ny, m + 1), dtype)] * 2,
+            interpret=interpret,
+            compiler_params=None if interpret else _vmem_params(),
+            cost_estimate=ce)
+
+        def run(x):
+            return call(x, *(jnp.asarray(t_) for t_ in np_tables))
+        return run
+
+    kernel = functools.partial(_c2r_pair_kernel, ny, nz, m, dtype, prec,
+                               (set_y, set_z), len(tabs1))
+    call = pl.pallas_call(
+        kernel, grid=(b,),
+        in_specs=[spec_c, spec_c] + tab_specs,
+        out_specs=spec_r,
+        out_shape=jax.ShapeDtypeStruct((b, ny, nz), dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
+        cost_estimate=ce)
+
+    def run_inv(xr, xi):
+        return call(xr, xi, *(jnp.asarray(t_) for t_ in np_tables))
+    return run_inv
+
+
+def rfft2_pair_planar(x: jax.Array) -> Planar:
+    """Real (..., ny, nz) -> planar (..., ny, nz//2+1) half spectrum in one
+    kernel (numpy ``rfft2`` values over the two minor axes)."""
+    lead = x.shape[:-2]
+    ny, nz = x.shape[-2:]
+    b = 1
+    for d in lead:
+        b *= d
+    run = _build_r2c_pair_call(ny, nz, b, _INTERPRET, False, str(x.dtype))
+    ar, ai = run(x.reshape(b, ny, nz))
+    h = nz // 2 + 1
+    return Planar(ar.reshape(*lead, ny, h), ai.reshape(*lead, ny, h))
+
+
+def irfft2_pair_planar(xr: jax.Array, xi: jax.Array, ny: int, nz: int,
+                       normalize: bool = True) -> jax.Array:
+    """Planar (..., ny, nz//2+1) half spectrum -> real (..., ny, nz) in one
+    kernel; numpy ``irfft2`` normalization folded into the stage tables."""
+    lead = xr.shape[:-2]
+    b = 1
+    for d in lead:
+        b *= d
+    sy = 1.0 / ny if normalize else 1.0
+    sz = 1.0 / (nz // 2) if normalize else 1.0
+    run = _build_r2c_pair_call(ny, nz, b, _INTERPRET, True, str(xr.dtype),
+                               scale_y=sy, scale_z=sz)
+    y = run(xr.reshape(b, ny, nz // 2 + 1), xi.reshape(b, ny, nz // 2 + 1))
+    return y.reshape(*lead, ny, nz)
+
+
+# ---------------------------------------------------------------------------
 # Strided-axis kernel: transform a non-minor axis with the trailing batch in
 # lanes — the analog of the reference's strided kernels for axes > 0
 # (``appendRadixStageStrided``, ``vkFFT_RadixStage.h:300``; grouped-batch

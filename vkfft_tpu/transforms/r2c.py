@@ -173,14 +173,37 @@ def irfft(X, n: Optional[int] = None, axis: int = -1, engine: Optional[str] = No
     return _move_back(out, axis, ndim)
 
 
+def _r2c_pair_ok(x_shape, axes, dtype, engine):
+    """True when the two minor axes can run the single-kernel 2-D real
+    transform (r2c pair: one real read + one half-spectrum write)."""
+    ndim = len(x_shape)
+    if len(axes) < 2 or axes[-1] != ndim - 1 or (ndim - 2) not in axes:
+        return False
+    if dtype != jnp.float32:
+        return False
+    if (engine or api.default_engine()) != "pallas":
+        return False
+    from vkfft_tpu.ops import pallas_engine as pe
+    return pe.use_r2c_pair(x_shape[-2], x_shape[-1])
+
+
 def rfftn(x, axes: Optional[Sequence[int]] = None, engine: Optional[str] = None):
     """N-D real FFT: real transform along the last given axis, complex along
-    the rest (numpy convention)."""
+    the rest (numpy convention).  When the two minor axes qualify, they run
+    as ONE kernel (r2c pair — half the bytes of the complex pair)."""
     complex_out = _wants_complex_out(x)
-    ndim = x.ndim if isinstance(x, Planar) else jnp.asarray(x).ndim
+    xr = x.re if isinstance(x, Planar) else jnp.asarray(x)
+    ndim = xr.ndim
     if axes is None:
         axes = tuple(range(ndim))
     axes = tuple(a % ndim for a in axes)
+    if _r2c_pair_ok(xr.shape, axes, xr.dtype, engine):
+        from vkfft_tpu.ops import pallas_engine as pe
+        y = pe.rfft2_pair_planar(xr)
+        for a in axes:
+            if a < ndim - 2:
+                y = _fftn_p(y, axes=(a,), engine=engine)
+        return to_complex(y) if complex_out else y
     y = rfft(x, axis=axes[-1], engine=engine)
     if not isinstance(y, Planar):
         y = Planar(jnp.real(y), jnp.imag(y))
@@ -201,6 +224,15 @@ def irfftn(X, s: Optional[Sequence[int]] = None, axes: Optional[Sequence[int]] =
         axes = tuple(range(ndim))
     axes = tuple(a % ndim for a in axes)
     n_last = None if s is None else s[-1]
+    m = X.shape[-1]
+    nz = 2 * (m - 1) if n_last is None else n_last
+    if (m == nz // 2 + 1
+            and _r2c_pair_ok(X.shape[:-1] + (nz,), axes, X.re.dtype, engine)):
+        from vkfft_tpu.ops import pallas_engine as pe
+        for a in axes:
+            if a < ndim - 2:
+                X = _fftn_p(X, axes=(a,), inverse=True, engine=engine)
+        return pe.irfft2_pair_planar(X.re, X.im, X.shape[-2], nz)
     for a in axes[:-1]:
         X = _fftn_p(X, axes=(a,), inverse=True, engine=engine)
     return irfft(X, n=n_last, axis=axes[-1], engine=engine)
