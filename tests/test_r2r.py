@@ -109,3 +109,32 @@ def test_dct_fp32():
     y = np.asarray(vt.dct(x, type=2, engine="jnp"))
     assert y.dtype == np.float32
     assert rel_err(y, naive_dct(x.astype(np.float64), 2)) < 5e-5
+
+
+def test_dct_kernel_in_kernel_path():
+    """DCT-II/III run the single-kernel in-kernel form on the pallas engine
+    (permutation + half-size real FFT + unfold + rotation in one kernel)."""
+    import jax.numpy as jnp
+    import scipy.fft as sfft
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.transforms import r2r
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(41)
+        n = 256
+        assert pe.use_dct_kernel(n)
+        x = rng.standard_normal((4, n)).astype(np.float32)
+        for t in (2, 3):
+            y = np.asarray(r2r.dct(jnp.asarray(x), type=t, engine="pallas"))
+            ref = sfft.dct(x.astype(np.float64), type=t, axis=-1)
+            assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-6, t
+        # inverse pair through the public idct
+        y2 = r2r.dct(jnp.asarray(x), type=2, engine="pallas")
+        back = np.asarray(r2r.idct(y2, type=2, engine="pallas"))
+        assert np.abs(back - x).max() < 1e-5
+        # DST-II rides the DCT-II kernel via the sign/reversal wrap
+        yd = np.asarray(r2r.dst(jnp.asarray(x), type=2, engine="pallas"))
+        refd = sfft.dst(x.astype(np.float64), type=2, axis=-1)
+        assert np.abs(yd - refd).max() / np.abs(refd).max() < 2e-6
+    finally:
+        pe.set_interpret(False)

@@ -169,6 +169,15 @@ def main() -> int:
     yrr = pe.irfft2_pair_planar(Xp.re, Xp.im, 256, 256)
     check("irfft2 pair roundtrip", np.asarray(yrr), xrr, tol=2e-4)
 
+    # --- in-kernel DCT-II/III
+    print("in-kernel DCT-II/III:")
+    import scipy.fft as sfft
+    xdc = rng.standard_normal((4, 1024)).astype(np.float32)
+    check("dct2 kernel n=1024", np.asarray(pe.dct2_lines(jnp.asarray(xdc))),
+          sfft.dct(xdc.astype(np.float64), type=2, axis=-1), tol=2e-4)
+    check("dct3 kernel n=1024", np.asarray(pe.dct3_lines(jnp.asarray(xdc))),
+          sfft.dct(xdc.astype(np.float64), type=3, axis=-1), tol=2e-4)
+
     # --- int8 compute mode (6-pass digit emulation on the int8 MXU)
     print("int8 compute mode (set_compute_mode('fp32_int8')):")
     vk.set_compute_mode("fp32_int8")

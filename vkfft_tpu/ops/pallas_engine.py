@@ -1769,6 +1769,183 @@ def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int,
 
 
 # ---------------------------------------------------------------------------
+# In-kernel DCT-II / DCT-III (reference ``appendDCTII_read_III_write`` /
+# ``appendDCTII_write_III_read``, vkFFT_R2R.h:1541/1731): the even/odd
+# permutation, half-size real FFT, Hermitian unfold, and rotation all run
+# inside ONE kernel — a DCT moves one real read + one real write instead of
+# the XLA composition's multiple gather/scatter passes.
+# ---------------------------------------------------------------------------
+
+
+def _rev_full(a, F_ref, S):
+    """a[m-1-k] over rows (full reversal): per-block flip matmul + reversed
+    static block concat."""
+    fb = F_ref.shape[0]
+    nb = a.shape[0] // fb
+    ab = a.reshape(nb, fb, S)
+    y = jax.lax.dot_general(
+        F_ref[:], ab, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)
+    y = jnp.swapaxes(y, 0, 1)
+    if nb > 1:
+        return jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
+    return y[0]
+
+
+def use_dct_kernel(n: int) -> bool:
+    """Even n with both n and n/2 on v3 plans (DCT-III runs full-n stages,
+    DCT-II half-n), within the r2c kernel's VMEM reach."""
+    return (n >= 8 and n % 2 == 0 and n <= 8192
+            and _use_v3(n) and _use_v3(n // 2))
+
+
+def _dct2_kernel(n, m, m2, sb, out_dtype, prec, sets, x_ref, *refs):
+    """DCT-II: v = [x_even | reversed x_odd]; rfft(v) in-kernel (half-size
+    complex stages + untangle); Hermitian unfold; rotate 2 e^{-i pi k/2n}."""
+    (vpu, mxu) = sets
+    o_ref = refs[-1]
+    Fo_ref, Fz_ref, twr_ref, twi_ref, rot_r_ref, rot_i_ref = refs[-7:-1]
+    tabs = refs[:-7]
+    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)      # (n, S)
+    S = x.shape[1]
+    xe = x.reshape(m2, 2, S)
+    v = jnp.concatenate([xe[:, 0], _rev_full(xe[:, 1], Fo_ref, S)], axis=0)
+    # ---- rfft(v), v real of length n, m = n//2 (the _r2c_kernel body) ----
+    z = v.reshape(m, 2, S)
+    Zr, Zi = _v3_apply_stages(z[:, 0], z[:, 1], S, tabs, vpu, mxu,
+                              prec, False)
+    Zr = Zr.reshape(m, S)
+    Zi = Zi.reshape(m, S)
+    fbz = Fz_ref.shape[0]
+    Vr_ = _revmod(Zr, m, fbz, Fz_ref, S)
+    Vi_ = -_revmod(Zi, m, fbz, Fz_ref, S)
+    Er, Ei = 0.5 * (Zr + Vr_), 0.5 * (Zi + Vi_)
+    Or, Oi = 0.5 * (Zi - Vi_), -0.5 * (Zr - Vr_)
+    twr = twr_ref[:]
+    twi = twi_ref[:]
+    Hr = Er + Or * twr - Oi * twi                             # (m, S)
+    Hi = Ei + Or * twi + Oi * twr
+    nyq = Zr[:1] - Zi[:1]
+    Hr = jnp.concatenate([Hr, nyq], axis=0)                   # (m+1, S)
+    Hi = jnp.concatenate([Hi, jnp.zeros_like(nyq)], axis=0)
+    # ---- Hermitian unfold: V[k>m] = conj(V[n-k]) = conj(H[m-1..1]) ----
+    tr = _revmod_tail(Hr, m, Fz_ref, S)[1:]                   # H[m-1..1]
+    ti = -_revmod_tail(Hi, m, Fz_ref, S)[1:]
+    Vr = jnp.concatenate([Hr, tr], axis=0)                    # (n, S)
+    Vi = jnp.concatenate([Hi, ti], axis=0)
+    out = rot_r_ref[:] * Vr - rot_i_ref[:] * Vi               # 2 Re(e^.. V)
+    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
+
+
+def _dct3_kernel(n, m, sb, out_dtype, prec, sets, x_ref, *refs):
+    """DCT-III (inverse of II): u = (c - i c[n-k])/2, rotate e^{+i pi k/2n},
+    full-n inverse stages, un-permute (even rows then reversed odd rows)."""
+    (vpu, mxu) = sets
+    o_ref = refs[-1]
+    Fn_ref, Fm_ref, rot_r_ref, rot_i_ref = refs[-5:-1]
+    tabs = refs[:-5]
+    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)      # (n, S)
+    S = x.shape[1]
+    fbn = Fn_ref.shape[0]
+    rev = _revmod(x, n, fbn, Fn_ref, S)                       # x[(n-k)%n]
+    rev = jnp.concatenate([jnp.zeros_like(rev[:1]), rev[1:]], axis=0)
+    ur = 0.5 * x
+    ui = -0.5 * rev
+    rr = rot_r_ref[:]
+    ri = rot_i_ref[:]
+    Vr = ur * rr - ui * ri
+    Vi = ur * ri + ui * rr
+    vr, _ = _v3_apply_stages(Vr, Vi, S, tabs, vpu, mxu, prec, True)
+    vr = vr.reshape(n, S)
+    odd = _rev_full(vr[m:], Fm_ref, S)
+    out = jnp.stack([vr[:m], odd], axis=1).reshape(n, S)
+    o_ref[0] = jnp.swapaxes(2.0 * out, 0, 1).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
+                    dtype_name: str = "float32", scale: float = 1.0):
+    dtype = jnp.dtype(dtype_name)
+    m = n // 2
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    k = np.arange(n)
+    sb = _V3_SB
+    pad = (-batch) % sb
+    padded = batch + pad
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    if not type3:
+        sets = _v3_tables(m, False, scale=scale, int8=int8)
+        m2 = m  # rows of the even/odd halves
+        fo, Fo = _flip_block(m2)
+        fz, Fz = _flip_block(m)
+        t = np.exp(-2.0j * np.pi / n * np.arange(m))
+        twr = np.real(t).astype(np.float32)[:, None]
+        twi = np.imag(t).astype(np.float32)[:, None]
+        rot = 2.0 * np.exp(-0.5j * np.pi * k / n)
+        extra = [Fo, Fz, twr, twi,
+                 np.real(rot).astype(np.float32)[:, None],
+                 np.imag(rot).astype(np.float32)[:, None]]
+        kernel = functools.partial(_dct2_kernel, n, m, m2, sb, dtype, prec,
+                                   sets)
+    else:
+        sets = _v3_tables(n, True, scale=scale, int8=int8)
+        fn, Fn = _flip_block(n)
+        fm, Fm = _flip_block(m)
+        rot = np.exp(0.5j * np.pi * k / n)
+        extra = [Fn, Fm,
+                 np.real(rot).astype(np.float32)[:, None],
+                 np.imag(rot).astype(np.float32)[:, None]]
+        kernel = functools.partial(_dct3_kernel, n, m, sb, dtype, prec, sets)
+    tabs, tab_specs = _pair_operands(sets[0], sets[1], const)
+    np_tables = tabs + extra
+    in_tab_specs = tab_specs + [const(a) for a in extra]
+    spec = pl.BlockSpec((1, sb, n), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    passes = _mxu_passes(prec)
+    macs = sum(r for *_, r, _, _ in sets[1]) + 3 * 128
+    ce = pl.CostEstimate(
+        flops=2 * padded * n * (macs * 8 * passes + 60),
+        transcendentals=0,
+        bytes_accessed=dtype.itemsize * padded * n * 2)
+    call = pl.pallas_call(
+        kernel, grid=(padded // sb,),
+        in_specs=[spec] + in_tab_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((padded // sb, sb, n), dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
+        cost_estimate=ce)
+
+    def run(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = call(x.reshape(padded // sb, sb, n),
+                 *(jnp.asarray(t_) for t_ in np_tables))
+        y = y.reshape(padded, n)
+        return y[:batch] if pad else y
+
+    return run
+
+
+def dct2_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized DCT-II of real (B, n) lines, one kernel; ``scale``
+    folds into the stage tables."""
+    run = _build_dct_call(x.shape[-1], x.shape[0], _INTERPRET, False,
+                          str(x.dtype), scale=scale)
+    return run(x)
+
+
+def dct3_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized DCT-III of real (B, n) lines, one kernel."""
+    run = _build_dct_call(x.shape[-1], x.shape[0], _INTERPRET, True,
+                          str(x.dtype), scale=scale)
+    return run(x)
+
+
+# ---------------------------------------------------------------------------
 # Single-kernel 2-D real transform (r2c pair): rfft2/irfft2 of each trailing
 # (ny, nz) plane in ONE VMEM-resident kernel — one real-plane read + one
 # half-spectrum write, i.e. half the HBM traffic of the complex pair kernel

@@ -74,8 +74,24 @@ def _dct1(x, engine):
     return E.re
 
 
+def _dct_kernel_ok(n: int, dtype, engine) -> bool:
+    """Gate for the in-kernel DCT-II/III path (permutation + half-size real
+    FFT + unfold + rotation all inside one kernel — the reference's in-kernel
+    R2R forms, ``vkFFT_R2R.h:1541/1731``; one real read + one real write)."""
+    if dtype != jnp.float32:
+        return False
+    if (engine or api.default_engine()) != "pallas":
+        return False
+    from vkfft_tpu.ops import pallas_engine as pe
+    return pe.use_dct_kernel(n)
+
+
 def _dct2(x, engine):
     n = x.shape[-1]
+    if _dct_kernel_ok(n, x.dtype, engine):
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dct2_lines(x.reshape(-1, n)).reshape(*lead, n)
     v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
     # half-spectrum rfft + Hermitian unfold: V[k] = conj(V[n-k]) for k > n/2
     H = _rfft_p(v, engine)
@@ -94,6 +110,10 @@ def _dct3(x, engine):
     # DCT-III(c) = 2n * inverse-of-DCT-II(c): u[k] = (c[k] - i c[n-k])/2
     # (u[0] = c[0]/2), V = u * e^{i pi k/2n}, v = n*ifft(V), un-permute.
     n = x.shape[-1]
+    if _dct_kernel_ok(n, x.dtype, engine):
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dct3_lines(x.reshape(-1, n)).reshape(*lead, n)
     k = np.arange(n)
     c_rev = jnp.concatenate([jnp.zeros_like(x[..., :1]), x[..., 1:][..., ::-1]], axis=-1)
     u = Planar(x * np.float32(0.5), c_rev * np.float32(-0.5))
