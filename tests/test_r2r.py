@@ -132,9 +132,10 @@ def test_dct_kernel_in_kernel_path():
         y2 = r2r.dct(jnp.asarray(x), type=2, engine="pallas")
         back = np.asarray(r2r.idct(y2, type=2, engine="pallas"))
         assert np.abs(back - x).max() < 1e-5
-        # DST-II rides the DCT-II kernel via the sign/reversal wrap
-        yd = np.asarray(r2r.dst(jnp.asarray(x), type=2, engine="pallas"))
-        refd = sfft.dst(x.astype(np.float64), type=2, axis=-1)
-        assert np.abs(yd - refd).max() / np.abs(refd).max() < 2e-6
+        # DST-II/III fold the sign flip + reversal into the DCT kernels
+        for t in (2, 3):
+            yd = np.asarray(r2r.dst(jnp.asarray(x), type=t, engine="pallas"))
+            refd = sfft.dst(x.astype(np.float64), type=t, axis=-1)
+            assert np.abs(yd - refd).max() / np.abs(refd).max() < 2e-6, t
     finally:
         pe.set_interpret(False)

@@ -1800,15 +1800,22 @@ def use_dct_kernel(n: int) -> bool:
             and _use_v3(n) and _use_v3(n // 2))
 
 
-def _dct2_kernel(n, m, m2, sb, out_dtype, prec, sets, x_ref, *refs):
+def _dct2_kernel(n, m, m2, sb, out_dtype, prec, dst, sets, x_ref, *refs):
     """DCT-II: v = [x_even | reversed x_odd]; rfft(v) in-kernel (half-size
-    complex stages + untangle); Hermitian unfold; rotate 2 e^{-i pi k/2n}."""
+    complex stages + untangle); Hermitian unfold; rotate 2 e^{-i pi k/2n}.
+    ``dst``: DST-II form — (-1)^j input signs and output reversal fold
+    in-kernel (no extra XLA passes)."""
     (vpu, mxu) = sets
     o_ref = refs[-1]
+    if dst:
+        Fn_ref, alt_ref = refs[-3], refs[-2]
+        refs = refs[:-3] + refs[-1:]
     Fo_ref, Fz_ref, twr_ref, twi_ref, rot_r_ref, rot_i_ref = refs[-7:-1]
     tabs = refs[:-7]
     x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)      # (n, S)
     S = x.shape[1]
+    if dst:
+        x = x * alt_ref[:]
     xe = x.reshape(m2, 2, S)
     v = jnp.concatenate([xe[:, 0], _rev_full(xe[:, 1], Fo_ref, S)], axis=0)
     # ---- rfft(v), v real of length n, m = n//2 (the _r2c_kernel body) ----
@@ -1835,18 +1842,27 @@ def _dct2_kernel(n, m, m2, sb, out_dtype, prec, sets, x_ref, *refs):
     Vr = jnp.concatenate([Hr, tr], axis=0)                    # (n, S)
     Vi = jnp.concatenate([Hi, ti], axis=0)
     out = rot_r_ref[:] * Vr - rot_i_ref[:] * Vi               # 2 Re(e^.. V)
+    if dst:
+        out = _rev_full(out, Fn_ref, S)
     o_ref[0] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
 
 
-def _dct3_kernel(n, m, sb, out_dtype, prec, sets, x_ref, *refs):
+def _dct3_kernel(n, m, sb, out_dtype, prec, dst, sets, x_ref, *refs):
     """DCT-III (inverse of II): u = (c - i c[n-k])/2, rotate e^{+i pi k/2n},
-    full-n inverse stages, un-permute (even rows then reversed odd rows)."""
+    full-n inverse stages, un-permute (even rows then reversed odd rows).
+    ``dst``: DST-III form — input reversal and (-1)^j output signs fold
+    in-kernel."""
     (vpu, mxu) = sets
     o_ref = refs[-1]
+    if dst:
+        (alt_ref,) = refs[-2:-1]
+        refs = refs[:-2] + refs[-1:]
     Fn_ref, Fm_ref, rot_r_ref, rot_i_ref = refs[-5:-1]
     tabs = refs[:-5]
     x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)      # (n, S)
     S = x.shape[1]
+    if dst:
+        x = _rev_full(x, Fn_ref, S)
     fbn = Fn_ref.shape[0]
     rev = _revmod(x, n, fbn, Fn_ref, S)                       # x[(n-k)%n]
     rev = jnp.concatenate([jnp.zeros_like(rev[:1]), rev[1:]], axis=0)
@@ -1859,13 +1875,16 @@ def _dct3_kernel(n, m, sb, out_dtype, prec, sets, x_ref, *refs):
     vr, _ = _v3_apply_stages(Vr, Vi, S, tabs, vpu, mxu, prec, True)
     vr = vr.reshape(n, S)
     odd = _rev_full(vr[m:], Fm_ref, S)
-    out = jnp.stack([vr[:m], odd], axis=1).reshape(n, S)
-    o_ref[0] = jnp.swapaxes(2.0 * out, 0, 1).astype(out_dtype)
+    out = 2.0 * jnp.stack([vr[:m], odd], axis=1).reshape(n, S)
+    if dst:
+        out = out * alt_ref[:]
+    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=256)
 def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
-                    dtype_name: str = "float32", scale: float = 1.0):
+                    dtype_name: str = "float32", scale: float = 1.0,
+                    dst: bool = False):
     dtype = jnp.dtype(dtype_name)
     m = n // 2
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
@@ -1876,6 +1895,9 @@ def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
+    alt = np.ones(n, np.float32)
+    alt[1::2] = -1.0
+    alt = alt[:, None]
     if not type3:
         sets = _v3_tables(m, False, scale=scale, int8=int8)
         m2 = m  # rows of the even/odd halves
@@ -1888,8 +1910,10 @@ def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
         extra = [Fo, Fz, twr, twi,
                  np.real(rot).astype(np.float32)[:, None],
                  np.imag(rot).astype(np.float32)[:, None]]
+        if dst:
+            extra = extra + [_flip_block(n)[1], alt]
         kernel = functools.partial(_dct2_kernel, n, m, m2, sb, dtype, prec,
-                                   sets)
+                                   dst, sets)
     else:
         sets = _v3_tables(n, True, scale=scale, int8=int8)
         fn, Fn = _flip_block(n)
@@ -1898,7 +1922,10 @@ def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
         extra = [Fn, Fm,
                  np.real(rot).astype(np.float32)[:, None],
                  np.imag(rot).astype(np.float32)[:, None]]
-        kernel = functools.partial(_dct3_kernel, n, m, sb, dtype, prec, sets)
+        if dst:
+            extra = extra + [alt]
+        kernel = functools.partial(_dct3_kernel, n, m, sb, dtype, prec,
+                                   dst, sets)
     tabs, tab_specs = _pair_operands(sets[0], sets[1], const)
     np_tables = tabs + extra
     in_tab_specs = tab_specs + [const(a) for a in extra]
@@ -1942,6 +1969,22 @@ def dct3_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
     """Unnormalized DCT-III of real (B, n) lines, one kernel."""
     run = _build_dct_call(x.shape[-1], x.shape[0], _INTERPRET, True,
                           str(x.dtype), scale=scale)
+    return run(x)
+
+
+def dst2_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized DST-II: the DCT-II kernel with the (-1)^j input signs
+    and output reversal folded in-kernel."""
+    run = _build_dct_call(x.shape[-1], x.shape[0], _INTERPRET, False,
+                          str(x.dtype), scale=scale, dst=True)
+    return run(x)
+
+
+def dst3_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized DST-III: the DCT-III kernel with input reversal and
+    (-1)^j output signs folded in-kernel."""
+    run = _build_dct_call(x.shape[-1], x.shape[0], _INTERPRET, True,
+                          str(x.dtype), scale=scale, dst=True)
     return run(x)
 
 

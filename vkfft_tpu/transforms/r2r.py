@@ -208,10 +208,21 @@ def _alt_sign(x):
 
 
 def _dst2(x, engine):
+    n = x.shape[-1]
+    if _dct_kernel_ok(n, x.dtype, engine):
+        # sign flip + reversal fold into the DCT-II kernel (no XLA passes)
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dst2_lines(x.reshape(-1, n)).reshape(*lead, n)
     return _dct2(_alt_sign(x), engine)[..., ::-1]
 
 
 def _dst3(x, engine):
+    n = x.shape[-1]
+    if _dct_kernel_ok(n, x.dtype, engine):
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dst3_lines(x.reshape(-1, n)).reshape(*lead, n)
     return _alt_sign(_dct3(x[..., ::-1], engine))
 
 
