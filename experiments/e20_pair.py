@@ -119,6 +119,57 @@ def main():
     rel = np.abs(gotc - ref).max() / np.abs(ref).max()
     print(f"conv pair correctness vs oracle: {rel:.2e}")
 
+    # --- 4. single-kernel rfft2/irfft2 (r2c pair) --------------------------
+    xreal = jnp.asarray(rng.standard_normal((b, ny, nz)).astype(np.float32))
+
+    def r2c_roundtrip(v):
+        X = pe.rfft2_pair_planar(v)
+        return pe.irfft2_pair_planar(X.re, X.im, ny, nz)
+
+    fetch_r = lambda r: float(np.asarray(r).ravel()[0])
+    dt = timed_chain(r2c_roundtrip, xreal, fetch=fetch_r)
+    real_bytes = b * ny * nz * 4
+    # r2c pair moves ~2 real-plane equivalents per direction pair
+    print(f"rfft2+irfft2 pair {ny}x{nz}: {dt*1e3:7.3f} ms  "
+          f"eff {4*real_bytes/dt/1e9:6.1f} GB/s (real-plane r+w)")
+    X = pe.rfft2_pair_planar(xreal[:1])
+    gotr = np.asarray(X.re[0]) + 1j * np.asarray(X.im[0])
+    refr = np.fft.rfft2(np.asarray(xreal[0], dtype=np.float64))
+    print(f"rfft2 pair correctness: "
+          f"{np.abs(gotr-refr).max()/np.abs(refr).max():.2e}")
+
+    # --- 5. in-kernel DCT-II vs XLA composition ---------------------------
+    nd = 1024
+    bd = 128 * 1024 * 1024 // (4 * nd)
+    xd = jnp.asarray(rng.standard_normal((bd, nd)).astype(np.float32))
+
+    def dct_rt(v):
+        return pe.dct3_lines(pe.dct2_lines(v), scale=1.0 / (2 * nd))
+
+    dt = timed_chain(dct_rt, xd, fetch=fetch_r)
+    dbytes = bd * nd * 4
+    print(f"dct2+dct3 kernels n={nd}: {dt*1e3:7.3f} ms  "
+          f"eff {4*dbytes/dt/1e9:6.1f} GB/s")
+    import scipy.fft as sfft
+    gd = np.asarray(pe.dct2_lines(xd[:2]))
+    rd = sfft.dct(np.asarray(xd[:2], dtype=np.float64), type=2, axis=-1)
+    print(f"dct2 kernel correctness: {np.abs(gd-rd).max()/np.abs(rd).max():.2e}")
+
+    # --- 6. zero-pad pair elision: half-padded 2-D vs unpadded ------------
+    def pair_fwd_elide(p):
+        xr_, xi_ = pe.fft_pair_planar(p.re, p.im, ny, nz, False,
+                                      in_keep=(ny // 2, nz // 2))
+        xr_, xi_ = pe.fft_pair_planar(xr_, xi_, ny, nz, True,
+                                      scale=1.0 / (ny * nz),
+                                      out_keep=(ny // 2, nz // 2))
+        pads = ((0, 0), (0, ny - ny // 2), (0, nz - nz // 2))
+        return Planar(jnp.pad(xr_, pads), jnp.pad(xi_, pads))
+
+    dt_e = timed_chain(pair_fwd_elide, p0, fetch=fetch)
+    dt_f = timed_chain(pair_fwd_inv, p0, fetch=fetch)
+    print(f"pair zeropad (quarter window): {dt_e*1e3:7.3f} ms vs full "
+          f"{dt_f*1e3:7.3f} ms -> {dt_f/dt_e:4.2f}x")
+
 
 if __name__ == "__main__":
     main()
