@@ -60,6 +60,16 @@ def _complex_dtype(precision: Precision):
     return jnp.complex64
 
 
+def _pad_planar_tail(x: "Planar", keeps) -> "Planar":
+    """Zero-pad the trailing dims of a Planar from their kept extents back
+    to full size — the declared-zero region restored as literal zeros.
+    ``keeps``: one (kept, full) pair per trailing dim (kept may be 0 =
+    already full)."""
+    pads = ([(0, 0)] * (x.ndim - len(keeps))
+            + [(0, full - (kept or full)) for kept, full in keeps])
+    return Planar(jnp.pad(x.re, pads), jnp.pad(x.im, pads))
+
+
 def _pair_prefix_keep(spec, shape):
     """(keep_y, keep_z) when every declared-zero window in ``spec`` is a
     to-the-end prefix window on one of the two minor axes (elidable by the
@@ -271,9 +281,7 @@ class FFTApplication:
                     return Planar(rr, ii).reshape(*lead, n)
                 s = (1.0 / n) if cfg.normalize else 1.0
                 rr, ii = core(flat.re, flat.im, n, True, out_keep=h, scale=s)
-                out = Planar(rr, ii)
-                tail = ((0, 0), (0, n - h))
-                out = Planar(jnp.pad(out.re, tail), jnp.pad(out.im, tail))
+                out = _pad_planar_tail(Planar(rr, ii), ((h, n),))
                 return out.reshape(*lead, n)
 
         fft_axis = eng.fft_axis_p if planar else eng.fft_axis
@@ -327,12 +335,8 @@ class FFTApplication:
                 x = eng.fft_pair_p(x, pair[0], pair[1], True,
                                    scale=norm_scale, out_keep=pair_out)
                 if pair_out != (0, 0):
-                    # declared-zero region restored as literal zeros
-                    oy = pair_out[0] or pair[0]
-                    oz = pair_out[1] or pair[1]
-                    tail = ([(0, 0)] * (x.ndim - 2)
-                            + [(0, pair[0] - oy), (0, pair[1] - oz)])
-                    x = Planar(jnp.pad(x.re, tail), jnp.pad(x.im, tail))
+                    x = _pad_planar_tail(x, ((pair_out[0], pair[0]),
+                                             (pair_out[1], pair[1])))
         else:
             for i, ax in enumerate(axes):
                 plan = self.axis_plans[ax]

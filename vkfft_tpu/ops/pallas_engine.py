@@ -79,7 +79,8 @@ def set_mxu_int8(value: bool) -> None:
     _V3_MXU_INT8 = bool(value)
     for b in (_build_fft_call_v2, _build_fft_call_v3, _build_r2c_call,
               _build_strided_call, _build_conv_inv_call, _build_conv_v3_call,
-              _build_pair_call, _build_conv_pair_call):
+              _build_pair_call, _build_conv_pair_call, _build_dct_call,
+              _build_r2c_pair_call):
         b.cache_clear()
 
 
@@ -1576,6 +1577,34 @@ def _revmod(a, m, fb, F_ref, S):
     return pltpu.roll(rev, shift=1, axis=0)
 
 
+def _rfft_untangle(Zr, Zi, m, F_ref, twr, twi, S):
+    """Half-size complex FFT -> (m+1, S) half spectrum: E/O split via the
+    conj-reversal, post-twiddle rotation, Nyquist row (vkFFT_R2C.h:450)."""
+    Vr = _revmod(Zr, m, F_ref.shape[0], F_ref, S)            # conj(Z[-k])
+    Vi = -_revmod(Zi, m, F_ref.shape[0], F_ref, S)
+    Er, Ei = 0.5 * (Zr + Vr), 0.5 * (Zi + Vi)
+    Or, Oi = 0.5 * (Zi - Vi), -0.5 * (Zr - Vr)
+    Xr = Er + Or * twr - Oi * twi
+    Xi = Ei + Or * twi + Oi * twr
+    nyq = Zr[:1] - Zi[:1]                                    # X[m] = Re - Im
+    Xr = jnp.concatenate([Xr, nyq], axis=0)                  # (m+1, S)
+    Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq)], axis=0)
+    return Xr, Xi
+
+
+def _c2r_repack(Xfr, Xfi, m, F_ref, twr, twi, S):
+    """(m+1, S) half spectrum -> (m, S) packed complex input of the
+    half-size inverse FFT (vkFFT_R2C.h:178): B = conj(X[m-k]), E/D split,
+    O = t_inv * D, Z = E + iO."""
+    Br = _revmod_tail(Xfr, m, F_ref, S)
+    Bi = -_revmod_tail(Xfi, m, F_ref, S)
+    Er, Ei = 0.5 * (Xfr[:m] + Br), 0.5 * (Xfi[:m] + Bi)
+    Dr, Di = 0.5 * (Xfr[:m] - Br), 0.5 * (Xfi[:m] - Bi)
+    Or = Dr * twr - Di * twi
+    Oi = Dr * twi + Di * twr
+    return Er - Oi, Ei + Or
+
+
 def _r2c_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
                 x_ref, *refs):
     or_ref, oi_ref = refs[-2:]
@@ -1587,19 +1616,8 @@ def _r2c_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
     zr, zi = z[:, 0], z[:, 1]                                # even / odd
     Zr, Zi = _v3_apply_stages(zr, zi, S, stage_refs, vpu_tabs, mxu_tabs,
                               prec, False)
-    Zr = Zr.reshape(m, S)
-    Zi = Zi.reshape(m, S)
-    Vr = _revmod(Zr, m, F_ref.shape[0], F_ref, S)            # conj(Z[-k])
-    Vi = -_revmod(Zi, m, F_ref.shape[0], F_ref, S)
-    Er, Ei = 0.5 * (Zr + Vr), 0.5 * (Zi + Vi)
-    Or, Oi = 0.5 * (Zi - Vi), -0.5 * (Zr - Vr)
-    twr = twr_ref[:]                                         # (m, 1)
-    twi = twi_ref[:]
-    Xr = Er + Or * twr - Oi * twi
-    Xi = Ei + Or * twi + Oi * twr
-    nyq_r = Zr[:1] - Zi[:1]                                  # X[m] = Re - Im
-    Xr = jnp.concatenate([Xr, nyq_r], axis=0)                # (m+1, S)
-    Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq_r)], axis=0)
+    Xr, Xi = _rfft_untangle(Zr.reshape(m, S), Zi.reshape(m, S), m, F_ref,
+                            twr_ref[:], twi_ref[:], S)
     or_ref[0] = jnp.swapaxes(Xr, 0, 1).astype(out_dtype)
     oi_ref[0] = jnp.swapaxes(Xi, 0, 1).astype(out_dtype)
 
@@ -1612,21 +1630,7 @@ def _c2r_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
     S = sb
     Xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (m+1, S)
     Xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
-    Ar, Ai = Xr[:m], Xi[:m]
-    # B[k] = conj(X[m-k]), k=0..m-1: reversal of rows 1..m
-    Br = _revmod_tail(Xr, m, F_ref, S)
-    Bi = -_revmod_tail(Xi, m, F_ref, S)
-    Er, Ei = 0.5 * (Ar + Br), 0.5 * (Ai + Bi)
-    Dr, Di = 0.5 * (Ar - Br), 0.5 * (Ai - Bi)
-    # O = t_inv * D  (t_inv = e^{+2 pi i k / n} = conj of the forward
-    # twiddle; the table is already built with the inverse sign)
-    twr = twr_ref[:]
-    twi = twi_ref[:]
-    Or = Dr * twr - Di * twi
-    Oi = Dr * twi + Di * twr
-    # Z = E + i O
-    Zr = Er - Oi
-    Zi = Ei + Or
+    Zr, Zi = _c2r_repack(Xr, Xi, m, F_ref, twr_ref[:], twi_ref[:], S)
     zr, zi = _v3_apply_stages(Zr, Zi, S, stage_refs, vpu_tabs, mxu_tabs,
                               prec, True)
     # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]  (outputs m * x)
@@ -1822,20 +1826,8 @@ def _dct2_kernel(n, m, m2, sb, out_dtype, prec, dst, sets, x_ref, *refs):
     z = v.reshape(m, 2, S)
     Zr, Zi = _v3_apply_stages(z[:, 0], z[:, 1], S, tabs, vpu, mxu,
                               prec, False)
-    Zr = Zr.reshape(m, S)
-    Zi = Zi.reshape(m, S)
-    fbz = Fz_ref.shape[0]
-    Vr_ = _revmod(Zr, m, fbz, Fz_ref, S)
-    Vi_ = -_revmod(Zi, m, fbz, Fz_ref, S)
-    Er, Ei = 0.5 * (Zr + Vr_), 0.5 * (Zi + Vi_)
-    Or, Oi = 0.5 * (Zi - Vi_), -0.5 * (Zr - Vr_)
-    twr = twr_ref[:]
-    twi = twi_ref[:]
-    Hr = Er + Or * twr - Oi * twi                             # (m, S)
-    Hi = Ei + Or * twi + Oi * twr
-    nyq = Zr[:1] - Zi[:1]
-    Hr = jnp.concatenate([Hr, nyq], axis=0)                   # (m+1, S)
-    Hi = jnp.concatenate([Hi, jnp.zeros_like(nyq)], axis=0)
+    Hr, Hi = _rfft_untangle(Zr.reshape(m, S), Zi.reshape(m, S), m, Fz_ref,
+                            twr_ref[:], twi_ref[:], S)
     # ---- Hermitian unfold: V[k>m] = conj(V[n-k]) = conj(H[m-1..1]) ----
     tr = _revmod_tail(Hr, m, Fz_ref, S)[1:]                   # H[m-1..1]
     ti = -_revmod_tail(Hi, m, Fz_ref, S)[1:]
@@ -2016,20 +2008,11 @@ def _r2c_pair_kernel(ny, nz, m, out_dtype, prec, sets, c1, x_ref, *refs):
     z = x.reshape(m, 2, ny)
     Zr, Zi = _v3_apply_stages(z[:, 0], z[:, 1], ny, tabs[:c1], vz, mz,
                               prec, False)
-    Zr = Zr.reshape(m, ny)
-    Zi = Zi.reshape(m, ny)
-    fbz = Fz_ref.shape[0]
-    Vr = _revmod(Zr, m, fbz, Fz_ref, ny)                      # conj(Z[-k])
-    Vi = -_revmod(Zi, m, fbz, Fz_ref, ny)
-    Er, Ei = 0.5 * (Zr + Vr), 0.5 * (Zi + Vi)
-    Or, Oi = 0.5 * (Zi - Vi), -0.5 * (Zr - Vr)
-    twr = twr_ref[:]
-    twi = twi_ref[:]
-    Xr = Er + Or * twr - Oi * twi                             # (m, ny)
-    Xi = Ei + Or * twi + Oi * twr
-    nyq = Zr[:1] - Zi[:1]                                     # (1, ny) real
+    Hr, Hi = _rfft_untangle(Zr.reshape(m, ny), Zi.reshape(m, ny), m, Fz_ref,
+                            twr_ref[:], twi_ref[:], ny)
+    Xr = Hr[:m]
     # pack: row-0 imag (zero for real input) carries the Nyquist row
-    Xi = jnp.concatenate([nyq, Xi[1:]], axis=0)
+    Xi = jnp.concatenate([Hr[m:], Hi[1:m]], axis=0)
     Pr = jnp.swapaxes(Xr, 0, 1)                               # (ny, m)
     Pi = jnp.swapaxes(Xi, 0, 1)
     Qr, Qi = _v3_apply_stages(Pr, Pi, m, tabs[c1:], vy, my, prec, False)
@@ -2067,16 +2050,7 @@ def _c2r_pair_kernel(ny, nz, m, out_dtype, prec, sets, c1,
     zero = jnp.zeros_like(Ar[:1])
     Xfr = jnp.concatenate([Ar[:1], Ar[1:m], Ai[:1]], axis=0)  # (m+1, ny)
     Xfi = jnp.concatenate([zero, Ai[1:m], zero], axis=0)
-    Br = _revmod_tail(Xfr, m, Fz_ref, ny)                     # conj(X[m-k])
-    Bi = -_revmod_tail(Xfi, m, Fz_ref, ny)
-    Er, Ei = 0.5 * (Xfr[:m] + Br), 0.5 * (Xfi[:m] + Bi)
-    Dr, Di = 0.5 * (Xfr[:m] - Br), 0.5 * (Xfi[:m] - Bi)
-    twr = twr_ref[:]
-    twi = twi_ref[:]
-    Or = Dr * twr - Di * twi
-    Oi = Dr * twi + Di * twr
-    Zr = Er - Oi
-    Zi = Ei + Or
+    Zr, Zi = _c2r_repack(Xfr, Xfi, m, Fz_ref, twr_ref[:], twi_ref[:], ny)
     zr, zi = _v3_apply_stages(Zr, Zi, ny, tabs[c1:], vz, mz, prec, True)
     x = jnp.stack([zr.reshape(m, ny), zi.reshape(m, ny)], axis=1)
     o_ref[0] = jnp.swapaxes(x.reshape(nz, ny), 0, 1).astype(out_dtype)

@@ -257,11 +257,9 @@ class ConvolutionApplication:
                     x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
                                        True)
                 if keep_out is not None:
-                    oy = keep_out[0] or ny
-                    oz = keep_out[1] or nz
-                    tail = ([(0, 0)] * (x.ndim - 2)
-                            + [(0, ny - oy), (0, nz - oz)])
-                    x = Planar(jnp.pad(x.re, tail), jnp.pad(x.im, tail))
+                    from vkfft_tpu.api import _pad_planar_tail
+                    x = _pad_planar_tail(x, ((keep_out[0], ny),
+                                             (keep_out[1], nz)))
                 return x
             if mode == "v3_rows":
                 # N-D: strided forward over the outer axes, then one fused
