@@ -626,3 +626,20 @@ def test_pair_zeropad_elision_api():
     assert rel_err(z[:, :hy, :hz], x[:, :hy, :hz]) < 2e-6
     assert np.abs(z[:, hy:, :]).max() == 0.0
     assert np.abs(z[:, :, hz:]).max() == 0.0
+
+
+def test_compute_mode_switch_invalidates_dct_cache():
+    """set_mxu_int8 must drop every kernel-builder cache (regression: the
+    DCT and r2c-pair builders kept kernels compiled under the previous MXU
+    mode; on hardware that silently serves the wrong precision)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(51)
+    x = jnp.asarray(rng.standard_normal((2, 256)).astype(np.float32))
+    pallas_engine.dct2_lines(x)
+    pallas_engine.rfft2_pair_planar(
+        jnp.asarray(rng.standard_normal((1, 128, 256)).astype(np.float32)))
+    assert pallas_engine._build_dct_call.cache_info().currsize > 0
+    assert pallas_engine._build_r2c_pair_call.cache_info().currsize > 0
+    pallas_engine.set_mxu_int8(pallas_engine._V3_MXU_INT8)  # no-op value
+    assert pallas_engine._build_dct_call.cache_info().currsize == 0
+    assert pallas_engine._build_r2c_pair_call.cache_info().currsize == 0
