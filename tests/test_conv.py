@@ -272,3 +272,28 @@ def test_linear_2d_conv_pair_elision(_pallas_interpret):
     ref[:, :hy + ky - 1, :hz + kz - 1] = full[:, :hy + ky - 1, :hz + kz - 1]
     assert rel_err(got, ref) < 5e-6
     assert np.abs(got[:, hy + ky - 1:, :]).max() == 0.0
+
+
+def test_conv_3d_all_axes_zeropad_elision(_pallas_interpret):
+    """Sample-51 pattern: 3-D convolution with declared-zero windows on all
+    axes — outer strided reads and minor pair reads are both elided."""
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    rng = np.random.default_rng(63)
+    n0, ny, nz = 8, 128, 128
+    h0, hy, hz = 4, 64, 64
+    shape = (n0, ny, nz)
+    x = np.zeros(shape, dtype=np.complex64)
+    x[:h0, :hy, :hz] = (rng.standard_normal((h0, hy, hz))
+                        + 1j * rng.standard_normal((h0, hy, hz))).astype(np.complex64)
+    h = np.zeros(shape, dtype=np.complex64)
+    h[:2, :8, :8] = rng.standard_normal((2, 8, 8)).astype(np.float32)
+    cfg = FFTConfig(shape=shape, convolution=True,
+                    zeropad_input=((h0, n0), (hy, ny), (hz, nz)))
+    app = vt.ConvolutionApplication(cfg, h, engine="pallas")
+    assert app._fused is not None and app._fused[0] == "pair"
+    got = to_numpy(app(from_complex(x)))
+    axes = (0, 1, 2)
+    ref = np.fft.ifftn(
+        np.fft.fftn(x.astype(np.complex128), axes=axes)
+        * np.fft.fftn(h.astype(np.complex128), axes=axes), axes=axes)
+    assert rel_err(got, ref) < 2e-6

@@ -643,3 +643,47 @@ def test_compute_mode_switch_invalidates_dct_cache():
     pallas_engine.set_mxu_int8(pallas_engine._V3_MXU_INT8)  # no-op value
     assert pallas_engine._build_dct_call.cache_info().currsize == 0
     assert pallas_engine._build_r2c_pair_call.cache_info().currsize == 0
+
+
+def test_outer_axis_zeropad_elision():
+    """Prefix windows on OUTER axes elide the strided kernel's row reads
+    (forward) and writes (inverse) — full N-D elision, the sample-51
+    zero-padded-volume pattern."""
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    rng = np.random.default_rng(61)
+    n0, ny, nz = 8, 128, 128
+    h0, hy, hz = 4, 64, 96
+    shape = (n0, ny, nz)
+    x = np.zeros(shape, dtype=np.complex64)
+    x[:h0, :hy, :hz] = (rng.standard_normal((h0, hy, hz))
+                        + 1j * rng.standard_normal((h0, hy, hz))).astype(np.complex64)
+    cfg = vt.FFTConfig(shape=shape, normalize=True,
+                       zeropad_input=((h0, n0), (hy, ny), (hz, nz)))
+    app = vt.FFTApplication(cfg, engine="pallas")
+    y = to_numpy(app.forward(from_complex(x)))
+    ref = np.fft.fftn(x.astype(np.complex128))
+    assert rel_err(y, ref) < 2e-6
+    z = to_numpy(app.inverse(app.forward(from_complex(x))))
+    assert rel_err(z[:h0, :hy, :hz], x[:h0, :hy, :hz]) < 2e-6
+    assert np.abs(z[h0:]).max() == 0.0
+    assert np.abs(z[:, hy:]).max() == 0.0
+    assert np.abs(z[:, :, hz:]).max() == 0.0
+
+
+def test_strided_elision_kernel():
+    """Strided v3 kernel in_keep/out_keep row windows."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(62)
+    n, h, P, S = 256, 96, 2, 256
+    x = np.zeros((P, n, S), np.complex128)
+    x[:, :h] = (rng.standard_normal((P, h, S))
+                + 1j * rng.standard_normal((P, h, S)))
+    xr = jnp.asarray(x.real[:, :h].astype(np.float32))
+    xi = jnp.asarray(x.imag[:, :h].astype(np.float32))
+    fr, fi = pallas_engine.strided_fft_planar(xr, xi, n, False, in_keep=h)
+    ref = np.fft.fft(x, axis=1)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 2e-6
+    br, bi = pallas_engine.strided_fft_planar(fr, fi, n, True,
+                                              scale=1.0 / n, out_keep=h)
+    assert br.shape == (P, h, S)
+    assert rel_err(np.asarray(br) + 1j * np.asarray(bi), x[:, :h]) < 2e-6

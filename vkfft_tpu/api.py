@@ -70,21 +70,35 @@ def _pad_planar_tail(x: "Planar", keeps) -> "Planar":
     return Planar(jnp.pad(x.re, pads), jnp.pad(x.im, pads))
 
 
-def _pair_prefix_keep(spec, shape):
-    """(keep_y, keep_z) when every declared-zero window in ``spec`` is a
-    to-the-end prefix window on one of the two minor axes (elidable by the
-    pair kernel); None otherwise.  0 in a slot = that axis unwindowed."""
+def _prefix_keep_all(spec, shape):
+    """(minor_keep, outer_keeps) when every declared-zero window in ``spec``
+    is a to-the-end prefix window: minor_keep = (ky, kz) for the two minor
+    axes (0 = unwindowed), outer_keeps maps outer axis -> kept prefix.
+    None when any window is not elidable."""
     ndim = len(shape)
-    keep = [0, 0]
+    minor = [0, 0]
+    outer = {}
     any_w = False
     for ax, w in enumerate(spec):
         if w is None:
             continue
-        if ax < ndim - 2 or w[1] != shape[ax] or not (0 < w[0] < shape[ax]):
+        if w[1] != shape[ax] or not (0 < w[0] < shape[ax]):
             return None
-        keep[ax - (ndim - 2)] = w[0]
+        if ax >= ndim - 2:
+            minor[ax - (ndim - 2)] = w[0]
+        else:
+            outer[ax] = w[0]
         any_w = True
-    return tuple(keep) if any_w else None
+    return (tuple(minor), outer) if any_w else None
+
+
+def _pair_prefix_keep(spec, shape):
+    """(keep_y, keep_z) when the windows are prefix windows on the two minor
+    axes only (elidable by the pair kernel alone); None otherwise."""
+    keeps = _prefix_keep_all(spec, shape)
+    if keeps is None or keeps[1]:
+        return None
+    return keeps[0]
 
 
 class FFTApplication:
@@ -312,15 +326,20 @@ class FFTApplication:
         # (inverse) — extending the 1-D elision to 2-D/3-D windows
         # (``vkFFT_Zeropad.h``, README.md:14).
         pair_in = pair_out = (0, 0)
+        outer_in = {}
+        outer_out = {}
         elide_in = False
         if pair is not None and cfg.zeropad_input is not None:
-            keep = _pair_prefix_keep(cfg.zeropad_input, cfg.shape)
-            if keep is not None:
+            keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
+            if keeps is not None:
+                minor_keep, outer_keeps = keeps
                 elide_in = True
                 if not inverse:
-                    pair_in = keep
+                    pair_in = minor_keep
+                    outer_in = outer_keeps
                 else:
-                    pair_out = keep
+                    pair_out = minor_keep
+                    outer_out = outer_keeps
         if not inverse and not elide_in:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         if pair is not None:
@@ -329,14 +348,25 @@ class FFTApplication:
                 x = eng.fft_pair_p(x, pair[0], pair[1], False,
                                    in_keep=pair_in)
             for ax in rest:
+                # outer-axis prefix windows elide the strided kernel's row
+                # reads (forward) / writes (inverse, shrinking the axis)
                 x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
-                             inverse, scale=1.0)
+                             inverse, scale=1.0,
+                             in_keep=outer_in.get(ax, 0),
+                             out_keep=outer_out.get(ax, 0))
             if inverse:
                 x = eng.fft_pair_p(x, pair[0], pair[1], True,
                                    scale=norm_scale, out_keep=pair_out)
-                if pair_out != (0, 0):
-                    x = _pad_planar_tail(x, ((pair_out[0], pair[0]),
-                                             (pair_out[1], pair[1])))
+                if pair_out != (0, 0) or outer_out:
+                    keeps = []
+                    for ax in range(ndim):
+                        if ax >= ndim - 2:
+                            keeps.append((pair_out[ax - (ndim - 2)],
+                                          cfg.shape[ax]))
+                        else:
+                            keeps.append((outer_out.get(ax, 0),
+                                          cfg.shape[ax]))
+                    x = _pad_planar_tail(x, tuple(keeps))
         else:
             for i, ax in enumerate(axes):
                 plan = self.axis_plans[ax]

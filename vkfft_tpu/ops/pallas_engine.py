@@ -460,8 +460,25 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
     return Planar(out_r, out_i)
 
 
+def _mask_axis_tail(x: Planar, axis: int, h: int) -> Planar:
+    """Zero rows >= h along ``axis`` (elision-contract fallback: declared
+    zeros are treated as zeros even when a path cannot skip the reads)."""
+    n_ = x.shape[axis]
+    shp = [1] * x.ndim
+    shp[axis] = n_
+    m = (jnp.arange(n_) < h).reshape(shp)
+    z = jnp.zeros((), x.re.dtype)
+    return Planar(jnp.where(m, x.re, z), jnp.where(m, x.im, z))
+
+
+def _slice_axis(x: Planar, axis: int, h: int) -> Planar:
+    return Planar(jax.lax.slice_in_dim(x.re, 0, h, axis=axis),
+                  jax.lax.slice_in_dim(x.im, 0, h, axis=axis))
+
+
 def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
-               donate: bool = False, scale: float = 1.0) -> Planar:
+               donate: bool = False, scale: float = 1.0, in_keep: int = 0,
+               out_keep: int = 0) -> Planar:
     """Planar pallas DFT along ``axis``; jnp-engine fallback for unsupported
     core sizes.
 
@@ -469,11 +486,20 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
     trailing batch, reference strided-kernel analog) — no moveaxis/transpose
     passes.  ``donate=True`` allows in-place kernels when the caller's planes
     are dead (e.g. intermediates between N-D axis passes).  ``scale``:
-    in-kernel normalization (see ``fft_lines_p``)."""
+    in-kernel normalization (see ``fft_lines_p``).
+
+    ``in_keep``/``out_keep``: prefix zero-pad elision along the transform
+    axis — the strided v3 path skips the tail reads/writes in-kernel
+    (``vkFFT_Zeropad.h`` analog); other paths fall back to a mask / output
+    slice with the same semantics.  With ``out_keep`` the returned axis has
+    that length."""
+    axis = axis % x.ndim
     if not supports(plan):
         from vkfft_tpu.ops import jnp_engine
-        return jnp_engine.fft_axis_p(x, axis, plan, inverse, scale=scale)
-    axis = axis % x.ndim
+        if in_keep:
+            x = _mask_axis_tail(x, axis, in_keep)
+        y = jnp_engine.fft_axis_p(x, axis, plan, inverse, scale=scale)
+        return _slice_axis(y, axis, out_keep) if out_keep else y
     ndim = x.ndim
     if axis != ndim - 1 and plan.algorithm is Algorithm.DIRECT and _use_v2(plan.n):
         shape = x.shape
@@ -483,12 +509,17 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
         # (Mosaic miscompiles contractions below a full lane tile); below
         # s=16 the padding waste exceeds the two moveaxis passes of the
         # contiguous fallback.
-        if s >= 16:
-            xr = x.re.reshape(p, plan.n, s)
-            xi = x.im.reshape(p, plan.n, s)
+        elide_ok = _use_v3(plan.n) or not (in_keep or out_keep)
+        if s >= 16 and elide_ok:
+            xr = x.re.reshape(p, shape[axis], s)
+            xi = x.im.reshape(p, shape[axis], s)
             orr, oi = strided_fft_planar(xr, xi, plan.n, inverse,
-                                         donate=donate, scale=scale)
-            return Planar(orr.reshape(shape), oi.reshape(shape))
+                                         donate=donate, scale=scale,
+                                         in_keep=in_keep, out_keep=out_keep)
+            out_shape = shape[:axis] + (orr.shape[1],) + shape[axis + 1:]
+            return Planar(orr.reshape(out_shape), oi.reshape(out_shape))
+    if in_keep:
+        x = _mask_axis_tail(x, axis, in_keep)
     moved = axis != ndim - 1
     if moved:
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
@@ -497,7 +528,7 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
                     donate=donate, scale=scale).reshape(*shape)
     if moved:
         y = Planar(jnp.moveaxis(y.re, -1, axis), jnp.moveaxis(y.im, -1, axis))
-    return y
+    return _slice_axis(y, axis, out_keep) if out_keep else y
 
 
 # ---------------------------------------------------------------------------
@@ -2285,6 +2316,11 @@ def _strided_kernel_v3(n, n1, n2, tile_s, out_dtype, prec, fused, n_factors,
     or_ref, oi_ref = refs[-2:]
     xr = xr_ref[0].astype(jnp.float32)                       # (n, S)
     xi = xi_ref[0].astype(jnp.float32)
+    if xr.shape[0] < n:
+        # zero-pad elision: the declared-zero row tail was never DMA'd
+        pads = ((0, n - xr.shape[0]), (0, 0))
+        xr = jnp.pad(xr, pads)
+        xi = jnp.pad(xi, pads)
     if fused == "pre":
         fr, fi = _fused_product(factor_refs)                 # (n2, n1, S)
         fr = jnp.broadcast_to(fr, (n2, n1, tile_s)).reshape(n, tile_s)
@@ -2299,8 +2335,9 @@ def _strided_kernel_v3(n, n1, n2, tile_s, out_dtype, prec, fused, n_factors,
         fr = jnp.broadcast_to(fr, (n1, n2, tile_s)).reshape(n, tile_s)
         fi = jnp.broadcast_to(fi, (n1, n2, tile_s)).reshape(n, tile_s)
         xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
-    or_ref[0] = xr.astype(out_dtype)
-    oi_ref[0] = xi.astype(out_dtype)
+    keep = or_ref.shape[1]   # < n: discarded-row writes are elided
+    or_ref[0] = xr[:keep].astype(out_dtype)
+    oi_ref[0] = xi[:keep].astype(out_dtype)
 
 
 def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
@@ -2362,12 +2399,16 @@ def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
 def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                         dtype_name: str = "float32", fused: str = "",
                         factors: tuple = (), donate: bool = False,
-                        scale: float = 1.0):
+                        scale: float = 1.0, in_keep: int = 0,
+                        out_keep: int = 0):
     """(P, n, S) planar transform over the middle axis, natural order.
     ``fused`` = 'pre'/'post' multiplies the input/output block by the complex
     product of the separable twiddle factors described by ``factors`` (the
     long-sequence inter-pass twiddle, reference LUT_4step).  ``scale``:
-    in-kernel normalization folded into the stage tables."""
+    in-kernel normalization folded into the stage tables.  ``in_keep`` /
+    ``out_keep`` (v3 path only): zero-pad elision — read only the first
+    in_keep rows of the transform dim / write only the first out_keep rows
+    (the returned planes have that extent)."""
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     r2, r1, twr, twi = _strided_tables(n, inverse, scale)
@@ -2393,6 +2434,12 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    if (in_keep or out_keep) and (not use_v3 or factors):
+        raise NotImplementedError(
+            "strided zero-pad elision requires the v3 path without fused "
+            "factors")
+    in_len = in_keep or n
+    out_len = out_keep or n
     if use_v3:
         vpu_tabs, mxu_tabs = _v3_tables(
             n, inverse, scale=scale,
@@ -2407,14 +2454,15 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         kernel = functools.partial(_strided_kernel_v3, n, n1, n2, tile_s,
                                    dtype, prec, fused, len(factors),
                                    inverse, vpu_tabs, mxu_tabs, len(v3_np))
-        spec_in = pl.BlockSpec((1, n, tile_s), lambda b, t: (b, 0, t),
+        spec_in = pl.BlockSpec((1, in_len, tile_s), lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM)
-        spec_out = spec_in
+        spec_out = pl.BlockSpec((1, out_len, tile_s), lambda b, t: (b, 0, t),
+                                memory_space=pltpu.VMEM)
         in_specs = [spec_in, spec_in] + [const(t.shape) for t in v3_np]
         base_tabs = v3_np
-        out_struct = jax.ShapeDtypeStruct((p, n, s_pad), dtype)
+        out_struct = jax.ShapeDtypeStruct((p, out_len, s_pad), dtype)
         mxu_macs = sum(r for *_, r, _, _ in mxu_tabs)
-        alias_ok = True
+        alias_ok = in_len == n and out_len == n
     else:
         kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype,
                                    prec, fused, len(factors))
@@ -2445,7 +2493,8 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         "cost_estimate": pl.CostEstimate(
             flops=2 * p * s_pad * n * mxu_macs * 8 * passes,
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * p * n * s_pad * 2),
+            bytes_accessed=dtype.itemsize * 2 * p * (in_len + out_len)
+            * s_pad),
     }
     if donate and not interpret and alias_ok:
         kw["input_output_aliases"] = {0: 0, 1: 1}
@@ -2463,7 +2512,9 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     def run(xr, xi, *tables):
         """``tables``: one (re, im) array pair per factor, each of the full
         shape from its descriptor (trailing S dim unpadded)."""
-        in_shape = (p, n, s) if use_v3 else (p, n2, n1, s)
+        # v3 planes may arrive with the full n rows (BlockSpec reads only
+        # the in_len prefix) or pre-shrunk to in_len rows
+        in_shape = ((p, xr.shape[-2], s) if use_v3 else (p, n2, n1, s))
         xr = xr.reshape(in_shape)
         xi = xi.reshape(in_shape)
         if pad_s:
@@ -2485,18 +2536,23 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         if pad_s:
             orr = orr[..., :s]
             oi = oi[..., :s]
-        return orr.reshape(p, n, s), oi.reshape(p, n, s)
+        o_n = out_len if use_v3 else n
+        return orr.reshape(p, o_n, s), oi.reshape(p, o_n, s)
 
     return run
 
 
 def strided_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False,
-                       scale: float = 1.0):
+                       scale: float = 1.0, in_keep: int = 0,
+                       out_keep: int = 0):
     """Natural-order DFT over the middle axis of (P, n, S) planes, scaled
-    by ``scale`` in-kernel."""
-    p, _, s = xr.shape
+    by ``scale`` in-kernel.  ``in_keep``: planes may carry only the first
+    in_keep rows (the declared-zero tail is neither stored nor read);
+    ``out_keep``: the returned planes have out_keep rows."""
+    p, rows, s = xr.shape
     run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype),
-                              donate=donate, scale=scale)
+                              donate=donate, scale=scale,
+                              in_keep=in_keep, out_keep=out_keep)
     return run(xr, xi)
 
 

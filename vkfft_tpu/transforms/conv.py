@@ -206,11 +206,14 @@ class ConvolutionApplication:
         axes = tuple(range(-ndim, 0))
 
         pair_in = (0, 0)
+        outer_in = {}
         if cfg.zeropad_input is not None:
             keep_in = None
             if self._fused is not None and self._fused[0] == "pair":
-                from vkfft_tpu.api import _pair_prefix_keep
-                keep_in = _pair_prefix_keep(cfg.zeropad_input, cfg.shape)
+                from vkfft_tpu.api import _prefix_keep_all
+                keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
+                if keeps is not None:
+                    keep_in, outer_in = keeps
             if keep_in is not None:
                 # the pair kernel's read window elides the declared-zero
                 # region — no masking pass (``vkFFT_Zeropad.h`` analog)
@@ -248,7 +251,7 @@ class ConvolutionApplication:
                 off = x.ndim - ndim
                 for ax in range(ndim - 2):
                     x = eng.fft_axis_p(x, off + ax, plan_axis(cfg.shape[ax]),
-                                       False)
+                                       False, in_keep=outer_in.get(ax, 0))
                 x = pe.conv_fused_pair(x, ny, nz, tab, scale=1.0 / total,
                                        conj_data=conj_d, xpow=xpow,
                                        in_keep=pair_in,
