@@ -84,3 +84,35 @@ def test_bluestein_size_parity():
         nat = native.bluestein_size(n, MAX_DIRECT_PRIME, MAX_GROUP_RADIX)
         py = _bluestein_padded_size(n)
         assert nat == py, n
+
+
+def test_decompose_parity():
+    """The full native decomposition cascade (vt_decompose) must match the
+    pure-Python oracle exactly: algorithm, radices, and aux fields."""
+    from vkfft_tpu.planner.factorize import (
+        MAX_DIRECT_PRIME, MAX_GROUP_RADIX, RADER_MAX_PRIME, _decompose_py)
+
+    if not hasattr(native.get_lib(), "vt_decompose"):
+        pytest.skip("stale libplanner_core.so: rebuild with make -C vkfft_tpu/native")
+
+    sizes = (list(range(2, 1500))
+             + [4096, 10007, 1 << 13, 1 << 17, 131 * 64, 347, 587,
+                131 * 131, 2 * 5003, 9973, 100003, 1 << 20, 3 ** 10,
+                131 * 257, 127 * 128, 10007 * 4])
+    for n in sizes:
+        for allow_rader in (True, False):
+            nat = native.decompose(n, allow_rader, MAX_DIRECT_PRIME,
+                                   MAX_GROUP_RADIX, RADER_MAX_PRIME)
+            assert nat is not None, n
+            algo, aux1, aux2, radices = nat
+            py = _decompose_py(n, allow_rader)
+            code = {"direct": 0, "rader": 1, "bluestein": 2,
+                    "split": 3}[py.algorithm.value]
+            assert algo == code, (n, allow_rader, nat, py)
+            assert tuple(radices) == py.radices, (n, allow_rader)
+            if code == 1:
+                assert aux1 == py.rader_prime
+            elif code == 2:
+                assert aux1 == py.bluestein_size
+            elif code == 3:
+                assert (aux1, aux2) == py.split

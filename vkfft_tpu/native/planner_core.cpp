@@ -196,4 +196,103 @@ int64_t vt_bluestein_size(int64_t n, int64_t max_direct_prime,
     return best;
 }
 
+// --- full decomposition cascade -------------------------------------------
+// Mirrors decompose() in planner/factorize.py (reference decision cascade
+// vkFFT_Scheduler.h:2289-2578): DIRECT (all primes <= max_direct_prime as
+// dense DFT stages) -> RADER (prime n, smooth n-1) -> SPLIT (composite with
+// a Rader-eligible big prime factor) -> BLUESTEIN (cost-model padded size).
+
+// Stage radices for n when all primes <= max_direct_prime: primes in
+// (group_radix, max_direct_prime] stay standalone (descending), the rest
+// group greedily.  Returns false when n has a larger prime factor.
+static bool smooth_radices(int64_t n, int64_t max_direct_prime,
+                           int64_t group_radix, std::vector<int64_t>& out) {
+    int64_t primes[64];
+    int64_t np = vt_prime_factors(n, primes, 64);
+    if (np < 0) return false;
+    std::vector<int64_t> small, bigp;
+    for (int64_t j = 0; j < np; ++j) {
+        if (primes[j] > max_direct_prime) return false;
+        if (primes[j] > group_radix) bigp.push_back(primes[j]);
+        else small.push_back(primes[j]);
+    }
+    std::sort(bigp.rbegin(), bigp.rend());
+    int64_t rad[64];
+    int64_t dummy = 0;
+    int64_t nr = vt_group_radices(small.empty() ? &dummy : small.data(),
+                                  (int64_t)small.size(), group_radix, rad, 64);
+    if (nr < 0) return false;
+    out = bigp;
+    for (int64_t j = 0; j < nr; ++j) out.push_back(rad[j]);
+    return true;
+}
+
+// Decomposition decision for one 1-D length.  Output layout:
+//   out[0] = algorithm (0 DIRECT, 1 RADER, 2 BLUESTEIN, 3 SPLIT)
+//   out[1] = aux1 (RADER: prime; BLUESTEIN: padded size M; SPLIT: factor a)
+//   out[2] = aux2 (SPLIT: factor b; else 0)
+//   out[3] = number of stage radices, followed by the radices.
+// Returns the total entries written, or -1 on error/overflow.
+int64_t vt_decompose(int64_t n, int32_t allow_rader, int64_t max_direct_prime,
+                     int64_t group_radix, int64_t rader_max_prime,
+                     int64_t* out, int64_t cap) {
+    if (n < 1 || cap < 4) return -1;
+    auto emit = [&](int64_t algo, int64_t a1, int64_t a2,
+                    const std::vector<int64_t>& rad) -> int64_t {
+        if (4 + (int64_t)rad.size() > cap) return -1;
+        out[0] = algo; out[1] = a1; out[2] = a2;
+        out[3] = (int64_t)rad.size();
+        for (size_t i = 0; i < rad.size(); ++i) out[4 + i] = rad[i];
+        return 4 + (int64_t)rad.size();
+    };
+    std::vector<int64_t> rad;
+    if (n == 1) return emit(0, 0, 0, rad);
+    if (smooth_radices(n, max_direct_prime, group_radix, rad))
+        return emit(0, 0, 0, rad);
+
+    int64_t primes[64];
+    int64_t np = vt_prime_factors(n, primes, 64);
+    if (np < 0) return -1;
+    const int64_t rader_min = max_direct_prime + 1;
+
+    // prime n with smooth n-1 -> Rader at exact size
+    if (allow_rader && np == 1 && n >= rader_min && n <= rader_max_prime) {
+        std::vector<int64_t> r1;
+        if (smooth_radices(n - 1, max_direct_prime, group_radix, r1))
+            return emit(1, n, 0, r1);
+    }
+
+    // composite bearing a Rader-eligible big prime: one Cooley-Tukey split,
+    // largest eligible prime first, provided the cofactor avoids Bluestein
+    if (allow_rader && np > 1) {
+        std::vector<int64_t> big;
+        for (int64_t j = 0; j < np; ++j)
+            if (primes[j] > max_direct_prime &&
+                (big.empty() || big.back() != primes[j]))
+                big.push_back(primes[j]);
+        std::sort(big.rbegin(), big.rend());
+        for (int64_t p : big) {
+            if (p < rader_min || p > rader_max_prime) continue;
+            std::vector<int64_t> pm1;
+            if (!smooth_radices(p - 1, max_direct_prime, group_radix, pm1))
+                continue;
+            int64_t rest = n / p;
+            std::vector<int64_t> tmp(cap);
+            int64_t rc = vt_decompose(rest, allow_rader, max_direct_prime,
+                                      group_radix, rader_max_prime,
+                                      tmp.data(), cap);
+            if (rc >= 4 && tmp[0] != 2) {
+                std::vector<int64_t> none;
+                return emit(3, p, rest, none);
+            }
+        }
+    }
+
+    int64_t m = vt_bluestein_size(n, max_direct_prime, group_radix);
+    if (m < 0) return -1;
+    std::vector<int64_t> rm;
+    if (!smooth_radices(m, max_direct_prime, group_radix, rm)) return -1;
+    return emit(2, m, 0, rm);
+}
+
 }  // extern "C"

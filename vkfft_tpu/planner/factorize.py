@@ -232,9 +232,35 @@ def decompose(n: int, allow_rader: bool = True) -> SizeDecomposition:
     Mirrors the decision cascade at ``vkFFT_Scheduler.h:2289-2578``:
     registered radices -> Rader primes -> Bluestein, except that "registered
     radices" here covers every prime <= MAX_DIRECT_PRIME via direct DFT
-    stages."""
+    stages.  Runs in the native C++ planner core when built
+    (``vt_decompose``, ``native/planner_core.cpp`` — the reference's
+    scheduler is native C, ours likewise); ``_decompose_py`` is the
+    bit-identical fallback (parity asserted in ``tests/test_native.py``)."""
     if n < 1:
         raise ValueError(f"FFT length must be positive, got {n}")
+    from vkfft_tpu.planner import native
+    nat = native.decompose(n, allow_rader, MAX_DIRECT_PRIME, MAX_GROUP_RADIX,
+                           RADER_MAX_PRIME)
+    if nat is not None:
+        algo, aux1, aux2, radices = nat
+        if algo == 0:
+            return SizeDecomposition(n=n, algorithm=Algorithm.DIRECT,
+                                     radices=tuple(radices))
+        if algo == 1:
+            return SizeDecomposition(n=n, algorithm=Algorithm.RADER,
+                                     radices=tuple(radices), rader_prime=aux1)
+        if algo == 2:
+            return SizeDecomposition(n=n, algorithm=Algorithm.BLUESTEIN,
+                                     radices=tuple(radices),
+                                     bluestein_size=aux1)
+        return SizeDecomposition(n=n, algorithm=Algorithm.SPLIT, radices=(),
+                                 split=(aux1, aux2))
+    return _decompose_py(n, allow_rader)
+
+
+def _decompose_py(n: int, allow_rader: bool = True) -> SizeDecomposition:
+    """Pure-Python decomposition cascade (fallback + parity oracle for the
+    native core)."""
     if n == 1:
         return SizeDecomposition(n=1, algorithm=Algorithm.DIRECT, radices=())
 
@@ -271,7 +297,7 @@ def decompose(n: int, allow_rader: bool = True) -> SizeDecomposition:
             if (RADER_MIN_PRIME <= p <= RADER_MAX_PRIME
                     and _smooth_radices(p - 1) is not None):
                 rest = n // p
-                rest_d = decompose(rest, allow_rader=allow_rader)
+                rest_d = _decompose_py(rest, allow_rader=allow_rader)
                 if rest_d.algorithm is not Algorithm.BLUESTEIN:
                     return SizeDecomposition(
                         n=n, algorithm=Algorithm.SPLIT, radices=(),

@@ -64,6 +64,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.vt_primitive_root.argtypes = [i64]
     lib.vt_bluestein_size.restype = i64
     lib.vt_bluestein_size.argtypes = [i64, i64, i64]
+    if hasattr(lib, "vt_decompose"):  # absent in pre-round-2 builds
+        lib.vt_decompose.restype = i64
+        lib.vt_decompose.argtypes = [i64, ctypes.c_int32, i64, i64, i64, p64, i64]
     _lib = lib
     return _lib
 
@@ -119,3 +122,22 @@ def bluestein_size(n: int, max_direct_prime: int, group_radix: int) -> Optional[
         return None
     m = lib.vt_bluestein_size(n, max_direct_prime, group_radix)
     return int(m) if m > 0 else None
+
+
+def decompose(n: int, allow_rader: bool, max_direct_prime: int,
+              group_radix: int, rader_max_prime: int
+              ) -> Optional[tuple[int, int, int, list[int]]]:
+    """Full decomposition cascade (``vt_decompose``).  Returns
+    ``(algo, aux1, aux2, radices)`` with algo 0=DIRECT 1=RADER 2=BLUESTEIN
+    3=SPLIT, or None when the native core is unavailable/too old."""
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "vt_decompose"):
+        return None
+    out = (ctypes.c_int64 * 96)()
+    rc = lib.vt_decompose(n, 1 if allow_rader else 0, max_direct_prime,
+                          group_radix, rader_max_prime, out, 96)
+    if rc < 4:
+        return None
+    nrad = int(out[3])
+    return (int(out[0]), int(out[1]), int(out[2]),
+            [int(out[4 + i]) for i in range(nrad)])
