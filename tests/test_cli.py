@@ -21,7 +21,7 @@ def test_list_and_devices(capsys):
     assert cli.main(["-devices"]) == 0
 
 
-@pytest.mark.parametrize("num", [14, 15, 16, 17, 50, 52, 10])
+@pytest.mark.parametrize("num", [11, 12, 13, 14, 15, 16, 17, 18, 50, 51, 52, 10])
 def test_fast_samples(num):
     run_sample(num)
 
