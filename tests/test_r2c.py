@@ -79,3 +79,26 @@ def test_rfft2_pair_single_kernel():
             assert np.abs(np.asarray(y) - x).max() < 1e-5
     finally:
         pe.set_interpret(False)
+
+
+@pytest.mark.parametrize("n", [3, 5, 101, 347, 1009])
+@pytest.mark.parametrize("batch", [1, 2, 5])
+def test_rfft_merged_sequences_odd(n, batch):
+    """Odd lengths with batch >= 2 ride the merged-sequences path (two real
+    lines per complex FFT — reference merged rows, vkFFT_R2C.h:27-177);
+    batch 1 falls back.  Both must match numpy exactly."""
+    rng = np.random.default_rng(n * 31 + batch)
+    x = rng.standard_normal((batch, n)).astype(np.float32)
+    y = np.asarray(vt.rfft(x, engine="jnp"))
+    ref = np.fft.rfft(x)
+    assert rel_err(y, ref) < 2e-6
+    z = np.asarray(vt.irfft(y, n=n, engine="jnp"))
+    assert rel_err(z, x) < 2e-5
+
+
+def test_rfft_merged_sequences_multidim_and_axis():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, 3, 101)).astype(np.float32)
+    assert rel_err(np.asarray(vt.rfft(x)), np.fft.rfft(x)) < 2e-6
+    x2 = rng.standard_normal((7, 6)).astype(np.float32)
+    assert rel_err(np.asarray(vt.rfft(x2, axis=0)), np.fft.rfft(x2, axis=0)) < 2e-6

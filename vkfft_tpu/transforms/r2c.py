@@ -87,6 +87,60 @@ def _rfft_kernel_path(xr, n: int, engine: Optional[str]):
     return Planar(ar.reshape(*lead, h), ai.reshape(*lead, h))
 
 
+def _rfft_merged(xr, engine) -> Planar:
+    """Merged-sequences R2C (reference merged-row trick,
+    ``vkFFT_R2C.h:27-177`` / ``disableMergeSequencesR2C``,
+    ``vkFFT_Structs.h``): two real lines ride one complex FFT —
+    z = x_a + i·x_b, one C2C transform, Hermitian split recovers both half
+    spectra.  Halves the FFT work for lengths the packed even-n
+    decomposition cannot take (odd / prime n), at O(n) split cost."""
+    lead = xr.shape[:-1]
+    n = xr.shape[-1]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = xr.reshape(b, n)
+    if b % 2:
+        flat = jnp.concatenate([flat, jnp.zeros((1, n), flat.dtype)], axis=0)
+    z = Planar(flat[0::2], flat[1::2])
+    Z = _fftn_p(z, axes=(-1,), engine=engine)
+    h = n // 2 + 1
+    idx = (-np.arange(h)) % n
+    Zk = Z[..., :h]
+    Zr = Z[..., idx].conj()
+    Xa = (Zk + Zr) * np.float32(0.5)      # spectrum of the even rows
+    D = (Zk - Zr) * np.float32(0.5)
+    Xb = Planar(D.im, -D.re)              # -i·D: spectrum of the odd rows
+    pairs = Xa.shape[0]
+    re = jnp.stack([Xa.re, Xb.re], axis=1).reshape(2 * pairs, h)[:b]
+    im = jnp.stack([Xa.im, Xb.im], axis=1).reshape(2 * pairs, h)[:b]
+    return Planar(re.reshape(*lead, h), im.reshape(*lead, h))
+
+
+def _irfft_merged(p: Planar, n: int, engine) -> jnp.ndarray:
+    """Inverse of the merged-sequences trick: two half spectra rebuild one
+    full complex spectrum Z = F_a + i·F_b (Hermitian tails), one inverse
+    C2C, and the two real lines come back as re/im planes."""
+    lead = p.shape[:-1]
+    m = p.shape[-1]
+    b = int(np.prod(lead, dtype=np.int64)) if lead else 1
+    flat = Planar(p.re.reshape(b, m), p.im.reshape(b, m))
+    if b % 2:
+        zrow = jnp.zeros((1, m), flat.re.dtype)
+        flat = Planar(jnp.concatenate([flat.re, zrow], axis=0),
+                      jnp.concatenate([flat.im, zrow], axis=0))
+    Xa, Xb = flat[0::2], flat[1::2]
+    # head k < m: Z = Xa + i·Xb;  tail k >= m: Z = conj(Xa[n-k]) + i·conj(Xb[n-k])
+    head = Planar(Xa.re - Xb.im, Xa.im + Xb.re)[..., :m]
+    j = np.arange(n - m, 0, -1)  # n-k for k in [m, n)
+    tail = Planar(Xa.re[..., j] + Xb.im[..., j],
+                  -Xa.im[..., j] + Xb.re[..., j])
+    Z = Planar(jnp.concatenate([head.re, tail.re], axis=-1),
+               jnp.concatenate([head.im, tail.im], axis=-1))
+    z = _fftn_p(Z, axes=(-1,), inverse=True, engine=engine)
+    pairs = z.shape[0]
+    out = jnp.stack([z.re, z.im], axis=1).reshape(2 * pairs, n)[:b]
+    return out.reshape(*lead, n)
+
+
 def rfft(x, axis: int = -1, engine: Optional[str] = None):
     """Forward real FFT along ``axis``; returns the n//2+1 half spectrum
     (numpy ``rfft`` convention, unnormalized).  Returns a complex array on
@@ -103,8 +157,13 @@ def rfft(x, axis: int = -1, engine: Optional[str] = None):
         X = _move_back(X, axis, ndim)
         return to_complex(X) if complex_out else X
     if n % 2 or n < 4:
-        # complex transform of the real input, truncated half-spectrum
-        X = _fftn_p(real_planar(xr), axes=(-1,), engine=engine)[..., : n // 2 + 1]
+        lead_b = int(np.prod(xr.shape[:-1], dtype=np.int64)) if xr.ndim > 1 else 1
+        if n % 2 and n >= 3 and lead_b >= 2:
+            # merged sequences: two real lines per complex FFT
+            X = _rfft_merged(xr, engine)
+        else:
+            # complex transform of the real input, truncated half-spectrum
+            X = _fftn_p(real_planar(xr), axes=(-1,), engine=engine)[..., : n // 2 + 1]
     else:
         half = n // 2
         # pack even/odd samples: z = x[0::2] + i x[1::2]  (no complex dtype!)
@@ -151,12 +210,16 @@ def irfft(X, n: Optional[int] = None, axis: int = -1, engine: Optional[str] = No
                                   scale=1.0 / (n // 2))
         return _move_back(y.reshape(*lead, n), axis, ndim)
     if n % 2 or n < 4:
-        # rebuild the full Hermitian spectrum, complex inverse, take re
-        tail = p[..., 1 : n - m + 1][..., ::-1].conj()
-        full = Planar(jnp.concatenate([p.re, tail.re], axis=-1),
-                      jnp.concatenate([p.im, tail.im], axis=-1))
-        y = _fftn_p(full, axes=(-1,), inverse=True, engine=engine)
-        out = y.re
+        lead_b = int(np.prod(p.shape[:-1], dtype=np.int64)) if p.ndim > 1 else 1
+        if n % 2 and n >= 3 and lead_b >= 2:
+            out = _irfft_merged(p, n, engine)
+        else:
+            # rebuild the full Hermitian spectrum, complex inverse, take re
+            tail = p[..., 1 : n - m + 1][..., ::-1].conj()
+            full = Planar(jnp.concatenate([p.re, tail.re], axis=-1),
+                          jnp.concatenate([p.im, tail.im], axis=-1))
+            y = _fftn_p(full, axes=(-1,), inverse=True, engine=engine)
+            out = y.re
     else:
         half = n // 2
         k = np.arange(half)
