@@ -297,3 +297,27 @@ def test_conv_3d_all_axes_zeropad_elision(_pallas_interpret):
         np.fft.fftn(x.astype(np.complex128), axes=axes)
         * np.fft.fftn(h.astype(np.complex128), axes=axes), axes=axes)
     assert rel_err(got, ref) < 2e-6
+
+
+def test_fusion_mode_observable():
+    """Configs that lose the fused fast path are not silent: fusion_mode and
+    debug.describe expose the decision (round-1 review item)."""
+    import numpy as np
+    from vkfft_tpu import FFTConfig, debug
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.transforms.conv import ConvolutionApplication
+
+    pe.set_interpret(True)
+    try:
+        k = np.random.default_rng(0).standard_normal(64).astype(np.complex64)
+        fused = ConvolutionApplication(
+            FFTConfig(shape=(64,), convolution=True), k, engine="pallas")
+        assert fused.fusion_mode is not None
+        assert f"fusion={fused.fusion_mode}" in debug.describe(fused)
+        unfused = ConvolutionApplication(
+            FFTConfig(shape=(64,), convolution=True, number_kernels=2),
+            np.stack([k, k]), engine="pallas")
+        assert unfused.fusion_mode is None
+        assert "none" in debug.describe(unfused)
+    finally:
+        pe.set_interpret(False)

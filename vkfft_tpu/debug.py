@@ -46,7 +46,14 @@ def describe_axis(plan: AxisPlan) -> str:
 
 
 def describe(app) -> str:
-    """Plan dump for an FFTApplication (keepShaderCode-class introspection)."""
+    """Plan dump for an FFT/Convolution application (keepShaderCode-class
+    introspection)."""
+    if hasattr(app, "fusion_mode"):  # ConvolutionApplication
+        cfg = app.config
+        return (f"ConvolutionApplication shape={cfg.shape} "
+                f"matrix={cfg.matrix_convolution} "
+                f"number_kernels={cfg.number_kernels} "
+                f"fusion={app.fusion_mode or 'none (XLA spectrum round trip)'}")
     out = [f"FFTApplication shape={app.config.shape} axes={app.config.axes} "
            f"engine={app.engine_name}"]
     for ax, plan in sorted(app.axis_plans.items()):

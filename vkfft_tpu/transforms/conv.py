@@ -110,6 +110,16 @@ class ConvolutionApplication:
         self._fused = self._plan_fused()
         self._call = jax.jit(self._convolve)
 
+    @property
+    def fusion_mode(self) -> Optional[str]:
+        """Which single-kernel fusion strategy this plan selected (``'v3'``,
+        ``'v3_rows'``, ``'v3_matrix'``, ``'pair'``, ``'v2_2k'``), or None for
+        the unfused XLA spectrum round trip.  Inspect this (or
+        ``debug.describe``) to see whether a configuration kept the fused
+        fast path — degrading configs (e.g. ``number_kernels > 1``) are not
+        silent."""
+        return self._fused[0] if self._fused is not None else None
+
     def _plan_fused(self):
         """Select the in-kernel fusion strategy (the reference executes every
         convolution inside the last-axis kernel with an inline inverse,
