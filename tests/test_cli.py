@@ -32,3 +32,11 @@ def test_user_benchmark():
 
 def test_user_benchmark_dct():
     run_sample(200, ["-X", "64", "-B", "2", "-N", "2", "-DCT", "2"])
+
+
+def test_user_benchmark_save_load(tmp_path):
+    """Reference -save/-load flags: persist the plan blob from sample 200
+    and rebuild the application from it."""
+    blob = str(tmp_path / "plan.bin")
+    run_sample(200, ["-X", "64", "-B", "2", "-N", "2", "-save", blob])
+    run_sample(200, ["-X", "64", "-B", "2", "-N", "2", "-load", blob])

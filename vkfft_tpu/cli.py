@@ -420,7 +420,20 @@ def sample_200(ctx):
         return
     x = _rand_complex((batch,) + shape, dtype=dtype)
     cfg = vt.FFTConfig(shape=shape, normalize=False)
-    app = vt.get_application(cfg, ctx.engine)
+    if a.load:
+        # reference -load FILE: loadApplicationFromString from a user file
+        from vkfft_tpu import cache
+        with open(a.load, "rb") as f:
+            app = cache.load_application_from_string(f.read(), engine=ctx.engine)
+        ctx.log(f"  loaded plan blob from {a.load}")
+    else:
+        app = vt.get_application(cfg, ctx.engine)
+    if a.save:
+        # reference -save FILE: saveApplicationToString to a user file
+        from vkfft_tpu import cache
+        with open(a.save, "wb") as f:
+            f.write(cache.save_application_to_string(app))
+        ctx.log(f"  saved plan blob to {a.save}")
     dt = _time_fwd_inv(app, x, iters=a.N)
     gbs = x.nbytes * 2 * 2 * len(shape) / dt / 1e9
     ctx.log(f"  {shape} batch {batch}: {dt * 1e3:.3f} ms  est {gbs:.1f} GB/s")
@@ -804,6 +817,12 @@ def main(argv=None):
     ap.add_argument("-N", type=int, default=10, help="iterations")
     ap.add_argument("-R2C", type=int, default=0)
     ap.add_argument("-DCT", type=int, default=0)
+    ap.add_argument("-save", default=None, metavar="FILE",
+                    help="sample 200: write the plan blob to FILE "
+                         "(saveApplicationToString analog)")
+    ap.add_argument("-load", default=None, metavar="FILE",
+                    help="sample 200: build the application from a plan "
+                         "blob file (loadApplicationFromString analog)")
     ap.add_argument("-compare", action="store_true",
                     help="second-implementation race: run the sample on "
                          "both engines (pallas vs jnp/XLA) — the cuFFT/"
