@@ -196,3 +196,41 @@ def test_slab_tail_pair_fused():
         assert rel_err(z, x) < 5e-5
     finally:
         pe.set_interpret(False)
+
+
+# --- distributed real transforms (prfftn/pirfftn) ---------------------------
+# The local rfft runs before any all_to_all, so the interconnect moves the
+# half spectrum — ~half the bytes of embedding real data in a C2C transform.
+
+
+@pytest.mark.parametrize("shape", [(16, 8, 12), (8, 30), (16, 8, 7)])
+def test_slab_real_fftn(shape):
+    from vkfft_tpu.parallel import prfftn, pirfftn
+    mesh = fft_mesh()
+    rng = np.random.default_rng(int(np.prod(shape)))
+    x = rng.standard_normal(shape).astype(np.float32)
+    X = np.asarray(prfftn(x, mesh, engine="jnp"))
+    ref = np.fft.rfftn(x)
+    assert X.shape == ref.shape
+    assert rel_err(X, ref) < 2e-6
+    back = np.asarray(pirfftn(X, shape, mesh, engine="jnp"))
+    assert rel_err(back, x) < 2e-6
+
+
+def test_pencil_real_fftn():
+    mesh = fft_mesh((4, 2), ("px", "py"))
+    rng = np.random.default_rng(3)
+    shape = (8, 8, 14)  # half spectrum 8 divides py=2
+    x = rng.standard_normal(shape).astype(np.float32)
+    app = DistributedFFT(shape, mesh, engine="jnp", real=True)
+    X = np.asarray(app.forward(app.shard_input(x)))
+    assert rel_err(X, np.fft.rfftn(x)) < 2e-6
+    assert rel_err(np.asarray(app.inverse(app.forward(app.shard_input(x)))), x) < 2e-6
+
+
+def test_real_half_spectrum_divisibility_validation():
+    from vkfft_tpu.errors import InvalidConfigError
+    mesh = fft_mesh((4, 2), ("px", "py"))
+    with pytest.raises(InvalidConfigError):
+        # half spectrum 12//2+1 = 7 does not divide py=2
+        DistributedFFT((8, 8, 12), mesh, engine="jnp", real=True)

@@ -8,4 +8,6 @@ from vkfft_tpu.parallel.pencil import (
     pfft,
     pfftn,
     pifftn,
+    pirfftn,
+    prfftn,
 )

@@ -100,13 +100,15 @@ class DistributedFFT:
 
     def __init__(self, shape: tuple[int, ...], mesh: Mesh,
                  engine: Optional[str] = None, transpose_back: bool = False,
-                 normalize: bool = True, overlap_chunks: int = 1):
+                 normalize: bool = True, overlap_chunks: int = 1,
+                 real: bool = False):
         self.shape = tuple(shape)
         self.mesh = mesh
         self.engine = engine
         self.transpose_back = transpose_back
         self.normalize = normalize
         self.overlap_chunks = int(overlap_chunks)
+        self.real = bool(real)
         self.axis_names = tuple(mesh.axis_names)
         ndim = len(self.shape)
         if len(self.axis_names) == 1:
@@ -120,14 +122,31 @@ class DistributedFFT:
         else:
             raise InvalidConfigError("mesh must have 1 or 2 axes")
 
+        # the real transform works on the half spectrum (n//2+1 bins) along
+        # the last axis — the all_to_all that splits that axis must divide it
+        self._half = self.shape[-1] // 2 + 1
+        last_len = self._half if self.real else self.shape[-1]
         sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
         if self.kind == "slab":
             p = sizes[self.axis_names[0]]
-            needed = {0: p, 1: p}
+            needed = {0: p}
+            # the a2a splits axis 1 — for 2-D real transforms that is the
+            # half-spectrum axis
+            if ndim == 2:
+                if last_len % p:
+                    raise InvalidConfigError(
+                        f"axis 1 {'half-spectrum ' if self.real else ''}length "
+                        f"{last_len} not divisible by mesh size {p}")
+            else:
+                needed[1] = p
         else:
             p1, p2 = sizes[self.axis_names[0]], sizes[self.axis_names[1]]
             # axis 1 is split by p2 on input and by p1 mid-transform
-            needed = {0: p1, 2: p2}
+            needed = {0: p1}
+            if last_len % p2:
+                raise InvalidConfigError(
+                    f"axis 2 {'half-spectrum ' if self.real else ''}length "
+                    f"{last_len} not divisible by mesh size {p2}")
             if self.shape[1] % p1 or self.shape[1] % p2:
                 raise InvalidConfigError(
                     f"axis 1 length {self.shape[1]} must divide by both mesh sizes {p1},{p2}")
@@ -140,7 +159,7 @@ class DistributedFFT:
         # slab tail fusion: the two minor axes are both device-local — fuse
         # them into one pair kernel per device (one local HBM r+w less)
         self._tail_pair = False
-        if self.kind == "slab" and ndim >= 3:
+        if self.kind == "slab" and ndim >= 3 and not self.real:
             from vkfft_tpu.planner.factorize import Algorithm as _Alg
             eng = _eng(self.engine)
             self._tail_pair = (
@@ -187,6 +206,19 @@ class DistributedFFT:
         def tail_ffts(x):
             # trailing local axes; the minor pair fuses into one kernel when
             # eligible (slab: all trailing axes are device-local)
+            if self.real:
+                # real last axis: forward = local rfft first (half-spectrum
+                # output halves every later all_to_all's bytes); inverse =
+                # local irfft last
+                from vkfft_tpu.transforms import r2c as _r2c
+                if not inverse:
+                    x = _r2c.rfft(x, axis=-1, engine=self.engine)
+                for ax in range(1, ndim - 1):
+                    x = self._local_fft(x, ax, inverse)
+                if inverse:
+                    x = _r2c.irfft(x, n=self.shape[-1], axis=-1,
+                                   engine=self.engine)
+                return x
             if self._tail_pair and isinstance(x, Planar):
                 eng = _eng(self.engine)
                 x = eng.fft_pair_p(x, self.shape[-2], self.shape[-1], inverse)
@@ -223,7 +255,11 @@ class DistributedFFT:
             # x local: (X/P1, Y/P2, Z); each a2a+FFT stage is chunked along
             # its free axis (0 for the z<->y stage, 2 for y<->x) so chunk
             # i+1's all_to_all overlaps chunk i's transform
-            x = self._local_fft(x, 2, inverse)
+            if self.real:
+                from vkfft_tpu.transforms import r2c as _r2c
+                x = _r2c.rfft(x, axis=-1, engine=self.engine)
+            else:
+                x = self._local_fft(x, 2, inverse)
             x = _overlapped(
                 x, 0, oc,
                 lambda c: self._local_fft(_a2a(c, names[1], 2, 1), 1, inverse))
@@ -245,7 +281,12 @@ class DistributedFFT:
             x = _overlapped(
                 x, 0, oc,
                 lambda c: _a2a(self._local_fft(c, 1, inverse), names[1], 1, 2))
-            x = self._local_fft(x, 2, inverse)
+            if self.real:
+                from vkfft_tpu.transforms import r2c as _r2c
+                x = _r2c.irfft(x, n=self.shape[-1], axis=-1,
+                               engine=self.engine)
+            else:
+                x = self._local_fft(x, 2, inverse)
             return x
 
         if self.kind == "slab":
@@ -256,11 +297,14 @@ class DistributedFFT:
         def fn(x):
             y = body(x)
             if inverse and self.normalize:
-                total = int(np.prod(self.shape))
-                if isinstance(y, Planar):
-                    y = y * np.asarray(1.0 / total, dtype=y.dtype)
-                else:
-                    y = y * y.dtype.type(1.0 / total)
+                # irfft already normalizes its own axis (numpy convention)
+                total = int(np.prod(self.shape[:-1] if self.real
+                                    else self.shape))
+                if total != 1:
+                    if isinstance(y, Planar):
+                        y = y * np.asarray(1.0 / total, dtype=y.dtype)
+                    else:
+                        y = y * y.dtype.type(1.0 / total)
             return y
 
         in_spec = self.output_spec() if inverse else self.input_spec()
@@ -299,22 +343,24 @@ class DistributedFFT:
 # -- functional facade ------------------------------------------------------
 
 @functools.lru_cache(maxsize=128)
-def _cached_dist(shape, mesh_key, engine, transpose_back, overlap_chunks=1):
+def _cached_dist(shape, mesh_key, engine, transpose_back, overlap_chunks=1,
+                 real=False):
     mesh = _MESHES[mesh_key]
     return DistributedFFT(shape, mesh, engine=engine,
                           transpose_back=transpose_back,
-                          overlap_chunks=overlap_chunks)
+                          overlap_chunks=overlap_chunks, real=real)
 
 
 _MESHES: dict = {}
 
 
-def _dist_for(x, mesh, engine, transpose_back, overlap_chunks=1):
+def _dist_for(x, mesh, engine, transpose_back, overlap_chunks=1, real=False,
+              shape=None):
     key = (tuple(mesh.axis_names), tuple(mesh.devices.shape),
            tuple(d.id for d in mesh.devices.flat))
     _MESHES[key] = mesh
-    return _cached_dist(tuple(x.shape), key, engine, transpose_back,
-                        overlap_chunks)
+    return _cached_dist(tuple(shape if shape is not None else x.shape), key,
+                        engine, transpose_back, overlap_chunks, real)
 
 
 def pfftn(x, mesh: Mesh, engine: Optional[str] = None,
@@ -336,6 +382,33 @@ def pifftn(x, mesh: Mesh, engine: Optional[str] = None,
         else:
             x = jax.device_put(x, sh)
     return app.inverse(x)
+
+
+def prfftn(x, mesh: Mesh, engine: Optional[str] = None,
+           transpose_back: bool = False, overlap_chunks: int = 1):
+    """Distributed forward N-D *real* FFT: local rfft over the (device-local)
+    last axis first, so every all_to_all moves the half spectrum — ~half the
+    interconnect bytes of embedding the data in a complex transform.  Returns
+    the (..., n//2+1) half spectrum in the transform's output sharding."""
+    app = _dist_for(x, mesh, engine, transpose_back, overlap_chunks, real=True)
+    return app.forward(app.shard_input(x) if not _is_sharded(x, mesh) else x)
+
+
+def pirfftn(X, shape: tuple[int, ...], mesh: Mesh,
+            engine: Optional[str] = None, transpose_back: bool = False,
+            overlap_chunks: int = 1):
+    """Distributed inverse real FFT.  ``shape`` is the global *real* shape
+    (the last axis is ambiguous from the half spectrum, like numpy's
+    ``irfft(n=...)``)."""
+    app = _dist_for(X, mesh, engine, transpose_back, overlap_chunks,
+                    real=True, shape=shape)
+    if not _is_sharded(X, mesh):
+        sh = NamedSharding(mesh, app.output_spec())
+        if isinstance(X, Planar):
+            X = Planar(jax.device_put(X.re, sh), jax.device_put(X.im, sh))
+        else:
+            X = jax.device_put(X, sh)
+    return app.inverse(X)
 
 
 def pfft(x, mesh: Mesh, engine: Optional[str] = None):
