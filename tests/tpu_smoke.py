@@ -93,6 +93,18 @@ def main() -> int:
             jnp.asarray(ref.imag.astype(np.float32)), n)
         check(f"irfft kernel n={n}", np.asarray(y) / (n // 2), xr_np)
 
+    # --- merged-sequences R2C (odd length, two real lines per complex FFT)
+    print("merged-sequences R2C (odd n):")
+    from vkfft_tpu.transforms import r2c as _r2c
+    for n in [101, 347]:
+        xo = rng.standard_normal((8, n)).astype(np.float32)
+        Xo = _r2c.rfft(jnp.asarray(xo))
+        ref = np.fft.rfft(xo.astype(np.float64))
+        check(f"rfft merged n={n}", np.asarray(Xo.re) + 1j * np.asarray(Xo.im)
+              if hasattr(Xo, "re") else np.asarray(Xo), ref)
+        back = _r2c.irfft(Xo, n=n)
+        check(f"irfft merged n={n}", np.asarray(back), xo)
+
     # --- public API: strided axis + a prime (Rader) + Bluestein size
     print("public API (strided / Rader / Bluestein):")
     x2 = (rng.standard_normal((64, 256)) + 1j * rng.standard_normal((64, 256)))
