@@ -234,3 +234,33 @@ def test_real_half_spectrum_divisibility_validation():
     with pytest.raises(InvalidConfigError):
         # half spectrum 12//2+1 = 7 does not divide py=2
         DistributedFFT((8, 8, 12), mesh, engine="jnp", real=True)
+
+
+def test_distributed_convolution():
+    """Distributed frequency-domain convolution: forward in the transposed
+    sharding, sharding-aligned spectrum multiply (no extra collectives),
+    inverse — zero reorder transposes (the distributed
+    disableReorderFourStep contract)."""
+    from vkfft_tpu.parallel import DistributedConvolution
+    mesh = fft_mesh()
+    rng = np.random.default_rng(11)
+    shape = (16, 8, 12)
+    x = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    k = (rng.standard_normal(shape) + 1j * rng.standard_normal(shape)).astype(np.complex64)
+    got = np.asarray(DistributedConvolution(shape, mesh, k, engine="jnp")(x))
+    ref = np.fft.ifftn(np.fft.fftn(x) * np.fft.fftn(k))
+    assert rel_err(got, ref) < 2e-6
+
+
+def test_distributed_convolution_real():
+    from vkfft_tpu.parallel import DistributedConvolution
+    mesh = fft_mesh()
+    rng = np.random.default_rng(12)
+    shape = (16, 8, 12)
+    xr = rng.standard_normal(shape).astype(np.float32)
+    kr = rng.standard_normal(shape).astype(np.float32)
+    got = np.asarray(DistributedConvolution(shape, mesh, kr, engine="jnp",
+                                            real=True)(xr))
+    ref = np.fft.irfftn(np.fft.rfftn(xr) * np.fft.rfftn(kr),
+                        s=shape, axes=(0, 1, 2))
+    assert rel_err(got, ref) < 2e-6

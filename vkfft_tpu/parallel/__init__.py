@@ -4,6 +4,7 @@ from vkfft_tpu.parallel.mesh import (
     initialize_distributed,
 )
 from vkfft_tpu.parallel.pencil import (
+    DistributedConvolution,
     DistributedFFT,
     pfft,
     pfftn,

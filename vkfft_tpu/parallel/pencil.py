@@ -431,3 +431,46 @@ def pfft(x, mesh: Mesh, engine: Optional[str] = None):
 def _is_sharded(x, mesh) -> bool:
     sh = getattr(x, "sharding", None)
     return sh is not None and getattr(sh, "mesh", None) is mesh
+
+
+class DistributedConvolution:
+    """Distributed frequency-domain convolution over a device mesh.
+
+    The distributed rendition of the reference's fused convolution pipeline
+    (``performConvolution``, ``vkFFT_FFT.h:241-351``): forward transform kept
+    in the transposed sharding, spectrum multiply (sharding-aligned — no
+    communication), inverse transform.  Because forward and inverse share the
+    `transpose_back=False` contract, the convolution pays zero reorder
+    transposes — the distributed analog of ``disableReorderFourStep``
+    (README.md:16).
+
+    ``real=True`` convolves real data with a real kernel through the
+    half-spectrum pipeline (~half the all_to_all bytes).
+    """
+
+    def __init__(self, shape: tuple[int, ...], mesh: Mesh, kernel,
+                 engine: Optional[str] = None, overlap_chunks: int = 1,
+                 real: bool = False):
+        self.fft = DistributedFFT(shape, mesh, engine=engine,
+                                  transpose_back=False, normalize=True,
+                                  overlap_chunks=overlap_chunks, real=real)
+        kshape = tuple((kernel.re if isinstance(kernel, Planar)
+                        else kernel).shape)
+        if kshape != tuple(shape):
+            raise InvalidConfigError(
+                f"kernel shape {kshape} must equal transform shape {tuple(shape)}")
+        self.kernel_f = self.fft.forward(self.fft.shard_input(kernel))
+
+    def shard_input(self, x):
+        return self.fft.shard_input(x)
+
+    def __call__(self, x):
+        if not _is_sharded(x.re if isinstance(x, Planar) else x,
+                           self.fft.mesh):
+            x = self.fft.shard_input(x)
+        X = self.fft.forward(x)
+        if isinstance(X, Planar) and not isinstance(self.kernel_f, Planar):
+            K = Planar(jnp.real(self.kernel_f), jnp.imag(self.kernel_f))
+        else:
+            K = self.kernel_f
+        return self.fft.inverse(X * K)
