@@ -151,6 +151,47 @@ def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
     return moved / dt / 1e9, dt, passes
 
 
+def bench_r2c(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
+    """Effective bandwidth of a batched 1-D R2C+C2R round trip.  Bytes
+    counted as moved: one real-plane read + one half-spectrum write per
+    direction (the in-kernel R2C moves half a C2C's data — README.md:13's
+    2x claim is a bandwidth statement here, not just flops)."""
+    import jax
+    import jax.numpy as jnp
+    from vkfft_tpu.transforms import r2c as _r2c
+
+    rng = np.random.default_rng(0)
+    x0 = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+
+    @jax.jit
+    def rt(v):
+        return _r2c.irfft(_r2c.rfft(v), n=n)
+
+    def make(iters):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, iters, lambda i, z: rt(z), v)
+        return run
+
+    f_lo, f_hi = make(n_lo), make(n_hi)
+    float(np.asarray(f_lo(x0)[0, 0]))
+    float(np.asarray(f_hi(x0)[0, 0]))
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(np.asarray(f(x0)[0, 0]))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    dt = (timed(f_hi) - timed(f_lo)) / (n_hi - n_lo)
+    real_bytes = batch * n * 4
+    half_bytes = batch * (n // 2 + 1) * 8
+    moved = 2 * (real_bytes + half_bytes)  # fwd (read real, write half) + inv
+    return moved / dt / 1e9, dt
+
+
 def main():
     import jax
     from vkfft_tpu import cache
@@ -159,7 +200,15 @@ def main():
         cache.enable_persistent_cache()
     except Exception:
         pass
-    device = jax.devices()[0]
+    tpu_unavailable = None
+    try:
+        device = jax.devices()[0]
+    except RuntimeError as e:
+        # Tunneled TPU backend down: still record a (CPU) line rather than
+        # crash the driver's bench step.
+        tpu_unavailable = repr(e)[:160]
+        jax.config.update("jax_platforms", "cpu")
+        device = jax.devices()[0]
     roof = _roofline(device)
     # size sweep batched to ~128 MB planar data per system (reference pattern:
     # batch to 500MB-1GB; kept smaller for driver time limits; 256MB measured
@@ -182,6 +231,15 @@ def main():
             "axis_uploads_per_dir": passes3}
     except Exception as e:  # 3D bench is best-effort
         detail["3d_error"] = repr(e)[:120]
+    try:
+        # real-transform system (detail only, not in the headline mean):
+        # same 128MB working-set class as the C2C N=1024 row for comparison
+        gbs_r, dt_r = bench_r2c(1024, target_bytes // (4 * 1024))
+        detail["r2c_1024"] = {"GBs": round(gbs_r, 2),
+                              "ms": round(dt_r * 1e3, 3),
+                              "vs_c2c_1024": round(gbs_r / results[1024][0], 3)}
+    except Exception as e:
+        detail["r2c_error"] = repr(e)[:120]
 
     mean_gbs = float(np.mean([v[0] for v in results.values()]))
     out = {
@@ -193,6 +251,8 @@ def main():
         "device": str(getattr(device, "device_kind", device.platform)),
         "roofline_GBs": roof,
     }
+    if tpu_unavailable:
+        out["tpu_unavailable"] = tpu_unavailable
     print(json.dumps(out))
 
 
