@@ -27,6 +27,7 @@ hold ~1e-14 (validated in ``tests/tpu_smoke.py``).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import jax
@@ -39,6 +40,8 @@ from vkfft_tpu import luts
 from vkfft_tpu.planner.plan import build_stages
 from vkfft_tpu.precision import doubledouble as ddm
 from vkfft_tpu.precision.doubledouble import DD, DDComplex
+
+_nullctx = contextlib.nullcontext
 
 _DD_SB = 128          # lines per block (one lane tile)
 _DD_MAX_N = 2048      # VMEM ceiling: 4 planes * n * 128 * 4B + stage temps
@@ -160,18 +163,22 @@ def _dd_apply_stages(xr: DD, xi: DD, S: int, stages, table_refs):
     return xr, xi
 
 
-def _dd_fft_kernel(n, sb, stages, *refs):
+def _dd_fft_kernel(n, sb, stages, barriers, *refs):
     (rh_ref, rl_ref, ih_ref, il_ref) = refs[:4]
     table_refs = refs[4:-4]
     (orh, orl, oih, oil) = refs[-4:]
-    swp = lambda ref: jnp.swapaxes(ref[0], 0, 1)             # (n, sb)
-    xr = DD(swp(rh_ref), swp(rl_ref))
-    xi = DD(swp(ih_ref), swp(il_ref))
-    xr, xi = _dd_apply_stages(xr, xi, sb, stages, table_refs)
-    orh[0] = jnp.swapaxes(xr.hi.reshape(n, sb), 0, 1)
-    orl[0] = jnp.swapaxes(xr.lo.reshape(n, sb), 0, 1)
-    oih[0] = jnp.swapaxes(xi.hi.reshape(n, sb), 0, 1)
-    oil[0] = jnp.swapaxes(xi.lo.reshape(n, sb), 0, 1)
+    # Mosaic cannot lower optimization_barrier (and does not need it — no
+    # simplifier / FMA contraction between jaxpr and Mosaic IR); interpreter
+    # mode keeps barriers because the ops then run through XLA.
+    with (ddm.no_barriers() if not barriers else _nullctx()):
+        swp = lambda ref: jnp.swapaxes(ref[0], 0, 1)         # (n, sb)
+        xr = DD(swp(rh_ref), swp(rl_ref))
+        xi = DD(swp(ih_ref), swp(il_ref))
+        xr, xi = _dd_apply_stages(xr, xi, sb, stages, table_refs)
+        orh[0] = jnp.swapaxes(xr.hi.reshape(n, sb), 0, 1)
+        orl[0] = jnp.swapaxes(xr.lo.reshape(n, sb), 0, 1)
+        oih[0] = jnp.swapaxes(xi.hi.reshape(n, sb), 0, 1)
+        oil[0] = jnp.swapaxes(xi.lo.reshape(n, sb), 0, 1)
 
 
 @functools.lru_cache(maxsize=256)
@@ -184,7 +191,7 @@ def _build_dd_call(n: int, inverse: bool, batch: int, interpret: bool):
     for (_, _, Mp, _, tw_planes) in stages:
         if tw_planes is not None:
             np_tables += list(tw_planes)
-    kernel = functools.partial(_dd_fft_kernel, n, sb, stages)
+    kernel = functools.partial(_dd_fft_kernel, n, sb, stages, interpret)
     spec = pl.BlockSpec((1, sb, n), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
@@ -237,17 +244,18 @@ def dd_fft_pallas(x: DDComplex, n: int, inverse: bool) -> DDComplex:
 _DD_TILE_S = 128      # lanes per block
 
 
-def _dd_strided_kernel(n, tile_s, stages, *refs):
+def _dd_strided_kernel(n, tile_s, stages, barriers, *refs):
     (rh_ref, rl_ref, ih_ref, il_ref) = refs[:4]
     table_refs = refs[4:-4]
     (orh, orl, oih, oil) = refs[-4:]
-    xr = DD(rh_ref[0], rl_ref[0])            # (n, tile_s)
-    xi = DD(ih_ref[0], il_ref[0])
-    xr, xi = _dd_apply_stages(xr, xi, tile_s, stages, table_refs)
-    orh[0] = xr.hi.reshape(n, tile_s)
-    orl[0] = xr.lo.reshape(n, tile_s)
-    oih[0] = xi.hi.reshape(n, tile_s)
-    oil[0] = xi.lo.reshape(n, tile_s)
+    with (ddm.no_barriers() if not barriers else _nullctx()):
+        xr = DD(rh_ref[0], rl_ref[0])        # (n, tile_s)
+        xi = DD(ih_ref[0], il_ref[0])
+        xr, xi = _dd_apply_stages(xr, xi, tile_s, stages, table_refs)
+        orh[0] = xr.hi.reshape(n, tile_s)
+        orl[0] = xr.lo.reshape(n, tile_s)
+        oih[0] = xi.hi.reshape(n, tile_s)
+        oil[0] = xi.lo.reshape(n, tile_s)
 
 
 @functools.lru_cache(maxsize=256)
@@ -261,7 +269,8 @@ def _build_dd_strided_call(n: int, inverse: bool, p: int, s: int,
     for (_, _, Mp, _, tw_planes) in stages:
         if tw_planes is not None:
             np_tables += list(tw_planes)
-    kernel = functools.partial(_dd_strided_kernel, n, tile_s, stages)
+    kernel = functools.partial(_dd_strided_kernel, n, tile_s, stages,
+                               interpret)
     spec = pl.BlockSpec((1, n, tile_s), lambda b, t: (b, 0, t),
                         memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,

@@ -35,7 +35,33 @@ _SPLITTER = np.float32(4097.0)  # 2^12 + 1 for fp32 (24-bit mantissa)
 #      (exactly ulp(p)-sized corruption).
 # optimization_barrier on the cancellation-carrying intermediates makes them
 # opaque to both, while the surrounding elementwise work still fuses.
-_ob = jax.lax.optimization_barrier
+#
+# Inside a Pallas TPU kernel the hazards do not exist — the traced jaxpr is
+# lowered directly to Mosaic (no XLA algebraic simplifier, no FMA
+# contraction pass) — and Mosaic cannot lower optimization_barrier at all
+# (hardware-validated: tests/tpu_smoke.py dd section).  The dd Pallas
+# kernels therefore trace their bodies under ``no_barriers()``; interpreter
+# mode keeps the barriers because there the ops DO run through XLA.
+_BARRIERS = True
+
+
+def _ob(x):
+    return jax.lax.optimization_barrier(x) if _BARRIERS else x
+
+
+class no_barriers:
+    """Context manager: trace EFT ops without optimization_barrier (for
+    Pallas kernel bodies, where Mosaic neither needs nor supports it)."""
+
+    def __enter__(self):
+        global _BARRIERS
+        self._prev = _BARRIERS
+        _BARRIERS = False
+
+    def __exit__(self, *exc):
+        global _BARRIERS
+        _BARRIERS = self._prev
+        return False
 
 
 def _two_sum(a, b):
