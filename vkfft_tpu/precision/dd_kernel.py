@@ -205,6 +205,12 @@ def _build_dd_call(n: int, inverse: bool, batch: int, interpret: bool):
             transcendentals=0,
             bytes_accessed=4 * 4 * padded * n * 2),
     }
+    if not interpret:
+        # 4 quad planes + stage temps exceed the 16MB default scoped-VMEM
+        # budget at n >= 1024 (hardware-observed); same unlock as the fp32
+        # v3 family.
+        from vkfft_tpu.ops.pallas_engine import _vmem_params
+        kw["compiler_params"] = _vmem_params()
     call = pl.pallas_call(
         kernel, grid=(padded // sb,),
         in_specs=in_specs, out_specs=[spec] * 4,
@@ -276,6 +282,10 @@ def _build_dd_strided_call(n: int, inverse: bool, p: int, s: int,
     const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     macs = sum(r for (r, *_) in stages)
+    kw = {}
+    if not interpret:
+        from vkfft_tpu.ops.pallas_engine import _vmem_params
+        kw["compiler_params"] = _vmem_params()
     call = pl.pallas_call(
         kernel, grid=(p, s_pad // tile_s),
         in_specs=[spec] * 4 + [const(t) for t in np_tables],
@@ -285,7 +295,8 @@ def _build_dd_strided_call(n: int, inverse: bool, p: int, s: int,
         cost_estimate=pl.CostEstimate(
             flops=4 * p * s_pad * n * macs * 40,
             transcendentals=0,
-            bytes_accessed=4 * 4 * p * n * s_pad * 2))
+            bytes_accessed=4 * 4 * p * n * s_pad * 2),
+        **kw)
 
     def run(x: DDComplex) -> DDComplex:
         planes = [x.re.hi, x.re.lo, x.im.hi, x.im.lo]
