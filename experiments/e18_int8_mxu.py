@@ -82,7 +82,10 @@ def probe_pallas():
     return ok
 
 
-def bench_stage(int8: bool, L0=8, r=64, MpS=128 * 8, iters=400):
+def bench_stage(int8: bool, L0=8, r=64, MpS=128 * 8, iters=40):
+    # iters=400 fully unrolls 400 dot+transpose pairs in one Mosaic kernel
+    # — hardware-observed to stall the remote compiler for >10 min; 40 is
+    # enough to dominate the launch overhead.
     """Time the v3 MXU stage shape: contract (2r, 2r) x (L0, 2r, MpS)."""
     import jax
     import jax.numpy as jnp
