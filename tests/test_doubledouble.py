@@ -150,3 +150,45 @@ def test_dd_pallas_kernel_interpret():
             assert np.abs(got - ref).max() / np.abs(ref).max() < 5e-12
     finally:
         pe.set_interpret(False)
+
+
+def test_dd_kernel_hardware_trace_has_no_optimization_barrier():
+    """Mosaic cannot lower lax.optimization_barrier (hardware-observed:
+    tests/tpu_smoke.py dd section, round 2).  The hardware build
+    (interpret=False) must trace the EFT pipeline with barriers off;
+    interpreter builds keep them (there the ops run through XLA, whose
+    simplifier the barriers exist to block)."""
+    import jax
+    from jax.experimental import pallas as pl
+    from vkfft_tpu.precision import dd_kernel as dk
+
+    stages = dk._dd_stage_tables(64, False)
+
+    def trace(barriers):
+        import numpy as np
+        import jax.numpy as jnp
+        import functools
+        kernel = functools.partial(dk._dd_fft_kernel, 64, dk._DD_SB, stages,
+                                   barriers)
+        # trace the kernel body the way pallas_call does, without running it
+        refs = ([jnp.zeros((1, dk._DD_SB, 64), jnp.float32)] * 4
+                + [jnp.asarray(t) for st in stages if st[4] is not None
+                   for t in st[4]]
+                + [jnp.zeros((1, dk._DD_SB, 64), jnp.float32)] * 4)
+
+        class FakeRef:
+            def __init__(self, a):
+                self.a = a
+
+            def __getitem__(self, idx):
+                return self.a[idx]
+
+            def __setitem__(self, idx, v):
+                pass
+
+        jaxpr = jax.make_jaxpr(
+            lambda *xs: kernel(*[FakeRef(x) for x in xs]) or 0)(*refs)
+        return "optimization_barrier" in str(jaxpr)
+
+    assert trace(barriers=True) is True
+    assert trace(barriers=False) is False
