@@ -98,25 +98,26 @@ def bench_stage(int8: bool, L0=8, r=64, MpS=128 * 8, iters=40):
     Z = rng.standard_normal((L0, K, MpS)).astype(np.float32)
     dims = (((0,), (1,)), ((), ()))
 
+    # iterate with lax.fori_loop — a Python unroll of hundreds of dots
+    # stalls the remote Mosaic compiler for >10 min (hardware-observed)
     if not int8:
         def kern(d_ref, z_ref, o_ref):
-            acc = z_ref[:]
-            for _ in range(iters):
-                acc = jnp.moveaxis(
+            def body(_, acc):
+                return jnp.moveaxis(
                     jax.lax.dot_general(
                         d_ref[:], acc, dims,
                         preferred_element_type=jnp.float32,
                         precision=jax.lax.Precision.HIGHEST), 0, 1)
-            o_ref[:] = acc
+            o_ref[:] = jax.lax.fori_loop(0, iters, body, z_ref[:])
         args = [jnp.asarray(D), jnp.asarray(Z)]
         out_shape = jax.ShapeDtypeStruct(Z.shape, jnp.float32)
     else:
         dD = [jnp.asarray(d) for d in digits_np(D, 1.0)]
 
         def kern(d0, d1, d2, z_ref, o_ref):
-            acc = z_ref[:]
             ds = (d0[:], d1[:], d2[:])
-            for _ in range(iters):
+
+            def body(_, acc):
                 s = jnp.max(jnp.abs(acc))
                 rn = acc / s
                 zd = []
@@ -132,8 +133,8 @@ def bench_stage(int8: bool, L0=8, r=64, MpS=128 * 8, iters=40):
                             preferred_element_type=jnp.int32)
                         t = p.astype(jnp.float32) / np.float32(SC[i] * SC[j])
                         tot = t if tot is None else tot + t
-                acc = jnp.moveaxis(tot * s, 0, 1)
-            o_ref[:] = acc
+                return jnp.moveaxis(tot * s, 0, 1)
+            o_ref[:] = jax.lax.fori_loop(0, iters, body, z_ref[:])
         args = [*dD, jnp.asarray(Z)]
         out_shape = jax.ShapeDtypeStruct(Z.shape, jnp.float32)
 
