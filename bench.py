@@ -158,14 +158,28 @@ def bench_r2c(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
     2x claim is a bandwidth statement here, not just flops)."""
     import jax
     import jax.numpy as jnp
-    from vkfft_tpu.transforms import r2c as _r2c
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu import api
 
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
 
-    @jax.jit
-    def rt(v):
-        return _r2c.irfft(_r2c.rfft(v), n=n)
+    if api.default_engine() == "pallas" and pe.use_r2c_kernel(n):
+        # planar kernel round trip — same engine-level methodology as
+        # bench_system (the complex-dtype convenience wrapper would add an
+        # interleave/deinterleave HBM pass per direction that the planar
+        # API, like the reference's separate-complex buffers, never pays)
+        @jax.jit
+        def rt(v):
+            ar, ai = pe.rfft_lines_planar(v)
+            # numpy irfft normalization folded into the kernel stages
+            return pe.irfft_lines_planar(ar, ai, n, scale=1.0 / (n // 2))
+    else:
+        from vkfft_tpu.transforms import r2c as _r2c
+
+        @jax.jit
+        def rt(v):
+            return _r2c.irfft(_r2c.rfft(v), n=n)
 
     def make(iters):
         @jax.jit
