@@ -151,11 +151,19 @@ def bench_3d(shape=(256, 256, 256), n_lo=2, n_hi=8):
     return moved / dt / 1e9, dt, passes
 
 
-def bench_r2c(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
+def bench_r2c(n: int, batch: int, n_lo: int = 10, n_hi: int = 60,
+              public: bool = False):
     """Effective bandwidth of a batched 1-D R2C+C2R round trip.  Bytes
     counted as moved: one real-plane read + one half-spectrum write per
     direction (the in-kernel R2C moves half a C2C's data — README.md:13's
-    2x claim is a bandwidth statement here, not just flops)."""
+    2x claim is a bandwidth statement here, not just flops).
+
+    ``public=False`` times the planar engine path (the separate-re/im-buffer
+    analog of the reference's buffers — same methodology as bench_system);
+    ``public=True`` times the complex-dtype convenience wrapper, which pays
+    an extra interleave/deinterleave HBM pass per direction.  Both are
+    reported so the headline (planar) stays comparable across rounds while
+    complex-dtype API users can see what they actually get."""
     import jax
     import jax.numpy as jnp
     from vkfft_tpu.ops import pallas_engine as pe
@@ -164,7 +172,8 @@ def bench_r2c(n: int, batch: int, n_lo: int = 10, n_hi: int = 60):
     rng = np.random.default_rng(0)
     x0 = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
 
-    if api.default_engine() == "pallas" and pe.use_r2c_kernel(n):
+    if (not public and api.default_engine() == "pallas"
+            and pe.use_r2c_kernel(n)):
         # planar kernel round trip — same engine-level methodology as
         # bench_system (the complex-dtype convenience wrapper would add an
         # interleave/deinterleave HBM pass per direction that the planar
@@ -249,9 +258,13 @@ def main():
         # real-transform system (detail only, not in the headline mean):
         # same 128MB working-set class as the C2C N=1024 row for comparison
         gbs_r, dt_r = bench_r2c(1024, target_bytes // (4 * 1024))
-        detail["r2c_1024"] = {"GBs": round(gbs_r, 2),
-                              "ms": round(dt_r * 1e3, 3),
-                              "vs_c2c_1024": round(gbs_r / results[1024][0], 3)}
+        detail["r2c_1024_planar"] = {
+            "GBs": round(gbs_r, 2), "ms": round(dt_r * 1e3, 3),
+            "vs_c2c_1024": round(gbs_r / results[1024][0], 3)}
+        gbs_w, dt_w = bench_r2c(1024, target_bytes // (4 * 1024), public=True)
+        detail["r2c_1024_public_wrapper"] = {
+            "GBs": round(gbs_w, 2), "ms": round(dt_w * 1e3, 3),
+            "vs_c2c_1024": round(gbs_w / results[1024][0], 3)}
     except Exception as e:
         detail["r2c_error"] = repr(e)[:120]
 

@@ -15,3 +15,11 @@ import jax
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Build the native C++ planner core when a compiler is available so the
+# parity tests in test_native.py actually execute (round-2 verdict: they
+# skipped silently in checkouts without a prebuilt .so).
+import shutil
+
+if shutil.which("c++") or shutil.which("g++"):
+    os.environ.setdefault("VKFFT_TPU_NATIVE_BUILD", "1")

@@ -192,3 +192,30 @@ def test_dd_kernel_hardware_trace_has_no_optimization_barrier():
 
     assert trace(barriers=True) is True
     assert trace(barriers=False) is False
+
+
+def test_dd_builder_binds_barriers_from_interpret():
+    """Wiring guard (advisor round 2): the builder must bind barriers=False
+    exactly when interpret=False.  Intercept pallas_call to capture the
+    kernel partial each builder constructs — if the binding were inverted,
+    the trace-shape test above would still pass while hardware builds
+    regress to tracing optimization_barrier."""
+    import functools
+    from unittest import mock
+    from vkfft_tpu.precision import dd_kernel as dk
+
+    for builder, args in ((dk._build_dd_call, (64, False, 128)),
+                          (dk._build_dd_strided_call, (64, False, 8, 256))):
+        for interpret in (False, True):
+            captured = {}
+
+            def fake_pallas_call(kernel, *a, **kw):
+                captured["kernel"] = kernel
+                return lambda *xs: None
+
+            with mock.patch.object(dk.pl, "pallas_call", fake_pallas_call):
+                builder.__wrapped__(*args, interpret)  # bypass lru_cache
+            k = captured["kernel"]
+            assert isinstance(k, functools.partial)
+            # barriers is the last static positional arg before the refs
+            assert k.args[-1] is interpret, (builder.__name__, interpret)

@@ -170,6 +170,12 @@ def _dd_fft_kernel(n, sb, stages, barriers, *refs):
     # Mosaic cannot lower optimization_barrier (and does not need it — no
     # simplifier / FMA contraction between jaxpr and Mosaic IR); interpreter
     # mode keeps barriers because the ops then run through XLA.
+    # COMPILER-PROPERTY ASSUMPTION (jax 0.9.0 / current Mosaic): the
+    # jaxpr->Mosaic lowering performs no float-identity simplification and
+    # no FMA contraction.  If a future Mosaic adds either, the EFT error
+    # terms here corrupt silently (~3e-8 instead of ~1e-14) with no
+    # CPU-visible failure — the guard is tests/tpu_smoke.py's dd section,
+    # whose tolerance is pinned to the 1e-12 class for exactly this reason.
     with (ddm.no_barriers() if not barriers else _nullctx()):
         swp = lambda ref: jnp.swapaxes(ref[0], 0, 1)         # (n, sb)
         xr = DD(swp(rh_ref), swp(rl_ref))

@@ -18,6 +18,7 @@ gives ~2^-104; same construction, one tier down).
 """
 from __future__ import annotations
 
+import contextvars
 import dataclasses
 from typing import Any
 
@@ -42,11 +43,15 @@ _SPLITTER = np.float32(4097.0)  # 2^12 + 1 for fp32 (24-bit mantissa)
 # (hardware-validated: tests/tpu_smoke.py dd section).  The dd Pallas
 # kernels therefore trace their bodies under ``no_barriers()``; interpreter
 # mode keeps the barriers because there the ops DO run through XLA.
-_BARRIERS = True
+# Context-local (not a module global): a concurrent trace in another thread
+# must not observe this trace's barrier setting — a Mosaic trace capturing
+# barriers fails hardware lowering, and an XLA trace captured barrier-free
+# silently degrades dd precision to ~3e-8.
+_BARRIERS = contextvars.ContextVar("vkfft_tpu_dd_barriers", default=True)
 
 
 def _ob(x):
-    return jax.lax.optimization_barrier(x) if _BARRIERS else x
+    return jax.lax.optimization_barrier(x) if _BARRIERS.get() else x
 
 
 class no_barriers:
@@ -54,13 +59,10 @@ class no_barriers:
     Pallas kernel bodies, where Mosaic neither needs nor supports it)."""
 
     def __enter__(self):
-        global _BARRIERS
-        self._prev = _BARRIERS
-        _BARRIERS = False
+        self._token = _BARRIERS.set(False)
 
     def __exit__(self, *exc):
-        global _BARRIERS
-        _BARRIERS = self._prev
+        _BARRIERS.reset(self._token)
         return False
 
 
