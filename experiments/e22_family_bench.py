@@ -32,7 +32,7 @@ GB = 1e9
 TARGET = 128 * 1024 * 1024  # planar working set per system
 
 
-def timed_chain(fn, p0, fetch, n_lo=4, n_hi=16, reps=3):
+def timed_chain(fn, p0, fetch, n_lo=10, n_hi=60, reps=3):
     import jax
 
     def make(iters):
@@ -172,7 +172,7 @@ def main():
                 def rt(p, app=app):
                     return app.inverse(app.forward(p))
 
-                dt = timed_chain(rt, p0, fetch_p, n_lo=2, n_hi=8)
+                dt = timed_chain(rt, p0, fetch_p, n_lo=4, n_hi=16)
                 results[f"3d_{label}"] = row(
                     f"3-D 256^3 {label}", dt, 2 * 2 * passes * data,
                     f"({passes} uploads/dir, actual traffic)")
@@ -230,13 +230,11 @@ def main():
         b = TARGET // (8 * n)
         h = np.exp(-np.arange(n) / 7.0)
         H = np.fft.fft(h)
-        tab = pe._pack_complex_matrix if False else None
-        table = np.stack([np.real(H), np.imag(H)]).astype(np.float32)
         p0 = planar((b, n))
         data = 2 * b * n * 4
 
         def rt(p):
-            return pe.conv_fused_v3(p, n, table, scale=1.0 / n)
+            return pe.conv_fused_v3(p, n, H, scale=1.0 / n)
 
         dt = timed_chain(rt, p0, fetch_p)
         results["conv_v3_1024"] = row("conv fused v3 n=1024", dt, 2 * data,

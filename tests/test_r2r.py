@@ -139,3 +139,68 @@ def test_dct_kernel_in_kernel_path():
             assert np.abs(yd - refd).max() / np.abs(refd).max() < 2e-6, t
     finally:
         pe.set_interpret(False)
+
+
+def test_dct1_dst1_in_kernel_path():
+    """DCT-I / DST-I run the single-kernel form (round 3): the symmetric /
+    odd extension stays virtual inside the kernel (reference
+    ``appendDCTI_read``, vkFFT_R2R.h:1339)."""
+    import jax.numpy as jnp
+    import scipy.fft as sfft
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.transforms import r2r
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(42)
+        for n in (129, 257, 1025):
+            assert pe.use_dct1_kernel(n), n
+            x = rng.standard_normal((4, n)).astype(np.float32)
+            y = np.asarray(pe.dct1_lines(jnp.asarray(x)))
+            ref = sfft.dct(x.astype(np.float64), type=1, axis=-1)
+            assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-6, n
+        for n in (127, 255, 1023):
+            assert pe.use_dst1_kernel(n), n
+            x = rng.standard_normal((4, n)).astype(np.float32)
+            y = np.asarray(pe.dst1_lines(jnp.asarray(x)))
+            ref = sfft.dst(x.astype(np.float64), type=1, axis=-1)
+            assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-6, n
+        # public routing hits the kernels and stays correct
+        x = rng.standard_normal((3, 257)).astype(np.float32)
+        y = np.asarray(r2r.dct(jnp.asarray(x), type=1, engine="pallas"))
+        ref = sfft.dct(x.astype(np.float64), type=1, axis=-1)
+        assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-6
+    finally:
+        pe.set_interpret(False)
+
+
+def test_dct4_dst4_in_kernel_path():
+    """Even DCT/DST-IV run the single-kernel N/2-trick form (round 3;
+    reference ``appendDCTIV_even_read``/``_write``, vkFFT_R2R.h:2318/2946).
+    DST-IV is the same kernel with swapped input roles and negated odd
+    phases."""
+    import jax.numpy as jnp
+    import scipy.fft as sfft
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.transforms import r2r
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(43)
+        for n in (256, 1000, 1024):
+            assert pe.use_dct4_kernel(n), n
+            x = rng.standard_normal((4, n)).astype(np.float32)
+            y = np.asarray(pe.dct4_lines(jnp.asarray(x)))
+            ref = sfft.dct(x.astype(np.float64), type=4, axis=-1)
+            assert np.abs(y - ref).max() / np.abs(ref).max() < 2e-6, n
+            yd = np.asarray(pe.dst4_lines(jnp.asarray(x)))
+            refd = sfft.dst(x.astype(np.float64), type=4, axis=-1)
+            assert np.abs(yd - refd).max() / np.abs(refd).max() < 2e-6, n
+        # public routing + inverse roundtrip
+        x = rng.standard_normal((3, 256)).astype(np.float32)
+        y = r2r.dct(jnp.asarray(x), type=4, engine="pallas")
+        back = np.asarray(r2r.idct(y, type=4, engine="pallas"))
+        assert np.abs(back - x).max() < 1e-5
+        yd = r2r.dst(jnp.asarray(x), type=4, engine="pallas")
+        backd = np.asarray(r2r.idst(yd, type=4, engine="pallas"))
+        assert np.abs(backd - x).max() < 1e-5
+    finally:
+        pe.set_interpret(False)

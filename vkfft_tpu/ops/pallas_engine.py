@@ -1573,11 +1573,24 @@ def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
 # transform moves half the bytes of a complex one — the bandwidth 2x the
 # reference advertises, README.md:13).
 #
-# Forward: real block (sb, N) -> deinterleave even/odd sublanes -> m-point
-# Stockham stages -> conj-reversed recombination -> (sb, m+1) half spectrum.
-# The index reversal Z[(m-k) % m] has no Mosaic `rev` primitive; it is an
-# exact 0/1 permutation matmul per 128-row block (bf16-exact at DEFAULT
-# precision, one MXU pass) + static block concat + pltpu.roll.
+# Dual-pipeline design (round 3 — replaces the reversal-matmul untangle that
+# measured 3x slower than C2C, hwlogs/e19_r2c_ratio.log): the conjugate
+# reversal the untangle needs is itself a DFT —
+#
+#     conj(Z[(m-k) % m]) = DFT(conj(z))[k]
+#
+# so instead of materializing the index reversal (two 6-pass HIGHEST
+# permutation matmuls + roll + concats per kernel), the kernel runs the
+# m-point stage pipeline once at DOUBLE lane width on [z | conj(z)] and
+# recombines the two halves with per-row constant tables:
+#
+#   forward:  X = u (.) Z + v (.) conj(Z_rev),  u = (1 - i t)/2, v = (1 + i t)/2,
+#             t_k = e^{-i pi k / m}   (+ Nyquist row X_m = Re Z_0 - Im Z_0)
+#   inverse:  z = IDFT(a (.) X') + conj(IDFT(P2)),  a = (1 + i conj(t))/2,
+#             P2 = b (.) X' with row 0 <- (1+i)/2 * X_m,  b = (1 - i conj(t))/2
+#
+# This costs one extra half-size FFT (the 2x-width pipeline) but removes all
+# reversal MXU passes, and the kernel gains the same il-interleaving as v3.
 # ---------------------------------------------------------------------------
 
 
@@ -1590,17 +1603,28 @@ def _flip_block(m: int) -> tuple[int, np.ndarray]:
     return fb, F
 
 
+def _flip_blocks_exact(a, fb, F_ref, S):
+    """Per-fb-block row reversal of f32 data, EXACT in 3 DEFAULT MXU passes:
+    the data splits into three bf16-exact digits (24 = 3x8 mantissa bits),
+    the 0/1 flip matrix selects each digit losslessly, and the three-term
+    f32 sum reassembles the value exactly — half the MXU passes of the
+    HIGHEST-precision flip this replaces (round 3)."""
+    nb = a.shape[0] // fb
+    acc = None
+    for d in _split3_bf16(a):
+        y = jax.lax.dot_general(
+            F_ref[:], d.reshape(nb, fb, S), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.DEFAULT)      # (fb, nb, S)
+        acc = y if acc is None else acc + y
+    return jnp.swapaxes(acc, 0, 1)                    # (nb, fb, S)
+
+
 def _revmod(a, m, fb, F_ref, S):
-    """a[(m-k) % m] for (m, S) along sublanes: per-block reversal matmul,
-    reversed static block concat, then roll(1).  HIGHEST precision: the 0/1
-    matrix is bf16-exact but the *data* operand must not be truncated."""
+    """a[(m-k) % m] for (m, S) along sublanes: per-block exact reversal
+    matmuls, reversed static block concat, then roll(1)."""
     nb = m // fb
-    ab = a.reshape(nb, fb, S)
-    y = jax.lax.dot_general(
-        F_ref[:], ab, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)          # (fb, nb, S)
-    y = jnp.swapaxes(y, 0, 1)                         # (nb, fb, S)
+    y = _flip_blocks_exact(a, fb, F_ref, S)
     if nb > 1:
         rev = jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
     else:
@@ -1636,52 +1660,104 @@ def _c2r_repack(Xfr, Xfi, m, F_ref, twr, twi, S):
     return Er - Oi, Ei + Or
 
 
-def _r2c_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
+def _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
+                    ur, ui, vr, vi):
+    """rfft of real rows ``x`` (2m, sb) -> half spectrum (m+1, sb) planes,
+    via the dual pipeline [z | conj(z)] (see block comment above)."""
+    z = x.reshape(m, 2, sb)
+    zr, zi = z[:, 0], z[:, 1]                            # even / odd
+    xr2 = jnp.concatenate([zr, zr], axis=1)
+    xi2 = jnp.concatenate([zi, -zi], axis=1)
+    Zr, Zi = _v3_apply_stages(xr2, xi2, 2 * sb, stage_refs, vpu_tabs,
+                              mxu_tabs, prec, False)
+    Zr = Zr.reshape(m, 2 * sb)
+    Zi = Zi.reshape(m, 2 * sb)
+    Ar, Ai = Zr[:, :sb], Zi[:, :sb]                      # Z
+    Br, Bi = Zr[:, sb:], Zi[:, sb:]                      # conj(Z_rev)
+    Xr = Ar * ur - Ai * ui + Br * vr - Bi * vi
+    Xi = Ar * ui + Ai * ur + Br * vi + Bi * vr
+    nyq = Ar[:1] - Ai[:1]                                # X[m] = Re - Im
+    Xr = jnp.concatenate([Xr, nyq], axis=0)              # (m+1, sb)
+    Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq)], axis=0)
+    return Xr, Xi
+
+
+def _r2c_kernel(n, m, sb, il, out_dtype, prec, vpu_tabs, mxu_tabs,
                 x_ref, *refs):
     or_ref, oi_ref = refs[-2:]
-    F_ref, twr_ref, twi_ref = refs[-5:-2]
-    stage_refs = refs[:-5]
-    S = sb
-    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)     # (N, S)
-    z = x.reshape(m, 2, S)
-    zr, zi = z[:, 0], z[:, 1]                                # even / odd
-    Zr, Zi = _v3_apply_stages(zr, zi, S, stage_refs, vpu_tabs, mxu_tabs,
-                              prec, False)
-    Xr, Xi = _rfft_untangle(Zr.reshape(m, S), Zi.reshape(m, S), m, F_ref,
-                            twr_ref[:], twi_ref[:], S)
-    or_ref[0] = jnp.swapaxes(Xr, 0, 1).astype(out_dtype)
-    oi_ref[0] = jnp.swapaxes(Xi, 0, 1).astype(out_dtype)
+    ur_ref, ui_ref, vr_ref, vi_ref = refs[-6:-2]
+    stage_refs = refs[:-6]
+    for i in range(il):
+        x = jnp.swapaxes(
+            x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (N, sb)
+        Xr, Xi = _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs, mxu_tabs,
+                                 prec, ur_ref[:], ui_ref[:], vr_ref[:],
+                                 vi_ref[:])
+        or_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(Xr, 0, 1).astype(out_dtype)
+        oi_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(Xi, 0, 1).astype(out_dtype)
 
 
-def _c2r_kernel(n, m, sb, out_dtype, prec, vpu_tabs, mxu_tabs,
+def _c2r_kernel(n, m, sb, il, out_dtype, prec, vpu_tabs, mxu_tabs,
                 xr_ref, xi_ref, *refs):
     (o_ref,) = refs[-1:]
-    F_ref, twr_ref, twi_ref = refs[-4:-1]
-    stage_refs = refs[:-4]
-    S = sb
-    Xr = jnp.swapaxes(xr_ref[0].astype(jnp.float32), 0, 1)   # (m+1, S)
-    Xi = jnp.swapaxes(xi_ref[0].astype(jnp.float32), 0, 1)
-    Zr, Zi = _c2r_repack(Xr, Xi, m, F_ref, twr_ref[:], twi_ref[:], S)
-    zr, zi = _v3_apply_stages(Zr, Zi, S, stage_refs, vpu_tabs, mxu_tabs,
-                              prec, True)
-    # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]  (outputs m * x)
-    x = jnp.stack([zr.reshape(m, S), zi.reshape(m, S)], axis=1)
-    o_ref[0] = jnp.swapaxes(x.reshape(n, S), 0, 1).astype(out_dtype)
+    ar_ref, ai_ref, br_ref, bi_ref = refs[-5:-1]
+    stage_refs = refs[:-5]
+    for i in range(il):
+        Xr = jnp.swapaxes(
+            xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (m+1, sb)
+        Xi = jnp.swapaxes(
+            xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+        ar, ai = ar_ref[:], ai_ref[:]
+        br, bi = br_ref[:], bi_ref[:]
+        P1r = Xr[:m] * ar - Xi[:m] * ai
+        P1i = Xr[:m] * ai + Xi[:m] * ar
+        P2r = Xr[:m] * br - Xi[:m] * bi
+        P2i = Xr[:m] * bi + Xi[:m] * br
+        # pipeline-2 row 0 carries the Nyquist bin: (1+i)/2 * X[m]
+        nr = 0.5 * (Xr[m:] - Xi[m:])
+        ni = 0.5 * (Xr[m:] + Xi[m:])
+        P2r = jnp.concatenate([nr, P2r[1:]], axis=0)
+        P2i = jnp.concatenate([ni, P2i[1:]], axis=0)
+        xr2 = jnp.concatenate([P1r, P2r], axis=1)            # (m, 2*sb)
+        xi2 = jnp.concatenate([P1i, P2i], axis=1)
+        zr2, zi2 = _v3_apply_stages(xr2, xi2, 2 * sb, stage_refs, vpu_tabs,
+                                    mxu_tabs, prec, True)
+        zr2 = zr2.reshape(m, 2 * sb)
+        zi2 = zi2.reshape(m, 2 * sb)
+        zr = zr2[:, :sb] + zr2[:, sb:]                       # o1 + conj(o2)
+        zi = zi2[:, :sb] - zi2[:, sb:]
+        # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
+        x = jnp.stack([zr, zi], axis=1)
+        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(
+            x.reshape(n, sb), 0, 1).astype(out_dtype)
 
 
 def _revmod_tail(X, m, F_ref, S):
     """X[m-k] for k=0..m-1 from an (m+1, S) array: reverse rows 1..m."""
-    nb = m // F_ref.shape[0]
     fb = F_ref.shape[0]
-    ab = X[1:m + 1].reshape(nb, fb, S)
-    y = jax.lax.dot_general(
-        F_ref[:], ab, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    y = jnp.swapaxes(y, 0, 1)
+    nb = m // fb
+    y = _flip_blocks_exact(X[1:m + 1], fb, F_ref, S)
     if nb > 1:
         return jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
     return y[0]
+
+
+def _rfft_comb_tables(m: int, inverse: bool) -> list:
+    """The four (m, 1) recombination tables of the dual-pipeline rfft (see
+    block comment above): forward u/v, inverse a/b — re/im planes."""
+    k = np.arange(m)
+    if not inverse:
+        t = np.exp(-1.0j * np.pi / m * k)
+        c1 = 0.5 * (1.0 - 1.0j * t)          # u: multiplies Z
+        c2 = 0.5 * (1.0 + 1.0j * t)          # v: multiplies conj(Z_rev)
+    else:
+        tc = np.exp(1.0j * np.pi / m * k)
+        c1 = 0.5 * (1.0 + 1.0j * tc)         # a: pipeline 1
+        c2 = 0.5 * (1.0 - 1.0j * tc)         # b: pipeline 2 (rows 1..m-1)
+    return [np.real(c1).astype(np.float32)[:, None],
+            np.imag(c1).astype(np.float32)[:, None],
+            np.real(c2).astype(np.float32)[:, None],
+            np.imag(c2).astype(np.float32)[:, None]]
 
 
 @functools.lru_cache(maxsize=512)
@@ -1695,20 +1771,24 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
     m = n // 2
     vpu_tabs, mxu_tabs = _v3_tables(m, inverse, scale=scale,
                                     int8=_V3_MXU_INT8 and dtype == jnp.float32)
-    fb, F = _flip_block(m)
-    k = np.arange(m)
-    sign = 2.0j if inverse else -2.0j
-    t = np.exp(sign * np.pi / n * k)      # forward: e^{-i pi k/m /2 *2} = w_n^k
-    twr = np.real(t).astype(np.float32)[:, None]
-    twi = np.imag(t).astype(np.float32)[:, None]
+    comb = _rfft_comb_tables(m, inverse)
     sb = _V3_SB
-    pad = (-batch) % sb
+    # il interleaved pipelines per grid step (same rationale as v3; the dual
+    # 2*sb-wide stage state counts double in the 4MB block budget)
+    il = _V3_IL_OVERRIDE
+    if not il:
+        il = 1
+        while (il < 8 and n * (4 * il) * sb * 4 <= (4 << 20)
+               and batch >= 4 * il * sb):
+            il *= 2
+    gb = sb * il
+    pad = (-batch) % gb
     padded = batch + pad
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
-    spec_r = pl.BlockSpec((1, sb, n), lambda b: (b, 0, 0),
+    spec_r = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_c = pl.BlockSpec((1, sb, m + 1), lambda b: (b, 0, 0),
+    spec_c = pl.BlockSpec((1, gb, m + 1), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -1724,24 +1804,24 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         if Mp > 1:
             stage_specs += [const(s_twr), const(s_twi)]
             np_tables += [s_twr, s_twi]
-    np_tables += [F, twr, twi]
-    extra_specs = [const(F), const(twr), const(twi)]
+    np_tables += comb
+    extra_specs = [const(a) for a in comb]
 
     passes = _mxu_passes(prec)
-    mxu_macs = sum(r for *_, r, _, _ in mxu_tabs) + fb
+    mxu_macs = 2 * sum(r for *_, r, _, _ in mxu_tabs)  # dual-width pipeline
     ce = pl.CostEstimate(
         flops=2 * padded * m * (mxu_macs * 8 * passes + 40),
         transcendentals=0,
         bytes_accessed=dtype.itemsize * padded * (n + 2 * (m + 1)))
 
     if not inverse:
-        kernel = functools.partial(_r2c_kernel, n, m, sb, dtype, prec,
+        kernel = functools.partial(_r2c_kernel, n, m, sb, il, dtype, prec,
                                    vpu_tabs, mxu_tabs)
         call = pl.pallas_call(
-            kernel, grid=(padded // sb,),
+            kernel, grid=(padded // gb,),
             in_specs=[spec_r] + stage_specs + extra_specs,
             out_specs=[spec_c, spec_c],
-            out_shape=[jax.ShapeDtypeStruct((padded // sb, sb, m + 1),
+            out_shape=[jax.ShapeDtypeStruct((padded // gb, gb, m + 1),
                                             dtype)] * 2,
             interpret=interpret,
         compiler_params=None if interpret else _vmem_params(), cost_estimate=ce)
@@ -1749,20 +1829,20 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         def run(x):
             if pad:
                 x = jnp.pad(x, ((0, pad), (0, 0)))
-            a, b = call(x.reshape(padded // sb, sb, n),
+            a, b = call(x.reshape(padded // gb, gb, n),
                         *(jnp.asarray(t_) for t_ in np_tables))
             a = a.reshape(padded, m + 1)
             b = b.reshape(padded, m + 1)
             return (a[:batch], b[:batch]) if pad else (a, b)
         return run
 
-    kernel = functools.partial(_c2r_kernel, n, m, sb, dtype, prec,
+    kernel = functools.partial(_c2r_kernel, n, m, sb, il, dtype, prec,
                                vpu_tabs, mxu_tabs)
     call = pl.pallas_call(
-        kernel, grid=(padded // sb,),
+        kernel, grid=(padded // gb,),
         in_specs=[spec_c, spec_c] + stage_specs + extra_specs,
         out_specs=spec_r,
-        out_shape=jax.ShapeDtypeStruct((padded // sb, sb, n), dtype),
+        out_shape=jax.ShapeDtypeStruct((padded // gb, gb, n), dtype),
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(), cost_estimate=ce)
 
@@ -1770,8 +1850,8 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         if pad:
             xr = jnp.pad(xr, ((0, pad), (0, 0)))
             xi = jnp.pad(xi, ((0, pad), (0, 0)))
-        y = call(xr.reshape(padded // sb, sb, m + 1),
-                 xi.reshape(padded // sb, sb, m + 1),
+        y = call(xr.reshape(padded // gb, gb, m + 1),
+                 xi.reshape(padded // gb, gb, m + 1),
                  *(jnp.asarray(t_) for t_ in np_tables))
         y = y.reshape(padded, n)
         return y[:batch] if pad else y
@@ -1813,19 +1893,29 @@ def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int,
 
 
 def _rev_full(a, F_ref, S):
-    """a[m-1-k] over rows (full reversal): per-block flip matmul + reversed
-    static block concat."""
+    """a[m-1-k] over rows (full reversal): per-block exact flip matmuls +
+    reversed static block concat."""
     fb = F_ref.shape[0]
     nb = a.shape[0] // fb
-    ab = a.reshape(nb, fb, S)
-    y = jax.lax.dot_general(
-        F_ref[:], ab, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)
-    y = jnp.swapaxes(y, 0, 1)
+    y = _flip_blocks_exact(a, fb, F_ref, S)
     if nb > 1:
         return jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
     return y[0]
+
+
+def _split3_bf16(a):
+    """Three bf16-exact f32 digit planes with d0+d1+d2 == a exactly (24-bit
+    f32 significand = 3x8-bit bf16 digits; each subtraction is exact)."""
+    d0 = a.astype(jnp.bfloat16).astype(jnp.float32)
+    r = a - d0
+    d1 = r.astype(jnp.bfloat16).astype(jnp.float32)
+    return d0, d1, r - d1
+
+
+def _flip_rows_exact(a, F_ref, S):
+    """Exact full row reversal a[rows-1-k] of f32 data (see
+    `_flip_blocks_exact`) + reversed static block concat."""
+    return _rev_full(a, F_ref, S)
 
 
 def use_dct_kernel(n: int) -> bool:
@@ -2008,6 +2098,262 @@ def dst3_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
     (-1)^j output signs folded in-kernel."""
     run = _build_dct_call(x.shape[-1], x.shape[0], _INTERPRET, True,
                           str(x.dtype), scale=scale, dst=True)
+    return run(x)
+
+
+# ---------------------------------------------------------------------------
+# In-kernel DCT-I / DST-I (reference ``appendDCTI_read``, vkFFT_R2R.h:1339)
+# and DCT/DST-IV even (``appendDCTIV_even_read``/``_write``, :2318/:2946) —
+# round-3 replacements for the XLA compositions in transforms/r2r.py, which
+# paid ~3x the HBM traffic (round-2 verdict item 6).
+#
+# DCT-I: the length-(2n-2) symmetric extension never materializes — with
+# x~ = x zero-padded to 2n-2 and H = rfft(x~) (m = n-1 dual pipeline),
+#   DCT1(x)_k = 2 Re(H_k) - x_0 - (-1)^k x_{n-1},  k = 0..n-1.
+# DST-I: with x~ = [0, x_0..x_{n-1}, 0...] of length 2n+2 (m = n+1),
+#   DST1(x)_k = -2 Im(H_{k+1}).
+# DCT-IV even (m = n/2, derivation in transforms/r2r.py _dct4_even): with
+# z_a = x_{2a} + i x_{n-1-2a} and c = s (.) z, s_a = e^{-i pi(4a+1)/(4n)},
+#   X_{2b}   = 2 Re(u_b C_b),                u_b = e^{-i pi b/n}
+#   X_{2b+1} = 2 Re(v_b conj(D_{(b+1)%m})),  v_b = e^{+i pi(b+1)/n}
+# where C = FFT_m(c) and D = FFT_m(conj(c)) = conj(C_rev) — both halves of
+# ONE dual-width stage pass; the only reversal left (the odd input slice)
+# is a 3-pass exact flip.  DST-IV is the same kernel with the even and
+# reversed-odd input roles swapped and v negated (the identity
+# DST4(x)_k = (-1)^k DCT4(rev x)_k).
+# ---------------------------------------------------------------------------
+
+
+def use_dct1_kernel(n: int) -> bool:
+    """DCT-I sizes whose half-extension length n-1 has a v3 plan."""
+    return n >= 3 and (n - 1) <= 4096 and _use_v3(n - 1)
+
+
+def use_dst1_kernel(n: int) -> bool:
+    """DST-I sizes whose half-extension length n+1 has a v3 plan."""
+    return n >= 3 and (n + 1) <= 4096 and _use_v3(n + 1)
+
+
+def use_dct4_kernel(n: int) -> bool:
+    """Even DCT/DST-IV sizes whose half length has a v3 plan."""
+    return n >= 8 and n % 2 == 0 and n // 2 <= 4096 and _use_v3(n // 2)
+
+
+def _dct1_kernel(n, m, sb, il, out_dtype, prec, dst, scale, vpu_tabs,
+                 mxu_tabs, x_ref, *refs):
+    o_ref = refs[-1]
+    if dst:
+        ur_ref, ui_ref, vr_ref, vi_ref = refs[-5:-1]
+        stage_refs = refs[:-5]
+    else:
+        ur_ref, ui_ref, vr_ref, vi_ref, alt_ref = refs[-6:-1]
+        stage_refs = refs[:-6]
+    M = 2 * m
+    for i in range(il):
+        x = jnp.swapaxes(
+            x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (n, sb)
+        # the symmetric/odd extension never materializes: rfft the
+        # zero-padded line and correct (the pad rows are VMEM zeros —
+        # nothing extra was read from HBM)
+        xt = jnp.pad(x, ((1, M - n - 1), (0, 0)) if dst
+                     else ((0, M - n), (0, 0)))
+        Hr, Hi = _dual_rfft_body(xt, m, sb, stage_refs, vpu_tabs, mxu_tabs,
+                                 prec, ur_ref[:], ui_ref[:], vr_ref[:],
+                                 vi_ref[:])
+        if dst:
+            out = -2.0 * Hi[1:n + 1]
+        else:
+            out = (2.0 * Hr[:n] - np.float32(scale) * x[:1]
+                   - alt_ref[:] * x[n - 1:n])
+        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_dct1_call(n: int, batch: int, interpret: bool, dst: bool,
+                     dtype_name: str = "float32", scale: float = 1.0):
+    dtype = jnp.dtype(dtype_name)
+    m = (n + 1) if dst else (n - 1)
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    vpu_tabs, mxu_tabs = _v3_tables(m, False, scale=scale, int8=int8)
+    comb = _rfft_comb_tables(m, False)
+    sb = _V3_SB
+    il = _V3_IL_OVERRIDE
+    if not il:
+        il = 1
+        while (il < 8 and 2 * m * (4 * il) * sb * 4 <= (4 << 20)
+               and batch >= 4 * il * sb):
+            il *= 2
+    gb = sb * il
+    pad = (-batch) % gb
+    padded = batch + pad
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    tabs, tab_specs = _pair_operands(vpu_tabs, mxu_tabs, const)
+    extra = list(comb)
+    if not dst:
+        alt = np.full(n, scale, np.float32)
+        alt[1::2] = -scale
+        extra.append(alt[:, None])
+    np_tables = tabs + extra
+    in_specs = tab_specs + [const(a) for a in extra]
+    spec = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    passes = _mxu_passes(prec)
+    macs = 2 * sum(r for *_, r, _, _ in mxu_tabs)
+    ce = pl.CostEstimate(
+        flops=2 * padded * m * (macs * 8 * passes + 60),
+        transcendentals=0,
+        bytes_accessed=dtype.itemsize * padded * n * 2)
+    kernel = functools.partial(_dct1_kernel, n, m, sb, il, dtype, prec,
+                               dst, scale, vpu_tabs, mxu_tabs)
+    call = pl.pallas_call(
+        kernel, grid=(padded // gb,),
+        in_specs=[spec] + in_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((padded // gb, gb, n), dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
+        cost_estimate=ce)
+
+    def run(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = call(x.reshape(padded // gb, gb, n),
+                 *(jnp.asarray(t_) for t_ in np_tables))
+        y = y.reshape(padded, n)
+        return y[:batch] if pad else y
+
+    return run
+
+
+def dct1_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized DCT-I of real (B, n) lines in one kernel (the 2n-2
+    extension stays virtual — one real read + one real write)."""
+    run = _build_dct1_call(x.shape[-1], x.shape[0], _INTERPRET, False,
+                           str(x.dtype), scale=scale)
+    return run(x)
+
+
+def dst1_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized DST-I of real (B, n) lines in one kernel (the 2n+2 odd
+    extension stays virtual)."""
+    run = _build_dct1_call(x.shape[-1], x.shape[0], _INTERPRET, True,
+                           str(x.dtype), scale=scale)
+    return run(x)
+
+
+def _dct4_kernel(n, m, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
+                 x_ref, *refs):
+    o_ref = refs[-1]
+    (F_ref, sr_ref, si_ref, ur_ref, ui_ref, vr_ref, vi_ref) = refs[-8:-1]
+    stage_refs = refs[:-8]
+    for i in range(il):
+        x = jnp.swapaxes(
+            x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (n, sb)
+        z = x.reshape(m, 2, sb)
+        e, o = z[:, 0], z[:, 1]
+        orev = _flip_rows_exact(o, F_ref, sb)        # x[n-1-2a]
+        if dst:
+            e, orev = orev, e                        # DST4 = DCT4 o rev + signs
+        sr, si = sr_ref[:], si_ref[:]
+        cr = e * sr - orev * si
+        ci = e * si + orev * sr
+        xr2 = jnp.concatenate([cr, cr], axis=1)      # [c | conj(c)]
+        xi2 = jnp.concatenate([ci, -ci], axis=1)
+        Zr, Zi = _v3_apply_stages(xr2, xi2, 2 * sb, stage_refs, vpu_tabs,
+                                  mxu_tabs, prec, False)
+        Zr = Zr.reshape(m, 2 * sb)
+        Zi = Zi.reshape(m, 2 * sb)
+        Cr, Ci = Zr[:, :sb], Zi[:, :sb]              # C = FFT(c)
+        Dr = pltpu.roll(Zr[:, sb:], shift=m - 1, axis=0)  # D_{(b+1) % m}
+        Di = pltpu.roll(Zi[:, sb:], shift=m - 1, axis=0)
+        y_e = 2.0 * (ur_ref[:] * Cr - ui_ref[:] * Ci)   # 2 Re(u C)
+        y_o = 2.0 * (vr_ref[:] * Dr + vi_ref[:] * Di)   # 2 Re(v conj(D'))
+        out = jnp.stack([y_e, y_o], axis=1).reshape(n, sb)
+        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _build_dct4_call(n: int, batch: int, interpret: bool, dst: bool,
+                     dtype_name: str = "float32", scale: float = 1.0):
+    dtype = jnp.dtype(dtype_name)
+    m = n // 2
+    int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    vpu_tabs, mxu_tabs = _v3_tables(m, False, scale=scale, int8=int8)
+    j = np.arange(m)
+    s = np.exp(-1.0j * np.pi * (4 * j + 1) / (4 * n))
+    u = np.exp(-1.0j * np.pi * j / n)
+    v = np.exp(1.0j * np.pi * (j + 1) / n)
+    if dst:
+        v = -v
+    F = _flip_block(m)[1]
+    extra = [F,
+             np.real(s).astype(np.float32)[:, None],
+             np.imag(s).astype(np.float32)[:, None],
+             np.real(u).astype(np.float32)[:, None],
+             np.imag(u).astype(np.float32)[:, None],
+             np.real(v).astype(np.float32)[:, None],
+             np.imag(v).astype(np.float32)[:, None]]
+    sb = _V3_SB
+    il = _V3_IL_OVERRIDE
+    if not il:
+        il = 1
+        while (il < 8 and n * (4 * il) * sb * 4 <= (4 << 20)
+               and batch >= 4 * il * sb):
+            il *= 2
+    gb = sb * il
+    pad = (-batch) % gb
+    padded = batch + pad
+    prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
+    const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    tabs, tab_specs = _pair_operands(vpu_tabs, mxu_tabs, const)
+    np_tables = tabs + extra
+    in_specs = tab_specs + [const(a) for a in extra]
+    spec = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    passes = _mxu_passes(prec)
+    macs = 2 * sum(r for *_, r, _, _ in mxu_tabs) + 3 * F.shape[0] // 2
+    ce = pl.CostEstimate(
+        flops=2 * padded * m * (macs * 8 * passes + 80),
+        transcendentals=0,
+        bytes_accessed=dtype.itemsize * padded * n * 2)
+    kernel = functools.partial(_dct4_kernel, n, m, sb, il, dtype, prec,
+                               dst, vpu_tabs, mxu_tabs)
+    call = pl.pallas_call(
+        kernel, grid=(padded // gb,),
+        in_specs=[spec] + in_specs,
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((padded // gb, gb, n), dtype),
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(),
+        cost_estimate=ce)
+
+    def run(x):
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+        y = call(x.reshape(padded // gb, gb, n),
+                 *(jnp.asarray(t_) for t_ in np_tables))
+        y = y.reshape(padded, n)
+        return y[:batch] if pad else y
+
+    return run
+
+
+def dct4_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized even-length DCT-IV of real (B, n) lines in one kernel
+    (the N/2 complex trick fully in-kernel)."""
+    run = _build_dct4_call(x.shape[-1], x.shape[0], _INTERPRET, False,
+                           str(x.dtype), scale=scale)
+    return run(x)
+
+
+def dst4_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
+    """Unnormalized even-length DST-IV: the DCT-IV kernel with swapped
+    even/reversed-odd input roles and negated odd-output phases."""
+    run = _build_dct4_call(x.shape[-1], x.shape[0], _INTERPRET, True,
+                           str(x.dtype), scale=scale)
     return run(x)
 
 

@@ -64,10 +64,25 @@ def _fft_p(p: Planar, inverse=False, engine=None) -> Planar:
 # DCT kernels along the last axis (input real, (..., n))
 # ---------------------------------------------------------------------------
 
+def _kernel_ok(x, engine, gate) -> bool:
+    if x.dtype != jnp.float32:
+        return False
+    if (engine or api.default_engine()) != "pallas":
+        return False
+    from vkfft_tpu.ops import pallas_engine as pe
+    return getattr(pe, gate)(x.shape[-1])
+
+
 def _dct1(x, engine):
     n = x.shape[-1]
     if n < 2:
         raise InvalidConfigError("DCT-I requires n >= 2")
+    if _kernel_ok(x, engine, "use_dct1_kernel"):
+        # in-kernel form (reference appendDCTI_read, vkFFT_R2R.h:1339): the
+        # 2n-2 extension stays virtual — one real read + one real write
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dct1_lines(x.reshape(-1, n)).reshape(*lead, n)
     # even extension of length 2n-2; its rfft has exactly n bins
     ext = jnp.concatenate([x, x[..., 1:-1][..., ::-1]], axis=-1)
     E = _rfft_p(ext, engine)
@@ -146,6 +161,13 @@ def _dct4_even(x, engine):
       y[2t+1] = 2 Re(e^{+i pi (t+1)/n} W[(m-t-1) mod m])
     where W = FFT_m(v * e^{-i a}) and m = n/2."""
     n = x.shape[-1]
+    if _kernel_ok(x, engine, "use_dct4_kernel"):
+        # in-kernel N/2 trick (reference appendDCTIV_even_read/_write,
+        # vkFFT_R2R.h:2318/2946): pre-rotation, half-size dual-pipeline FFT,
+        # post-rotation and interleave all inside one kernel
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dct4_lines(x.reshape(-1, n)).reshape(*lead, n)
     m = n // 2
     j = np.arange(m)
     ar = np.cos(np.pi * (4 * j + 1) / (4 * n))
@@ -192,6 +214,11 @@ def _dct4_odd(x, engine):
 
 def _dst1(x, engine):
     n = x.shape[-1]
+    if _kernel_ok(x, engine, "use_dst1_kernel"):
+        # in-kernel form: the 2n+2 odd extension stays virtual
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dst1_lines(x.reshape(-1, n)).reshape(*lead, n)
     zeros = jnp.zeros_like(x[..., :1])
     # odd extension of length 2n+2; rfft has n+2 bins, we need 1..n
     ext = jnp.concatenate([zeros, x, zeros, -x[..., ::-1]], axis=-1)
@@ -227,6 +254,12 @@ def _dst3(x, engine):
 
 
 def _dst4(x, engine):
+    n = x.shape[-1]
+    if n % 2 == 0 and n >= 8 and _kernel_ok(x, engine, "use_dct4_kernel"):
+        # the DCT-IV kernel with swapped input roles and negated odd phases
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dst4_lines(x.reshape(-1, n)).reshape(*lead, n)
     return _dct4(_alt_sign(x), engine)[..., ::-1]
 
 
