@@ -77,8 +77,11 @@ def main():
     sections = set(sys.argv[1:]) or {"c2c", "strided", "pair", "3d", "r2c",
                                      "dct", "conv", "dd"}
     rng = np.random.default_rng(0)
-    fetch_p = lambda r: float(np.asarray(r.re).ravel()[0])
-    fetch_a = lambda r: float(np.asarray(r).ravel()[0])
+    # index on-device FIRST: np.asarray on the full array would
+    # transfer the whole working set through the tunnel inside the
+    # timed region (the e20 round-2 harness bug)
+    fetch_p = lambda r: float(np.asarray(r.re[(0,) * r.re.ndim]))
+    fetch_a = lambda r: float(np.asarray(r[(0,) * r.ndim]))
     results = {}
 
     def planar(shape):
@@ -268,7 +271,7 @@ def main():
             y = dk.dd_fft_pallas(y, n, True)
             return dd_fft.dd_scale(y, 1.0 / n)
 
-        fetch_dd = lambda r: float(np.asarray(r.re.hi).ravel()[0])
+        fetch_dd = lambda r: float(np.asarray(r.re.hi[(0,) * r.re.hi.ndim]))
         data = 4 * b * n * 4
         dt = timed_chain(rt, x0, fetch_dd)
         results["dd_1024"] = row("dd n=1024 in-kernel", dt, 4 * data)

@@ -687,3 +687,56 @@ def test_strided_elision_kernel():
                                               scale=1.0 / n, out_keep=h)
     assert br.shape == (P, h, S)
     assert rel_err(np.asarray(br) + 1j * np.asarray(bi), x[:, :h]) < 2e-6
+
+
+def test_interior_zeropad_elision():
+    """Round 3 (verdict item 7): an interior declared-zero window
+    [left, right) with right < n elides the read of the zero middle —
+    prefix and tail are DMA'd as two BlockSpec windows.  The application
+    routes aligned interior windows to the elided kernel and reports the
+    mode via ``zeropad_mode`` / ``debug.describe``."""
+    import jax.numpy as jnp
+    from vkfft_tpu import FFTConfig, FFTApplication, debug
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(7)
+        for n, (l, r) in [(1024, (256, 768)), (512, (100, 256)),
+                          (1024, (100, 896))]:
+            assert pe.v3_interior_window_ok(n, l, r), (n, l, r)
+            x = rng.standard_normal((130, n)).astype(np.float32)
+            y = rng.standard_normal((130, n)).astype(np.float32)
+            x[:, l:r] = 0
+            y[:, l:r] = 0
+            fr, fi = pe.core_fft_planar_v3(jnp.asarray(x), jnp.asarray(y),
+                                           n, False, in_window=(l, r))
+            ref = np.fft.fft((x + 1j * y).astype(np.complex128))
+            got = np.asarray(fr) + 1j * np.asarray(fi)
+            assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+        # unaligned tail falls back (gate says no)
+        assert not pe.v3_interior_window_ok(1024, 100, 900)
+        # application routing + introspection surface
+        app = FFTApplication(FFTConfig(shape=(1024,),
+                                       zeropad_input=((256, 768),),
+                                       normalize=True), engine="pallas")
+        assert app.zeropad_mode.startswith("elided-interior")
+        assert "zeropad=elided-interior" in debug.describe(app)
+        x = rng.standard_normal((130, 1024)).astype(np.float32)
+        x[:, 256:768] = 0
+        p = Planar(jnp.asarray(x), jnp.zeros_like(jnp.asarray(x)))
+        F = app.forward(p)
+        ref = np.fft.fft(x)
+        got = np.asarray(F.re) + 1j * np.asarray(F.im)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+        # mode reporting for the other routes
+        app2 = FFTApplication(FFTConfig(shape=(1024,),
+                                        zeropad_input=((600, 1024),)),
+                              engine="pallas")
+        assert app2.zeropad_mode == "elided-prefix"
+        app3 = FFTApplication(FFTConfig(shape=(1024,),
+                                        zeropad_input=((100, 900),)),
+                              engine="pallas")
+        assert app3.zeropad_mode == "masked"
+    finally:
+        pe.set_interpret(False)

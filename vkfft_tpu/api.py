@@ -128,6 +128,49 @@ class FFTApplication:
             self._fwd = jax.jit(functools.partial(self._real_transform, inverse=False))
             self._inv = jax.jit(functools.partial(self._real_transform, inverse=True))
 
+    @property
+    def zeropad_mode(self) -> Optional[str]:
+        """Which strategy the configured zero-pad windows get (the zeropad
+        analog of ``ConvolutionApplication.fusion_mode``): 'elided-prefix'
+        (kernel never DMAs the zero tail), 'elided-interior' (prefix+tail
+        windows DMA'd, zero middle skipped; forward reads only),
+        'elided-pair' (through the fused two-axis kernel), or 'masked'
+        (explicit zeroing pass — no bandwidth saving).  None = no window
+        configured."""
+        cfg = self.config
+        if cfg.zeropad_input is None and cfg.zeropad_output is not None:
+            return "masked"
+        if cfg.zeropad_input is None:
+            return None
+        ndim = len(cfg.shape)
+        if (self.engine_name != "pallas" or cfg.zeropad_output is not None
+                or cfg.kind is not TransformKind.C2C):
+            return "masked"
+        from vkfft_tpu.ops import pallas_engine as _pe
+        from vkfft_tpu.planner.factorize import Algorithm as _Alg
+        if len(cfg.axes) == 1 and cfg.axes[0] == ndim - 1:
+            n = cfg.shape[-1]
+            w = cfg.zeropad_input[-1]
+            plan = self.axis_plans[cfg.axes[0]]
+            if plan.algorithm is _Alg.DIRECT and w is not None:
+                if (w[1] == n and 0 < w[0] < n
+                        and (_pe._use_v3(n)
+                             or (_pe._use_v2(n) and _pe.zeropad_rows(n, w[0])))):
+                    return "elided-prefix"
+                if w[1] < n and _pe.v3_interior_window_ok(n, w[0], w[1]):
+                    return "elided-interior (forward reads; inverse masked)"
+            return "masked"
+        if len(cfg.axes) >= 2:
+            ay, az = ndim - 2, ndim - 1
+            if (ay in cfg.axes and az in cfg.axes
+                    and self.axis_plans[ay].algorithm is _Alg.DIRECT
+                    and self.axis_plans[az].algorithm is _Alg.DIRECT
+                    and _pe.pair_available(cfg.shape[ay], cfg.shape[az])
+                    and _prefix_keep_all(cfg.zeropad_input, cfg.shape)
+                    is not None):
+                return "elided-pair"
+        return "masked"
+
     # -- execution ---------------------------------------------------------
 
     def _check_batch(self, x, trailing_ndim: int):
@@ -284,6 +327,19 @@ class FFTApplication:
             use_v2 = (not use_v3 and plan.algorithm is _Alg.DIRECT
                       and _pe._use_v2(n) and w is not None and w[1] == n
                       and _pe.zeropad_rows(n, w[0]))
+            # interior window (data on both sides of the zero region, e.g.
+            # frequency-domain upsampling): the prefix and tail are DMA'd
+            # as two windows, the middle never leaves HBM (forward reads;
+            # inverse interior writes still fall back to masking)
+            if (not inverse and not (use_v3 or use_v2)
+                    and plan.algorithm is _Alg.DIRECT and w is not None
+                    and w[1] < n
+                    and _pe.v3_interior_window_ok(n, w[0], w[1])):
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                rr, ii = _pe.core_fft_planar_v3(flat.re, flat.im, n, False,
+                                                in_window=(w[0], w[1]))
+                return Planar(rr, ii).reshape(*lead, n)
             if use_v3 or use_v2:
                 core = (_pe.core_fft_planar_v3 if use_v3
                         else _pe.core_fft_planar_v2)

@@ -56,6 +56,9 @@ def describe(app) -> str:
                 f"fusion={app.fusion_mode or 'none (XLA spectrum round trip)'}")
     out = [f"FFTApplication shape={app.config.shape} axes={app.config.axes} "
            f"engine={app.engine_name}"]
+    zp = getattr(app, "zeropad_mode", None)
+    if zp is not None:
+        out[0] += f" zeropad={zp}"
     for ax, plan in sorted(app.axis_plans.items()):
         out.append(describe_axis(plan).replace("axis ", f"axis {ax}: "))
     return "\n".join(out)

@@ -1137,7 +1137,15 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
 
 
 def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
-                   xr_ref, xi_ref, *refs):
+                   win, *refs):
+    if win is not None:
+        # interior zero window [left, right): prefix + tail read as two
+        # separately-DMA'd operands; the zero middle never leaves HBM
+        xr_ref, xi_ref, xrt_ref, xit_ref = refs[:4]
+        refs = refs[4:]
+    else:
+        xr_ref, xi_ref = refs[:2]
+        refs = refs[2:]
     or_ref, oi_ref = refs[-2:]
     table_refs = refs[:-2]
     # ``il`` independent sb-line pipelines per grid step: Mosaic's scheduler
@@ -1148,7 +1156,16 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
             xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
         xi = jnp.swapaxes(
             xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
-        if xr.shape[0] < n:
+        if win is not None:
+            left, right = win
+            z = jnp.zeros((right - left, sb), jnp.float32)
+            tr = jnp.swapaxes(
+                xrt_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+            ti = jnp.swapaxes(
+                xit_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+            xr = jnp.concatenate([xr, z, tr], axis=0)
+            xi = jnp.concatenate([xi, z, ti], axis=0)
+        elif xr.shape[0] < n:
             # zero-pad elision: the declared-zero tail was never read from
             # HBM (``vkFFT_Zeropad.h`` analog); materialize zeros VMEM-side
             zpad = ((0, n - xr.shape[0]), (0, 0))
@@ -1167,13 +1184,20 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
 def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
                        dtype_name: str = "float32", donate: bool = False,
                        in_keep: int = 0, out_keep: int = 0,
-                       scale: float = 1.0):
+                       scale: float = 1.0, in_window=None):
     """``in_keep`` (forward): read only the first in_keep entries of each
     line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
     write only the first out_keep entries (the returned planes have that
     length).  Unlike v2's elision, any prefix length works — no row
     alignment requirement.  0 = full.  ``scale``: in-kernel normalization
-    folded into the stage tables (no output multiply pass)."""
+    folded into the stage tables (no output multiply pass).
+
+    ``in_window`` (forward): INTERIOR declared-zero window (left, right)
+    with right < n — the prefix [0, left) and tail [right, n) are DMA'd as
+    two operand windows and the zero middle never leaves HBM (the
+    reference's arbitrary-window read guards, ``vkFFT_Zeropad.h``).
+    Requires ``right % (n - right) == 0`` so the tail window lands on a
+    BlockSpec block boundary (see `v3_interior_window_ok`)."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
     vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8)
@@ -1196,8 +1220,12 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     in_len = in_keep if (in_keep and not inverse) else n
     out_len = out_keep if (out_keep and inverse) else n
 
+    win = None
+    if in_window is not None and not inverse:
+        win = (int(in_window[0]), int(in_window[1]))
+        in_len = win[0]
     kernel = functools.partial(_fft_kernel_v3, n, sb, il, inverse, dtype,
-                               prec, vpu_tabs, mxu_tabs)
+                               prec, vpu_tabs, mxu_tabs, win)
     spec = pl.BlockSpec((1, gb, in_len), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     spec_out = pl.BlockSpec((1, gb, out_len), lambda b: (b, 0, 0),
@@ -1205,6 +1233,12 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     in_specs = [spec, spec]
+    if win is not None:
+        tail = n - win[1]
+        blk = win[1] // tail
+        spec_tail = pl.BlockSpec((1, gb, tail), lambda b: (b, 0, blk),
+                                 memory_space=pltpu.VMEM)
+        in_specs += [spec_tail, spec_tail]
     np_tables = []
     for twr, twi, *_ in vpu_tabs:
         in_specs += [const(twr), const(twi)]
@@ -1219,12 +1253,13 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
 
     passes = _mxu_passes(prec)
     mxu_macs = sum(r for *_, r, _, _ in mxu_tabs)
+    read_len = in_len + (n - win[1] if win is not None else 0)
     kw = {
         "cost_estimate": pl.CostEstimate(
             flops=2 * padded * n * (mxu_macs * 8 * passes
                                     + len(vpu_tabs) * 20),
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * padded * (in_len + out_len)),
+            bytes_accessed=dtype.itemsize * 2 * padded * (read_len + out_len)),
     }
     if donate and not interpret and in_len == n and out_len == n:
         kw["input_output_aliases"] = {0: 0, 1: 1}
@@ -1241,9 +1276,10 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         if pad:
             xr = jnp.pad(xr, ((0, pad), (0, 0)))
             xi = jnp.pad(xi, ((0, pad), (0, 0)))
-        a, b = call(xr.reshape(padded // gb, gb, xr.shape[-1]),
-                    xi.reshape(padded // gb, gb, xi.shape[-1]),
-                    *(jnp.asarray(t) for t in np_tables))
+        a = xr.reshape(padded // gb, gb, xr.shape[-1])
+        b = xi.reshape(padded // gb, gb, xi.shape[-1])
+        ins = (a, b, a, b) if win is not None else (a, b)
+        a, b = call(*ins, *(jnp.asarray(t) for t in np_tables))
         a = a.reshape(padded, out_len)
         b = b.reshape(padded, out_len)
         return (a[:batch], b[:batch]) if pad else (a, b)
@@ -1251,16 +1287,34 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     return run
 
 
+def v3_interior_window_ok(n: int, left: int, right: int) -> bool:
+    """Can the v3 kernel elide reads of an INTERIOR zero window [left, right)
+    (data on both sides)?  The tail segment [right, n) must land on a
+    BlockSpec block boundary: right % (n - right) == 0 — which covers the
+    centered and power-of-two frequency-upsampling windows (e.g. keep n/4
+    head + n/4 tail)."""
+    return (_use_v3(n) and 0 < left < right < n
+            and right % (n - right) == 0)
+
+
 def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
                        in_nonzero: int = 0, out_keep: int = 0,
-                       scale: float = 1.0):
+                       scale: float = 1.0, in_window=None):
     """v3 core: natural order in, natural order out, both directions.
 
     ``in_nonzero`` (forward): the tail [in_nonzero, n) of each input line is
     declared zero and never read (pass full-width planes; only the prefix is
     DMA'd).  ``out_keep`` (inverse): only [0, out_keep) is computed into the
     returned planes (of that width).  ``scale``: normalization folded into
-    the stage tables — no output multiply pass."""
+    the stage tables — no output multiply pass.  ``in_window`` (forward):
+    interior declared-zero window (left, right), right < n — both the prefix
+    and the tail are read, the zero middle is never DMA'd (gate:
+    `v3_interior_window_ok`)."""
+    if in_window is not None and not inverse:
+        run = _build_fft_call_v3(n, False, xr.shape[0], _INTERPRET,
+                                 str(xr.dtype), False, scale=scale,
+                                 in_window=tuple(in_window))
+        return run(xr, xi)
     if in_nonzero and not inverse:
         run = _build_fft_call_v3(n, False, xr.shape[0], _INTERPRET,
                                  str(xr.dtype), False, in_keep=in_nonzero,
