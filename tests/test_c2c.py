@@ -100,3 +100,32 @@ def test_zeropad_input():
     ref[:, 8:32] = 0
     y = np.asarray(app.forward(x))
     assert rel_err(y, np.fft.fft(ref)) < 1e-11
+
+
+def test_fftn_4d():
+    """4-D transform through the generic axis walk (reference default
+    VKFFT_MAX_FFT_DIMENSIONS=4, vkFFT/vkFFT.h:70-102) — round-3 envelope."""
+    rng = np.random.default_rng(44)
+    for shape in [(8, 8, 8, 8), (4, 8, 16, 8), (3, 5, 8, 13)]:
+        x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        y = np.asarray(vt.fftn(x, engine="jnp"))
+        assert rel_err(y, np.fft.fftn(x)) < 1e-11, shape
+        z = np.asarray(vt.ifftn(y, engine="jnp"))
+        assert rel_err(z, x) < 1e-11, shape
+    # 4-D via FFTApplication (config-driven path)
+    app = vt.FFTApplication(vt.FFTConfig(shape=(4, 8, 8, 4), normalize=True),
+                            engine="jnp")
+    x = rng.standard_normal((2, 4, 8, 8, 4)) + 1j * rng.standard_normal((2, 4, 8, 8, 4))
+    y = np.asarray(app.forward(x.astype(np.complex128)))
+    assert rel_err(y, np.fft.fftn(x, axes=(-4, -3, -2, -1))) < 1e-11
+
+
+def test_long_path_oracle_2e20():
+    """Long-sequence multi-upload path vs the fp64 oracle at 2^20 and
+    2^22 (reference envelope reaches 2^26, sample_11 matrix) — round 3."""
+    rng = np.random.default_rng(45)
+    for k in (20, 22):
+        n = 1 << k
+        x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
+        y = np.asarray(vt.fft(x, engine="jnp"))
+        assert rel_err(y, np.fft.fft(x)) < 1e-10, k

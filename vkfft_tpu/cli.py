@@ -217,13 +217,20 @@ def sample_7(ctx):
 _PRECISION_SYSTEMS_1D = [(1 << k,) for k in range(3, 15)] + [
     (6,), (12,), (60,), (120,), (360,), (1000,), (2310,),
 ]
-_PRECISION_SYSTEMS_ND = [(8, 16), (32, 32), (16, 17, 4), (8, 8, 8)]
+# long-path (multi-upload four-step) systems toward the reference's 2^26
+# envelope (sample_11_precision_VkFFT_single.cpp:78-90) — round 3
+_PRECISION_SYSTEMS_LONG = [(1 << 17,), (1 << 20,), (1 << 22,), (1 << 24,)]
+# 4-D transforms (reference default VKFFT_MAX_FFT_DIMENSIONS=4,
+# vkFFT/vkFFT.h:70-102)
+_PRECISION_SYSTEMS_ND = [(8, 16), (32, 32), (16, 17, 4), (8, 8, 8),
+                         (8, 8, 8, 8), (4, 8, 16, 8)]
 
 
 @sample(11, "precision C2C FP32 vs fp64 oracle")
 def sample_11(ctx):
     worst = 0.0
-    for shape in _PRECISION_SYSTEMS_1D + _PRECISION_SYSTEMS_ND:
+    for shape in (_PRECISION_SYSTEMS_1D + _PRECISION_SYSTEMS_LONG
+                  + _PRECISION_SYSTEMS_ND):
         x = _rand_complex(shape, seed=1, dtype=np.complex64)
         got = _run_fft_host(x, ctx.engine)
         ref = np.fft.fftn(x.astype(np.complex128))
@@ -249,7 +256,10 @@ def sample_12(ctx):
 @sample(14, "precision non-pow2 + primes (Rader/Bluestein paths)")
 def sample_14(ctx):
     worst = 0.0
-    for n in [17, 31, 61, 67, 97, 101, 257, 641, 1009, 10007, 10006, 919]:
+    # primes toward the reference's ~1e5 envelope (Rader ceiling README.md:10,
+    # Bluestein beyond): 32771/65537/99991 exercise the large-prime paths
+    for n in [17, 31, 61, 67, 97, 101, 257, 641, 1009, 10007, 10006, 919,
+              32771, 65537, 99991]:
         x = _rand_complex((3, n), seed=n, dtype=np.complex64)
         got = _run_fft_host(x, ctx.engine, axes=(-1,))
         ref = np.fft.fft(x.astype(np.complex128), axis=-1)

@@ -1363,23 +1363,27 @@ def _pair_pad_in(xr, xi, ny, nz):
     return xr, xi
 
 
-def _pair_kernel(ny, nz, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
+def _pair_kernel(ny, nz, il, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
                  mxu_z, n_y_refs, xr_ref, xi_ref, *refs):
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
-    xr, xi = _pair_pad_in(xr_ref[0].astype(jnp.float32),
-                          xi_ref[0].astype(jnp.float32), ny, nz)
-    xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
-                              prec, inverse)
-    xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)            # (nz, ny)
-    xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
-    xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
-                              prec, inverse)
-    oy, oz = or_ref.shape[1:]   # < (ny, nz): discarded-tail writes elided
-    xr = jnp.swapaxes(xr.reshape(nz, ny), 0, 1)[:oy, :oz]
-    xi = jnp.swapaxes(xi.reshape(nz, ny), 0, 1)[:oy, :oz]
-    or_ref[0] = xr.astype(out_dtype)
-    oi_ref[0] = xi.astype(out_dtype)
+    # ``il`` independent plane pipelines per grid step (round 3): Mosaic
+    # overlaps one plane's VPU/transpose work with another's MXU stage —
+    # same rationale as the v3 kernel's interleaving (E9/E10)
+    for i in range(il):
+        xr, xi = _pair_pad_in(xr_ref[i].astype(jnp.float32),
+                              xi_ref[i].astype(jnp.float32), ny, nz)
+        xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
+                                  prec, inverse)
+        xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)        # (nz, ny)
+        xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
+        xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
+                                  prec, inverse)
+        oy, oz = or_ref.shape[1:]  # < (ny, nz): discarded-tail writes elided
+        xr = jnp.swapaxes(xr.reshape(nz, ny), 0, 1)[:oy, :oz]
+        xi = jnp.swapaxes(xi.reshape(nz, ny), 0, 1)[:oy, :oz]
+        or_ref[i] = xr.astype(out_dtype)
+        oi_ref[i] = xi.astype(out_dtype)
 
 
 def _pair_operands(vpu_tabs, mxu_tabs, const):
@@ -1416,34 +1420,50 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
                                    memory_space=pltpu.VMEM)
     tabs_y, specs_y = _pair_operands(vpu_y, mxu_y, const)
     tabs_z, specs_z = _pair_operands(vpu_z, mxu_z, const)
-    kernel = functools.partial(_pair_kernel, ny, nz, dtype, prec, inverse,
-                               vpu_y, mxu_y, vpu_z, mxu_z, len(tabs_y))
+    # il interleaved plane pipelines (round 3: the single-plane kernel
+    # measured 227 GB/s vs two-pass 491 — no overlap; see e22/e23)
+    il = _V3_IL_OVERRIDE
+    if not il:
+        il = 1
+        # budget counts the in+out f32 planes; stage temps ride the raised
+        # VMEM limit (e23: il=4 beats il=2 at 256x256 — 2.165 vs 2.230 ms)
+        while il < 8 and ny * nz * 16 * (il * 2) <= (4 << 20) and b >= il * 2:
+            il *= 2
+    kernel = functools.partial(_pair_kernel, ny, nz, il, dtype, prec,
+                               inverse, vpu_y, mxu_y, vpu_z, mxu_z,
+                               len(tabs_y))
     iy = in_keep[0] or ny
     iz = in_keep[1] or nz
     oy = out_keep[0] or ny
     oz = out_keep[1] or nz
-    spec_in = pl.BlockSpec((1, iy, iz), lambda i: (i, 0, 0),
+    pad = (-b) % il
+    padded = b + pad
+    spec_in = pl.BlockSpec((il, iy, iz), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, oy, oz), lambda i: (i, 0, 0),
+    spec_out = pl.BlockSpec((il, oy, oz), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     passes = _mxu_passes(prec)
     macs = (sum(r for *_, r, _, _ in mxu_y) * nz
             + sum(r for *_, r, _, _ in mxu_z) * ny)
     call = pl.pallas_call(
-        kernel, grid=(b,),
+        kernel, grid=(padded // il,),
         in_specs=[spec_in, spec_in] + specs_y + specs_z,
         out_specs=[spec_out, spec_out],
-        out_shape=[jax.ShapeDtypeStruct((b, oy, oz), dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((padded, oy, oz), dtype)] * 2,
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * macs * 8 * passes,
+            flops=2 * padded * macs * 8 * passes,
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * b * (iy * iz + oy * oz)))
+            bytes_accessed=dtype.itemsize * 2 * padded * (iy * iz + oy * oz)))
 
     def run(xr, xi):
+        if pad:
+            zpad = ((0, pad), (0, 0), (0, 0))
+            xr = jnp.pad(xr, zpad)
+            xi = jnp.pad(xi, zpad)
         a, c = call(xr, xi, *(jnp.asarray(t) for t in tabs_y + tabs_z))
-        return a, c
+        return (a[:b], c[:b]) if pad else (a, c)
 
     return run
 
@@ -1715,75 +1735,132 @@ def _c2r_repack(Xfr, Xfi, m, F_ref, twr, twi, S):
 
 
 def _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
-                    ur, ui, vr, vi):
-    """rfft of real rows ``x`` (2m, sb) -> half spectrum (m+1, sb) planes,
-    via the dual pipeline [z | conj(z)] (see block comment above)."""
+                    ur, ui, vr, vi, packed=False):
+    """rfft of real rows ``x`` (2m, sb) -> half spectrum planes, via the
+    dual pipeline [z | conj(z)] (see block comment above).
+
+    ``packed=False``: numpy layout, (m+1, sb) rows.  ``packed=True``: the
+    PACKED halfcomplex-style layout — (m, sb) rows with the (real) Nyquist
+    bin stored in Im(row 0), whose mathematical value is 0 for real input.
+    The packed form keeps every HBM row a multiple of the lane tile (an
+    m+1 = 513-wide row has a 2052-byte stride — every DMA row lands
+    unaligned, measured ~3x slower end-to-end; hwlogs/e22_family.log)."""
     z = x.reshape(m, 2, sb)
-    zr, zi = z[:, 0], z[:, 1]                            # even / odd
-    xr2 = jnp.concatenate([zr, zr], axis=1)
-    xi2 = jnp.concatenate([zi, -zi], axis=1)
-    Zr, Zi = _v3_apply_stages(xr2, xi2, 2 * sb, stage_refs, vpu_tabs,
-                              mxu_tabs, prec, False)
-    Zr = Zr.reshape(m, 2 * sb)
-    Zi = Zi.reshape(m, 2 * sb)
-    Ar, Ai = Zr[:, :sb], Zi[:, :sb]                      # Z
-    Br, Bi = Zr[:, sb:], Zi[:, sb:]                      # conj(Z_rev)
+    return _dual_rfft_core(z[:, 0], z[:, 1], m, sb, stage_refs, vpu_tabs,
+                           mxu_tabs, prec, ur, ui, vr, vi, packed)
+
+
+def _dual_rfft_core(zr, zi, m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
+                    ur, ui, vr, vi, packed=False):
+    """Dual-pipeline untangle from even/odd planes (m, sb) — see
+    `_dual_rfft_body`.
+
+    The two pipelines run as two SEQUENTIAL single-width stage passes, not
+    one 2*sb-wide pass: Mosaic's cost for a 2-lane-tile stage state is ~10x
+    a single tile (e24 probes: dual-wide ~1.0 ms vs single ~0.09 ms at
+    m=512), while two independent single-width chains also interleave like
+    the v3 il pipelines."""
+    Ar, Ai = _v3_apply_stages(zr, zi, sb, stage_refs, vpu_tabs,
+                              mxu_tabs, prec, False)       # Z = FFT(z)
+    Br, Bi = _v3_apply_stages(zr, -zi, sb, stage_refs, vpu_tabs,
+                              mxu_tabs, prec, False)       # conj(Z_rev)
+    Ar = Ar.reshape(m, sb)
+    Ai = Ai.reshape(m, sb)
+    Br = Br.reshape(m, sb)
+    Bi = Bi.reshape(m, sb)
     Xr = Ar * ur - Ai * ui + Br * vr - Bi * vi
     Xi = Ar * ui + Ai * ur + Br * vi + Bi * vr
     nyq = Ar[:1] - Ai[:1]                                # X[m] = Re - Im
+    if packed:
+        Xi = jnp.concatenate([nyq, Xi[1:]], axis=0)      # Im(DC) <- X[m]
+        return Xr, Xi                                    # (m, sb)
     Xr = jnp.concatenate([Xr, nyq], axis=0)              # (m+1, sb)
     Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq)], axis=0)
     return Xr, Xi
 
 
-def _r2c_kernel(n, m, sb, il, out_dtype, prec, vpu_tabs, mxu_tabs,
-                x_ref, *refs):
+def _r2c_kernel(n, m, sb, il, out_dtype, prec, packed, probe, vpu_tabs,
+                mxu_tabs, x_ref, *refs):
     or_ref, oi_ref = refs[-2:]
     ur_ref, ui_ref, vr_ref, vi_ref = refs[-6:-2]
     stage_refs = refs[:-6]
     for i in range(il):
         x = jnp.swapaxes(
             x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (N, sb)
-        Xr, Xi = _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs, mxu_tabs,
-                                 prec, ur_ref[:], ui_ref[:], vr_ref[:],
-                                 vi_ref[:])
+        if probe == "copy":            # perf floor: DMA + transposes only
+            Xr, Xi = x[:m], x[m:]
+        elif probe == "single":        # no dual width, no untangle
+            zr, zi = x[:m], x[m:]
+            Xr, Xi = _v3_apply_stages(zr, zi, sb, stage_refs, vpu_tabs,
+                                      mxu_tabs, prec, False)
+            Xr = Xr.reshape(m, sb)
+            Xi = Xi.reshape(m, sb)
+        elif probe == "nodeint":       # contiguous halves instead of the
+            Xr, Xi = _dual_rfft_core(  # stride-2 even/odd deinterleave
+                x[:m], x[m:], m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
+                ur_ref[:], ui_ref[:], vr_ref[:], vi_ref[:], packed=True)
+        else:
+            Xr, Xi = _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs,
+                                     mxu_tabs, prec, ur_ref[:], ui_ref[:],
+                                     vr_ref[:], vi_ref[:], packed=packed)
         or_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(Xr, 0, 1).astype(out_dtype)
         oi_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(Xi, 0, 1).astype(out_dtype)
 
 
-def _c2r_kernel(n, m, sb, il, out_dtype, prec, vpu_tabs, mxu_tabs,
-                xr_ref, xi_ref, *refs):
+def _c2r_kernel(n, m, sb, il, out_dtype, prec, packed, probe, vpu_tabs,
+                mxu_tabs, xr_ref, xi_ref, *refs):
     (o_ref,) = refs[-1:]
     ar_ref, ai_ref, br_ref, bi_ref = refs[-5:-1]
     stage_refs = refs[:-5]
     for i in range(il):
         Xr = jnp.swapaxes(
-            xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (m+1, sb)
+            xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
         Xi = jnp.swapaxes(
             xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+        if probe == "copy":
+            o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(
+                jnp.concatenate([Xr, Xi], axis=0), 0, 1).astype(out_dtype)
+            continue
+        if probe == "single":
+            zr, zi = _v3_apply_stages(Xr[:m], Xi[:m], sb, stage_refs,
+                                      vpu_tabs, mxu_tabs, prec, True)
+            x = jnp.concatenate([zr.reshape(m, sb), zi.reshape(m, sb)],
+                                axis=0)
+            o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(x, 0, 1).astype(out_dtype)
+            continue
+        if packed:
+            # packed layout: rows (m, sb); Im(row 0) carries the real
+            # Nyquist bin, the true Im(DC) is 0
+            Xm = Xi[:1]
+            Xi = jnp.concatenate([jnp.zeros_like(Xm), Xi[1:]], axis=0)
+            nr = 0.5 * Xm
+            ni = 0.5 * Xm
+        else:
+            # pipeline-2 row 0 carries the Nyquist bin: (1+i)/2 * X[m]
+            nr = 0.5 * (Xr[m:] - Xi[m:])
+            ni = 0.5 * (Xr[m:] + Xi[m:])
         ar, ai = ar_ref[:], ai_ref[:]
         br, bi = br_ref[:], bi_ref[:]
         P1r = Xr[:m] * ar - Xi[:m] * ai
         P1i = Xr[:m] * ai + Xi[:m] * ar
         P2r = Xr[:m] * br - Xi[:m] * bi
         P2i = Xr[:m] * bi + Xi[:m] * br
-        # pipeline-2 row 0 carries the Nyquist bin: (1+i)/2 * X[m]
-        nr = 0.5 * (Xr[m:] - Xi[m:])
-        ni = 0.5 * (Xr[m:] + Xi[m:])
         P2r = jnp.concatenate([nr, P2r[1:]], axis=0)
         P2i = jnp.concatenate([ni, P2i[1:]], axis=0)
-        xr2 = jnp.concatenate([P1r, P2r], axis=1)            # (m, 2*sb)
-        xi2 = jnp.concatenate([P1i, P2i], axis=1)
-        zr2, zi2 = _v3_apply_stages(xr2, xi2, 2 * sb, stage_refs, vpu_tabs,
+        # two sequential single-width inverse pipelines (see
+        # `_dual_rfft_core` — a 2*sb-wide pass costs ~10x on Mosaic)
+        z1r, z1i = _v3_apply_stages(P1r, P1i, sb, stage_refs, vpu_tabs,
                                     mxu_tabs, prec, True)
-        zr2 = zr2.reshape(m, 2 * sb)
-        zi2 = zi2.reshape(m, 2 * sb)
-        zr = zr2[:, :sb] + zr2[:, sb:]                       # o1 + conj(o2)
-        zi = zi2[:, :sb] - zi2[:, sb:]
-        # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
-        x = jnp.stack([zr, zi], axis=1)
-        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(
-            x.reshape(n, sb), 0, 1).astype(out_dtype)
+        z2r, z2i = _v3_apply_stages(P2r, P2i, sb, stage_refs, vpu_tabs,
+                                    mxu_tabs, prec, True)
+        zr = (z1r + z2r).reshape(m, sb)                      # o1 + conj(o2)
+        zi = (z1i - z2i).reshape(m, sb)
+        if probe == "nointer":
+            x = jnp.concatenate([zr, zi], axis=0)
+        else:
+            # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
+            x = jnp.stack([zr, zi], axis=1).reshape(n, sb)
+        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(x, 0, 1).astype(out_dtype)
 
 
 def _revmod_tail(X, m, F_ref, S):
@@ -1816,11 +1893,16 @@ def _rfft_comb_tables(m: int, inverse: bool) -> list:
 
 @functools.lru_cache(maxsize=512)
 def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
-                    dtype_name: str = "float32", scale: float = 1.0):
+                    dtype_name: str = "float32", scale: float = 1.0,
+                    packed: bool = False, probe=None):
     """Forward: real (batch, n) -> planar (batch, m+1) half spectrum.
     Inverse: planar (batch, m+1) -> real (batch, n), scaled by m*scale —
     callers pass ``scale=1/m`` to get numpy-irfft normalization in-kernel
-    (folded into the stage tables, no output multiply pass)."""
+    (folded into the stage tables, no output multiply pass).
+
+    ``packed=True``: (batch, m) spectrum planes with the real Nyquist bin
+    in Im(row 0) — every HBM row stays lane-tile aligned (see
+    `_dual_rfft_body`); the round-trip and fused consumers use this form."""
     dtype = jnp.dtype(dtype_name)
     m = n // 2
     vpu_tabs, mxu_tabs = _v3_tables(m, inverse, scale=scale,
@@ -1842,7 +1924,8 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
 
     spec_r = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_c = pl.BlockSpec((1, gb, m + 1), lambda b: (b, 0, 0),
+    cw = m if (packed or not inverse and probe) else m + 1
+    spec_c = pl.BlockSpec((1, gb, cw), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -1870,12 +1953,12 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
 
     if not inverse:
         kernel = functools.partial(_r2c_kernel, n, m, sb, il, dtype, prec,
-                                   vpu_tabs, mxu_tabs)
+                                   packed, probe, vpu_tabs, mxu_tabs)
         call = pl.pallas_call(
             kernel, grid=(padded // gb,),
             in_specs=[spec_r] + stage_specs + extra_specs,
             out_specs=[spec_c, spec_c],
-            out_shape=[jax.ShapeDtypeStruct((padded // gb, gb, m + 1),
+            out_shape=[jax.ShapeDtypeStruct((padded // gb, gb, cw),
                                             dtype)] * 2,
             interpret=interpret,
         compiler_params=None if interpret else _vmem_params(), cost_estimate=ce)
@@ -1885,13 +1968,13 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
                 x = jnp.pad(x, ((0, pad), (0, 0)))
             a, b = call(x.reshape(padded // gb, gb, n),
                         *(jnp.asarray(t_) for t_ in np_tables))
-            a = a.reshape(padded, m + 1)
-            b = b.reshape(padded, m + 1)
+            a = a.reshape(padded, cw)
+            b = b.reshape(padded, cw)
             return (a[:batch], b[:batch]) if pad else (a, b)
         return run
 
     kernel = functools.partial(_c2r_kernel, n, m, sb, il, dtype, prec,
-                               vpu_tabs, mxu_tabs)
+                               packed, probe, vpu_tabs, mxu_tabs)
     call = pl.pallas_call(
         kernel, grid=(padded // gb,),
         in_specs=[spec_c, spec_c] + stage_specs + extra_specs,
@@ -1904,8 +1987,8 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         if pad:
             xr = jnp.pad(xr, ((0, pad), (0, 0)))
             xi = jnp.pad(xi, ((0, pad), (0, 0)))
-        y = call(xr.reshape(padded // gb, gb, m + 1),
-                 xi.reshape(padded // gb, gb, m + 1),
+        y = call(xr.reshape(padded // gb, gb, cw),
+                 xi.reshape(padded // gb, gb, cw),
                  *(jnp.asarray(t_) for t_ in np_tables))
         y = y.reshape(padded, n)
         return y[:batch] if pad else y
@@ -1935,6 +2018,44 @@ def irfft_lines_planar(xr: jax.Array, xi: jax.Array, n: int,
     run = _build_r2c_call(n, xr.shape[0], _INTERPRET, True, str(xr.dtype),
                           scale=scale)
     return run(xr, xi)
+
+
+def rfft_lines_packed(x: jax.Array):
+    """Real (B, n) lines -> PACKED planar (B, n//2) half spectrum: bins
+    0..n//2-1 with the (real) Nyquist bin stored in Im(bin 0) — the
+    halfcomplex-style layout whose HBM rows stay lane-tile aligned (the
+    numpy m+1 layout costs ~3x in unaligned DMA; hwlogs/e22/e23).  Use for
+    round trips and fused spectrum consumers; `packed_to_numpy_layout`
+    converts when the numpy layout is required."""
+    run = _build_r2c_call(x.shape[-1], x.shape[0], _INTERPRET, False,
+                          str(x.dtype), packed=True)
+    return run(x)
+
+
+def irfft_lines_packed(xr: jax.Array, xi: jax.Array, n: int,
+                       scale: float = 1.0):
+    """PACKED planar (B, n//2) half spectrum -> real (B, n) lines (see
+    `rfft_lines_packed`); scaled by (n//2)*scale."""
+    run = _build_r2c_call(n, xr.shape[0], _INTERPRET, True, str(xr.dtype),
+                          scale=scale, packed=True)
+    return run(xr, xi)
+
+
+def packed_to_numpy_layout(xr: jax.Array, xi: jax.Array):
+    """(B, m) packed half spectrum -> (B, m+1) numpy rfft layout (XLA
+    concat pass — pay only when the numpy layout is actually needed)."""
+    nyq = xi[:, :1]
+    zero = jnp.zeros_like(nyq)
+    return (jnp.concatenate([xr, nyq], axis=-1),
+            jnp.concatenate([zero, xi[:, 1:], zero], axis=-1))
+
+
+def numpy_to_packed_layout(xr: jax.Array, xi: jax.Array):
+    """(B, m+1) numpy rfft layout -> (B, m) packed half spectrum (Nyquist
+    real into Im(bin 0); the mathematically-zero Im parts of DC/Nyquist
+    are dropped)."""
+    return (xr[:, :-1],
+            jnp.concatenate([xr[:, -1:], xi[:, 1:-1]], axis=-1))
 
 
 # ---------------------------------------------------------------------------
@@ -2313,15 +2434,16 @@ def _dct4_kernel(n, m, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
         sr, si = sr_ref[:], si_ref[:]
         cr = e * sr - orev * si
         ci = e * si + orev * sr
-        xr2 = jnp.concatenate([cr, cr], axis=1)      # [c | conj(c)]
-        xi2 = jnp.concatenate([ci, -ci], axis=1)
-        Zr, Zi = _v3_apply_stages(xr2, xi2, 2 * sb, stage_refs, vpu_tabs,
+        # two single-width pipelines: C = FFT(c), D = FFT(conj c)
+        # (see `_dual_rfft_core` — a 2*sb-wide pass costs ~10x on Mosaic)
+        Cr, Ci = _v3_apply_stages(cr, ci, sb, stage_refs, vpu_tabs,
                                   mxu_tabs, prec, False)
-        Zr = Zr.reshape(m, 2 * sb)
-        Zi = Zi.reshape(m, 2 * sb)
-        Cr, Ci = Zr[:, :sb], Zi[:, :sb]              # C = FFT(c)
-        Dr = pltpu.roll(Zr[:, sb:], shift=m - 1, axis=0)  # D_{(b+1) % m}
-        Di = pltpu.roll(Zi[:, sb:], shift=m - 1, axis=0)
+        Dr0, Di0 = _v3_apply_stages(cr, -ci, sb, stage_refs, vpu_tabs,
+                                    mxu_tabs, prec, False)
+        Cr = Cr.reshape(m, sb)
+        Ci = Ci.reshape(m, sb)
+        Dr = pltpu.roll(Dr0.reshape(m, sb), shift=m - 1, axis=0)  # D_{(b+1)%m}
+        Di = pltpu.roll(Di0.reshape(m, sb), shift=m - 1, axis=0)
         y_e = 2.0 * (ur_ref[:] * Cr - ui_ref[:] * Ci)   # 2 Re(u C)
         y_o = 2.0 * (vr_ref[:] * Dr + vi_ref[:] * Di)   # 2 Re(v conj(D'))
         out = jnp.stack([y_e, y_o], axis=1).reshape(n, sb)
