@@ -76,12 +76,9 @@ def main():
         return rt
 
     cases = [
-        ("full/full (baseline)", None, None),
-        ("fwd=nodeint", "nodeint", None),
-        ("fwd=single", "single", None),
+        ("merged-slab full (default)", None, None),
+        ("noflip/noflip (flip cost)", "noflip", "noflip"),
         ("fwd=copy (inv total)", "copy", None),
-        ("inv=nointer", None, "nointer"),
-        ("inv=single", None, "single"),
         ("inv=copy (fwd total)", None, "copy"),
         ("copy/copy (DMA floor)", "copy", "copy"),
     ]

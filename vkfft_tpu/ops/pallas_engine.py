@@ -1734,133 +1734,122 @@ def _c2r_repack(Xfr, Xfi, m, F_ref, twr, twi, S):
     return Er - Oi, Ei + Or
 
 
-def _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
-                    ur, ui, vr, vi, packed=False):
-    """rfft of real rows ``x`` (2m, sb) -> half spectrum planes, via the
-    dual pipeline [z | conj(z)] (see block comment above).
-
-    ``packed=False``: numpy layout, (m+1, sb) rows.  ``packed=True``: the
-    PACKED halfcomplex-style layout — (m, sb) rows with the (real) Nyquist
-    bin stored in Im(row 0), whose mathematical value is 0 for real input.
-    The packed form keeps every HBM row a multiple of the lane tile (an
-    m+1 = 513-wide row has a 2052-byte stride — every DMA row lands
-    unaligned, measured ~3x slower end-to-end; hwlogs/e22_family.log)."""
-    z = x.reshape(m, 2, sb)
-    return _dual_rfft_core(z[:, 0], z[:, 1], m, sb, stage_refs, vpu_tabs,
-                           mxu_tabs, prec, ur, ui, vr, vi, packed)
-
-
-def _dual_rfft_core(zr, zi, m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
-                    ur, ui, vr, vi, packed=False):
-    """Dual-pipeline untangle from even/odd planes (m, sb) — see
-    `_dual_rfft_body`.
-
-    The two pipelines run as two SEQUENTIAL single-width stage passes, not
-    one 2*sb-wide pass: Mosaic's cost for a 2-lane-tile stage state is ~10x
-    a single tile (e24 probes: dual-wide ~1.0 ms vs single ~0.09 ms at
-    m=512), while two independent single-width chains also interleave like
-    the v3 il pipelines."""
-    Ar, Ai = _v3_apply_stages(zr, zi, sb, stage_refs, vpu_tabs,
-                              mxu_tabs, prec, False)       # Z = FFT(z)
-    Br, Bi = _v3_apply_stages(zr, -zi, sb, stage_refs, vpu_tabs,
-                              mxu_tabs, prec, False)       # conj(Z_rev)
-    Ar = Ar.reshape(m, sb)
-    Ai = Ai.reshape(m, sb)
-    Br = Br.reshape(m, sb)
-    Bi = Bi.reshape(m, sb)
-    Xr = Ar * ur - Ai * ui + Br * vr - Bi * vi
-    Xi = Ar * ui + Ai * ur + Br * vi + Bi * vr
-    nyq = Ar[:1] - Ai[:1]                                # X[m] = Re - Im
-    if packed:
-        Xi = jnp.concatenate([nyq, Xi[1:]], axis=0)      # Im(DC) <- X[m]
-        return Xr, Xi                                    # (m, sb)
-    Xr = jnp.concatenate([Xr, nyq], axis=0)              # (m+1, sb)
-    Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq)], axis=0)
-    return Xr, Xi
-
-
+# Merged-slab R2C/C2R (round 3, third design — the one that measures):
+# instead of the textbook even/odd half-size trick (whose stride-2
+# deinterleave costs ~1.7 ms/128MB as a Mosaic sublane relayout, e24b) or
+# the dual [z|conj z] pipeline (2x compute), each kernel step pairs TWO
+# whole lines as re/im of ONE full-n complex FFT — the line slabs are
+# contiguous, so there is no element shuffling at all:
+#
+#   forward:  Z = FFT_n(lineA + i lineB);  V = conj(Z[(n-k) % n]) computed
+#             as a SECOND pipeline FFT_n(lineA - i lineB) — a reversal
+#             materialized via flip matmuls costs ~0.9 ms/kernel in the
+#             (fb, nb) output transpose (e24d), vs ~0.18 ms for a pipeline;
+#             F_A = (Z+V)/2,  F_B = (Z-V)/(2i)
+#   inverse:  H = A + iB (bins 0..m),  G = A - iB (bins 1..m-1), both
+#             zero-extended to n rows;  y = IDFT_n(H') + conj(IDFT_n(G'));
+#             lineA = Re y, lineB = Im y
+#
+# Compute per 2 real lines = two n-point pipelines — 2x the C2C MXU per
+# equal real content at half the HBM bytes; measured ~1.4x faster per
+# transform than C2C of the same length (e24e).
 def _r2c_kernel(n, m, sb, il, out_dtype, prec, packed, probe, vpu_tabs,
                 mxu_tabs, x_ref, *refs):
     or_ref, oi_ref = refs[-2:]
-    ur_ref, ui_ref, vr_ref, vi_ref = refs[-6:-2]
-    stage_refs = refs[:-6]
+    stage_refs = refs[:-2]
     for i in range(il):
-        x = jnp.swapaxes(
-            x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (N, sb)
+        base = 2 * i * sb
+        xa = jnp.swapaxes(
+            x_ref[0, base:base + sb].astype(jnp.float32), 0, 1)      # (n, sb)
+        xb = jnp.swapaxes(
+            x_ref[0, base + sb:base + 2 * sb].astype(jnp.float32), 0, 1)
         if probe == "copy":            # perf floor: DMA + transposes only
-            Xr, Xi = x[:m], x[m:]
-        elif probe == "single":        # no dual width, no untangle
-            zr, zi = x[:m], x[m:]
-            Xr, Xi = _v3_apply_stages(zr, zi, sb, stage_refs, vpu_tabs,
-                                      mxu_tabs, prec, False)
-            Xr = Xr.reshape(m, sb)
-            Xi = Xi.reshape(m, sb)
-        elif probe == "nodeint":       # contiguous halves instead of the
-            Xr, Xi = _dual_rfft_core(  # stride-2 even/odd deinterleave
-                x[:m], x[m:], m, sb, stage_refs, vpu_tabs, mxu_tabs, prec,
-                ur_ref[:], ui_ref[:], vr_ref[:], vi_ref[:], packed=True)
+            Far, Fai = xa[:m + (0 if packed else 1)], xa[:m + (0 if packed else 1)]
+            Fbr, Fbi = xb[:m + (0 if packed else 1)], xb[:m + (0 if packed else 1)]
         else:
-            Xr, Xi = _dual_rfft_body(x, m, sb, stage_refs, vpu_tabs,
-                                     mxu_tabs, prec, ur_ref[:], ui_ref[:],
-                                     vr_ref[:], vi_ref[:], packed=packed)
-        or_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(Xr, 0, 1).astype(out_dtype)
-        oi_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(Xi, 0, 1).astype(out_dtype)
+            Zr, Zi = _v3_apply_stages(xa, xb, sb, stage_refs, vpu_tabs,
+                                      mxu_tabs, prec, False)
+            Zr = Zr.reshape(n, sb)
+            Zi = Zi.reshape(n, sb)
+            if probe == "noflip":      # skip the conjugate reversal
+                Vr, Vi = Zr, Zi
+            else:                      # V = FFT(conj z) = conj(Z_rev)
+                Vr, Vi = _v3_apply_stages(xa, -xb, sb, stage_refs, vpu_tabs,
+                                          mxu_tabs, prec, False)
+                Vr = Vr.reshape(n, sb)
+                Vi = Vi.reshape(n, sb)
+            Ar = 0.5 * (Zr + Vr)                             # F_A
+            Ai = 0.5 * (Zi + Vi)
+            Br = 0.5 * (Zi - Vi)                             # F_B = (Z-V)/2i
+            Bi = -0.5 * (Zr - Vr)
+            if packed:
+                Far = Ar[:m]
+                Fai = jnp.concatenate([Ar[m:m + 1], Ai[1:m]], axis=0)
+                Fbr = Br[:m]
+                Fbi = jnp.concatenate([Br[m:m + 1], Bi[1:m]], axis=0)
+            else:
+                zro = jnp.zeros((1, sb), jnp.float32)
+                Far = Ar[:m + 1]
+                Fai = jnp.concatenate([Ai[:m], zro], axis=0)
+                Fbr = Br[:m + 1]
+                Fbi = jnp.concatenate([Bi[:m], zro], axis=0)
+        or_ref[0, base:base + sb] = jnp.swapaxes(Far, 0, 1).astype(out_dtype)
+        oi_ref[0, base:base + sb] = jnp.swapaxes(Fai, 0, 1).astype(out_dtype)
+        or_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(Fbr, 0, 1).astype(out_dtype)
+        oi_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(Fbi, 0, 1).astype(out_dtype)
 
 
 def _c2r_kernel(n, m, sb, il, out_dtype, prec, packed, probe, vpu_tabs,
                 mxu_tabs, xr_ref, xi_ref, *refs):
     (o_ref,) = refs[-1:]
-    ar_ref, ai_ref, br_ref, bi_ref = refs[-5:-1]
-    stage_refs = refs[:-5]
+    stage_refs = refs[:-1]
     for i in range(il):
-        Xr = jnp.swapaxes(
-            xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
-        Xi = jnp.swapaxes(
-            xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+        base = 2 * i * sb
+        Ar = jnp.swapaxes(xr_ref[0, base:base + sb].astype(jnp.float32), 0, 1)
+        Ai = jnp.swapaxes(xi_ref[0, base:base + sb].astype(jnp.float32), 0, 1)
+        Br = jnp.swapaxes(
+            xr_ref[0, base + sb:base + 2 * sb].astype(jnp.float32), 0, 1)
+        Bi = jnp.swapaxes(
+            xi_ref[0, base + sb:base + 2 * sb].astype(jnp.float32), 0, 1)
         if probe == "copy":
-            o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(
-                jnp.concatenate([Xr, Xi], axis=0), 0, 1).astype(out_dtype)
+            ya = jnp.concatenate([Ar, Ai], axis=0)[:n]
+            yb = jnp.concatenate([Br, Bi], axis=0)[:n]
+            o_ref[0, base:base + sb] = jnp.swapaxes(ya, 0, 1).astype(out_dtype)
+            o_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(yb, 0, 1).astype(out_dtype)
             continue
-        if probe == "single":
-            zr, zi = _v3_apply_stages(Xr[:m], Xi[:m], sb, stage_refs,
-                                      vpu_tabs, mxu_tabs, prec, True)
-            x = jnp.concatenate([zr.reshape(m, sb), zi.reshape(m, sb)],
-                                axis=0)
-            o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(x, 0, 1).astype(out_dtype)
-            continue
-        if packed:
-            # packed layout: rows (m, sb); Im(row 0) carries the real
-            # Nyquist bin, the true Im(DC) is 0
-            Xm = Xi[:1]
-            Xi = jnp.concatenate([jnp.zeros_like(Xm), Xi[1:]], axis=0)
-            nr = 0.5 * Xm
-            ni = 0.5 * Xm
+        if packed:                     # Im(row 0) carries the Nyquist bin
+            Am = Ai[:1]
+            Bm = Bi[:1]
+            Ai = jnp.concatenate([jnp.zeros_like(Am), Ai[1:]], axis=0)
+            Bi = jnp.concatenate([jnp.zeros_like(Bm), Bi[1:]], axis=0)
         else:
-            # pipeline-2 row 0 carries the Nyquist bin: (1+i)/2 * X[m]
-            nr = 0.5 * (Xr[m:] - Xi[m:])
-            ni = 0.5 * (Xr[m:] + Xi[m:])
-        ar, ai = ar_ref[:], ai_ref[:]
-        br, bi = br_ref[:], bi_ref[:]
-        P1r = Xr[:m] * ar - Xi[:m] * ai
-        P1i = Xr[:m] * ai + Xi[:m] * ar
-        P2r = Xr[:m] * br - Xi[:m] * bi
-        P2i = Xr[:m] * bi + Xi[:m] * br
-        P2r = jnp.concatenate([nr, P2r[1:]], axis=0)
-        P2i = jnp.concatenate([ni, P2i[1:]], axis=0)
-        # two sequential single-width inverse pipelines (see
-        # `_dual_rfft_core` — a 2*sb-wide pass costs ~10x on Mosaic)
-        z1r, z1i = _v3_apply_stages(P1r, P1i, sb, stage_refs, vpu_tabs,
+            Am = Ar[m:m + 1]           # stored Im(X_m) is mathematically 0
+            Bm = Br[m:m + 1]
+            Ar, Ai = Ar[:m], Ai[:m]
+            Br, Bi = Br[:m], Bi[:m]
+        # head H = A + iB, bins 0..m (row m from the real Nyquist bins),
+        # zero-extended to n rows for pipeline 1
+        zros = jnp.zeros((m - 1, sb), jnp.float32)
+        Hr = jnp.concatenate([Ar - Bi, Am, zros], axis=0)    # (n, sb)
+        Hi = jnp.concatenate([Ai + Br, Bm, zros], axis=0)
+        # pipeline 2: G = A - iB over bins 1..m-1, zero-extended; the
+        # Hermitian tail of the full spectrum is conj(IDFT(G')) (a second
+        # pipeline — cheaper than materializing the reversal, e24d/e24e)
+        zro1 = jnp.zeros((1, sb), jnp.float32)
+        Gr = jnp.concatenate([zro1, (Ar + Bi)[1:m], zro1, zros], axis=0)
+        Gi = jnp.concatenate([zro1, (Ai - Br)[1:m], zro1, zros], axis=0)
+        y1r, y1i = _v3_apply_stages(Hr, Hi, sb, stage_refs, vpu_tabs,
                                     mxu_tabs, prec, True)
-        z2r, z2i = _v3_apply_stages(P2r, P2i, sb, stage_refs, vpu_tabs,
-                                    mxu_tabs, prec, True)
-        zr = (z1r + z2r).reshape(m, sb)                      # o1 + conj(o2)
-        zi = (z1i - z2i).reshape(m, sb)
-        if probe == "nointer":
-            x = jnp.concatenate([zr, zi], axis=0)
+        if probe == "noflip":
+            y2r = jnp.zeros_like(y1r)
+            y2i = jnp.zeros_like(y1i)
         else:
-            # interleave: x[2j] = Re z[j], x[2j+1] = Im z[j]
-            x = jnp.stack([zr, zi], axis=1).reshape(n, sb)
-        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(x, 0, 1).astype(out_dtype)
+            y2r, y2i = _v3_apply_stages(Gr, Gi, sb, stage_refs, vpu_tabs,
+                                        mxu_tabs, prec, True)
+        ya = (y1r + y2r).reshape(n, sb)                      # line A = Re y
+        yb = (y1i - y2i).reshape(n, sb)                      # line B = Im y
+        o_ref[0, base:base + sb] = jnp.swapaxes(ya, 0, 1).astype(out_dtype)
+        o_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(yb, 0, 1).astype(out_dtype)
 
 
 def _revmod_tail(X, m, F_ref, S):
@@ -1873,24 +1862,6 @@ def _revmod_tail(X, m, F_ref, S):
     return y[0]
 
 
-def _rfft_comb_tables(m: int, inverse: bool) -> list:
-    """The four (m, 1) recombination tables of the dual-pipeline rfft (see
-    block comment above): forward u/v, inverse a/b — re/im planes."""
-    k = np.arange(m)
-    if not inverse:
-        t = np.exp(-1.0j * np.pi / m * k)
-        c1 = 0.5 * (1.0 - 1.0j * t)          # u: multiplies Z
-        c2 = 0.5 * (1.0 + 1.0j * t)          # v: multiplies conj(Z_rev)
-    else:
-        tc = np.exp(1.0j * np.pi / m * k)
-        c1 = 0.5 * (1.0 + 1.0j * tc)         # a: pipeline 1
-        c2 = 0.5 * (1.0 - 1.0j * tc)         # b: pipeline 2 (rows 1..m-1)
-    return [np.real(c1).astype(np.float32)[:, None],
-            np.imag(c1).astype(np.float32)[:, None],
-            np.real(c2).astype(np.float32)[:, None],
-            np.imag(c2).astype(np.float32)[:, None]]
-
-
 @functools.lru_cache(maxsize=512)
 def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
                     dtype_name: str = "float32", scale: float = 1.0,
@@ -1901,30 +1872,34 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
     (folded into the stage tables, no output multiply pass).
 
     ``packed=True``: (batch, m) spectrum planes with the real Nyquist bin
-    in Im(row 0) — every HBM row stays lane-tile aligned (see
-    `_dual_rfft_body`); the round-trip and fused consumers use this form."""
+    in Im(row 0) — every HBM row stays lane-tile aligned; the round-trip
+    and fused consumers use this form.
+
+    Merged-slab pairing: lines [2i*sb, 2i*sb+sb) ride the real planes and
+    [2i*sb+sb, 2i*sb+2sb) the imaginary planes of one full-n pipeline per
+    step i (see the block comment at `_r2c_kernel`)."""
     dtype = jnp.dtype(dtype_name)
     m = n // 2
-    vpu_tabs, mxu_tabs = _v3_tables(m, inverse, scale=scale,
+    # full-n stages; inverse folds scale*m/n so the public contract
+    # (output scaled by m*scale) is unchanged
+    vpu_tabs, mxu_tabs = _v3_tables(n, inverse,
+                                    scale=scale * m / n if inverse else scale,
                                     int8=_V3_MXU_INT8 and dtype == jnp.float32)
-    comb = _rfft_comb_tables(m, inverse)
     sb = _V3_SB
-    # il interleaved pipelines per grid step (same rationale as v3; the dual
-    # 2*sb-wide stage state counts double in the 4MB block budget)
     il = _V3_IL_OVERRIDE
     if not il:
         il = 1
-        while (il < 8 and n * (4 * il) * sb * 4 <= (4 << 20)
+        while (il < 8 and n * (8 * il) * sb * 4 <= (4 << 20)
                and batch >= 4 * il * sb):
             il *= 2
-    gb = sb * il
+    gb = 2 * sb * il
     pad = (-batch) % gb
     padded = batch + pad
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
     spec_r = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
-    cw = m if (packed or not inverse and probe) else m + 1
+    cw = m if packed else m + 1
     spec_c = pl.BlockSpec((1, gb, cw), lambda b: (b, 0, 0),
                           memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
@@ -1941,15 +1916,14 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
         if Mp > 1:
             stage_specs += [const(s_twr), const(s_twi)]
             np_tables += [s_twr, s_twi]
-    np_tables += comb
-    extra_specs = [const(a) for a in comb]
+    extra_specs = []
 
     passes = _mxu_passes(prec)
-    mxu_macs = 2 * sum(r for *_, r, _, _ in mxu_tabs)  # dual-width pipeline
+    mxu_macs = 2 * sum(r for *_, r, _, _ in mxu_tabs)   # two pipelines
     ce = pl.CostEstimate(
-        flops=2 * padded * m * (mxu_macs * 8 * passes + 40),
+        flops=padded * n * (mxu_macs * 8 * passes + 40),
         transcendentals=0,
-        bytes_accessed=dtype.itemsize * padded * (n + 2 * (m + 1)))
+        bytes_accessed=dtype.itemsize * padded * (n + 2 * cw))
 
     if not inverse:
         kernel = functools.partial(_r2c_kernel, n, m, sb, il, dtype, prec,
@@ -1996,10 +1970,9 @@ def _build_r2c_call(n: int, batch: int, interpret: bool, inverse: bool,
 
 
 def use_r2c_kernel(n: int) -> bool:
-    """Even n whose half-length runs on v3 (the in-kernel R2C path).
-    m <= 4096 under the raised VMEM limit (the old m <= 1024 cap was the
-    default 16MB scoped budget, since lifted via CompilerParams — E12)."""
-    return n >= 8 and n % 2 == 0 and n // 2 <= 4096 and _use_v3(n // 2)
+    """Even n with a v3 plan (the merged-slab in-kernel R2C path runs
+    full-n stages — two real lines per complex pipeline)."""
+    return n >= 8 and n % 2 == 0 and n <= _V3_MAX_N and _use_v3(n)
 
 
 def rfft_lines_planar(x: jax.Array):
@@ -2300,13 +2273,14 @@ def dst3_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
 
 
 def use_dct1_kernel(n: int) -> bool:
-    """DCT-I sizes whose half-extension length n-1 has a v3 plan."""
-    return n >= 3 and (n - 1) <= 4096 and _use_v3(n - 1)
+    """DCT-I sizes whose extension length 2n-2 has a v3 plan (merged-slab
+    kernel — full-extension pipelines, two lines per step)."""
+    return n >= 3 and (2 * n - 2) <= _V3_MAX_N and _use_v3(2 * n - 2)
 
 
 def use_dst1_kernel(n: int) -> bool:
-    """DST-I sizes whose half-extension length n+1 has a v3 plan."""
-    return n >= 3 and (n + 1) <= 4096 and _use_v3(n + 1)
+    """DST-I sizes whose extension length 2n+2 has a v3 plan."""
+    return n >= 3 and (2 * n + 2) <= _V3_MAX_N and _use_v3(2 * n + 2)
 
 
 def use_dct4_kernel(n: int) -> bool:
@@ -2316,31 +2290,49 @@ def use_dct4_kernel(n: int) -> bool:
 
 def _dct1_kernel(n, m, sb, il, out_dtype, prec, dst, scale, vpu_tabs,
                  mxu_tabs, x_ref, *refs):
+    """Merged-slab DCT-I/DST-I: two lines per step ride one full-extension
+    (M = 2m) pipeline pair (see the `_r2c_kernel` block comment); the
+    symmetric/odd extension never materializes — the zero-padded line's
+    rfft is corrected per line."""
     o_ref = refs[-1]
     if dst:
-        ur_ref, ui_ref, vr_ref, vi_ref = refs[-5:-1]
-        stage_refs = refs[:-5]
+        stage_refs = refs[:-1]
+        alt_ref = None
     else:
-        ur_ref, ui_ref, vr_ref, vi_ref, alt_ref = refs[-6:-1]
-        stage_refs = refs[:-6]
+        alt_ref = refs[-2]
+        stage_refs = refs[:-2]
     M = 2 * m
     for i in range(il):
-        x = jnp.swapaxes(
-            x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (n, sb)
-        # the symmetric/odd extension never materializes: rfft the
-        # zero-padded line and correct (the pad rows are VMEM zeros —
-        # nothing extra was read from HBM)
-        xt = jnp.pad(x, ((1, M - n - 1), (0, 0)) if dst
-                     else ((0, M - n), (0, 0)))
-        Hr, Hi = _dual_rfft_body(xt, m, sb, stage_refs, vpu_tabs, mxu_tabs,
-                                 prec, ur_ref[:], ui_ref[:], vr_ref[:],
-                                 vi_ref[:])
+        base = 2 * i * sb
+        xa = jnp.swapaxes(
+            x_ref[0, base:base + sb].astype(jnp.float32), 0, 1)      # (n, sb)
+        xb = jnp.swapaxes(
+            x_ref[0, base + sb:base + 2 * sb].astype(jnp.float32), 0, 1)
+        pads = ((1, M - n - 1), (0, 0)) if dst else ((0, M - n), (0, 0))
+        xta = jnp.pad(xa, pads)
+        xtb = jnp.pad(xb, pads)
+        Zr, Zi = _v3_apply_stages(xta, xtb, sb, stage_refs, vpu_tabs,
+                                  mxu_tabs, prec, False)
+        Vr, Vi = _v3_apply_stages(xta, -xtb, sb, stage_refs, vpu_tabs,
+                                  mxu_tabs, prec, False)
+        Zr = Zr.reshape(M, sb)
+        Zi = Zi.reshape(M, sb)
+        Vr = Vr.reshape(M, sb)
+        Vi = Vi.reshape(M, sb)
+        Har = 0.5 * (Zr + Vr)                                # rfft(line A)
+        Hai = 0.5 * (Zi + Vi)
+        Hbr = 0.5 * (Zi - Vi)                                # rfft(line B)
+        Hbi = -0.5 * (Zr - Vr)
         if dst:
-            out = -2.0 * Hi[1:n + 1]
+            outa = -2.0 * Hai[1:n + 1]
+            outb = -2.0 * Hbi[1:n + 1]
         else:
-            out = (2.0 * Hr[:n] - np.float32(scale) * x[:1]
-                   - alt_ref[:] * x[n - 1:n])
-        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
+            alt = alt_ref[:]
+            s = np.float32(scale)
+            outa = 2.0 * Har[:n] - s * xa[:1] - alt * xa[n - 1:n]
+            outb = 2.0 * Hbr[:n] - s * xb[:1] - alt * xb[n - 1:n]
+        o_ref[0, base:base + sb] = jnp.swapaxes(outa, 0, 1).astype(out_dtype)
+        o_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(outb, 0, 1).astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=256)
@@ -2349,23 +2341,23 @@ def _build_dct1_call(n: int, batch: int, interpret: bool, dst: bool,
     dtype = jnp.dtype(dtype_name)
     m = (n + 1) if dst else (n - 1)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
-    vpu_tabs, mxu_tabs = _v3_tables(m, False, scale=scale, int8=int8)
-    comb = _rfft_comb_tables(m, False)
+    # full-extension (2m) stages, merged-slab (two lines per step)
+    vpu_tabs, mxu_tabs = _v3_tables(2 * m, False, scale=scale, int8=int8)
     sb = _V3_SB
     il = _V3_IL_OVERRIDE
     if not il:
         il = 1
-        while (il < 8 and 2 * m * (4 * il) * sb * 4 <= (4 << 20)
+        while (il < 8 and 2 * m * (8 * il) * sb * 4 <= (4 << 20)
                and batch >= 4 * il * sb):
             il *= 2
-    gb = sb * il
+    gb = 2 * sb * il
     pad = (-batch) % gb
     padded = batch + pad
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     tabs, tab_specs = _pair_operands(vpu_tabs, mxu_tabs, const)
-    extra = list(comb)
+    extra = []
     if not dst:
         alt = np.full(n, scale, np.float32)
         alt[1::2] = -scale
