@@ -2067,79 +2067,78 @@ def _flip_rows_exact(a, F_ref, S):
 
 
 def use_dct_kernel(n: int) -> bool:
-    """Even n with both n and n/2 on v3 plans (DCT-III runs full-n stages,
-    DCT-II half-n), within the r2c kernel's VMEM reach."""
-    return (n >= 8 and n % 2 == 0 and n <= 8192
-            and _use_v3(n) and _use_v3(n // 2))
+    """Sizes whose doubled length 2n has a v3 plan (the in-kernel DCT-II/
+    III forms run 2n-point pipelines — Makhoul zero-padded mapping with no
+    element shuffling; round 3)."""
+    return n >= 4 and 2 * n <= _V3_MAX_N and _use_v3(2 * n)
 
 
-def _dct2_kernel(n, m, m2, sb, out_dtype, prec, dst, sets, x_ref, *refs):
-    """DCT-II: v = [x_even | reversed x_odd]; rfft(v) in-kernel (half-size
-    complex stages + untangle); Hermitian unfold; rotate 2 e^{-i pi k/2n}.
-    ``dst``: DST-II form — (-1)^j input signs and output reversal fold
-    in-kernel (no extra XLA passes)."""
-    (vpu, mxu) = sets
+def _dct2_kernel(n, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
+                 x_ref, *refs):
+    """Merged-slab DCT-II / DST-II: two lines ride one 2n-point pipeline
+    pair (the `_r2c_kernel` structure) on the zero-padded lines x~,
+    using  DCT2_k = 2 Re(e^{-i pi k/2n} H_k)  and
+           DST2_k = -2 Im(e^{-i pi (k+1)/2n} H_{k+1})
+    with H = rfft_{2n}(x~) — no permutation, no reversal (the round-2
+    kernel's flip matmuls cost ~0.9 ms each at n=1024, e24d)."""
     o_ref = refs[-1]
-    if dst:
-        Fn_ref, alt_ref = refs[-3], refs[-2]
-        refs = refs[:-3] + refs[-1:]
-    Fo_ref, Fz_ref, twr_ref, twi_ref, rot_r_ref, rot_i_ref = refs[-7:-1]
-    tabs = refs[:-7]
-    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)      # (n, S)
-    S = x.shape[1]
-    if dst:
-        x = x * alt_ref[:]
-    xe = x.reshape(m2, 2, S)
-    v = jnp.concatenate([xe[:, 0], _rev_full(xe[:, 1], Fo_ref, S)], axis=0)
-    # ---- rfft(v), v real of length n, m = n//2 (the _r2c_kernel body) ----
-    z = v.reshape(m, 2, S)
-    Zr, Zi = _v3_apply_stages(z[:, 0], z[:, 1], S, tabs, vpu, mxu,
-                              prec, False)
-    Hr, Hi = _rfft_untangle(Zr.reshape(m, S), Zi.reshape(m, S), m, Fz_ref,
-                            twr_ref[:], twi_ref[:], S)
-    # ---- Hermitian unfold: V[k>m] = conj(V[n-k]) = conj(H[m-1..1]) ----
-    tr = _revmod_tail(Hr, m, Fz_ref, S)[1:]                   # H[m-1..1]
-    ti = -_revmod_tail(Hi, m, Fz_ref, S)[1:]
-    Vr = jnp.concatenate([Hr, tr], axis=0)                    # (n, S)
-    Vi = jnp.concatenate([Hi, ti], axis=0)
-    out = rot_r_ref[:] * Vr - rot_i_ref[:] * Vi               # 2 Re(e^.. V)
-    if dst:
-        out = _rev_full(out, Fn_ref, S)
-    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
+    rr_ref, ri_ref = refs[-3:-1]
+    stage_refs = refs[:-3]
+    M = 2 * n
+    for i in range(il):
+        base = 2 * i * sb
+        xa = jnp.swapaxes(
+            x_ref[0, base:base + sb].astype(jnp.float32), 0, 1)      # (n, sb)
+        xb = jnp.swapaxes(
+            x_ref[0, base + sb:base + 2 * sb].astype(jnp.float32), 0, 1)
+        pads = ((0, n), (0, 0))
+        xta = jnp.pad(xa, pads)
+        xtb = jnp.pad(xb, pads)
+        Zr, Zi = _v3_apply_stages(xta, xtb, sb, stage_refs, vpu_tabs,
+                                  mxu_tabs, prec, False)
+        Vr, Vi = _v3_apply_stages(xta, -xtb, sb, stage_refs, vpu_tabs,
+                                  mxu_tabs, prec, False)
+        Zr = Zr.reshape(M, sb)
+        Zi = Zi.reshape(M, sb)
+        Vr = Vr.reshape(M, sb)
+        Vi = Vi.reshape(M, sb)
+        Har = 0.5 * (Zr + Vr)                                # rfft(line A)
+        Hai = 0.5 * (Zi + Vi)
+        Hbr = 0.5 * (Zi - Vi)                                # rfft(line B)
+        Hbi = -0.5 * (Zr - Vr)
+        rr, ri = rr_ref[:], ri_ref[:]
+        if dst:   # bins 1..n, out = -Im(rot * H)
+            outa = -(rr * Hai[1:n + 1] + ri * Har[1:n + 1])
+            outb = -(rr * Hbi[1:n + 1] + ri * Hbr[1:n + 1])
+        else:     # bins 0..n-1, out = Re(rot * H)
+            outa = rr * Har[:n] - ri * Hai[:n]
+            outb = rr * Hbr[:n] - ri * Hbi[:n]
+        o_ref[0, base:base + sb] = jnp.swapaxes(outa, 0, 1).astype(out_dtype)
+        o_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(outb, 0, 1).astype(out_dtype)
 
 
-def _dct3_kernel(n, m, sb, out_dtype, prec, dst, sets, x_ref, *refs):
-    """DCT-III (inverse of II): u = (c - i c[n-k])/2, rotate e^{+i pi k/2n},
-    full-n inverse stages, un-permute (even rows then reversed odd rows).
-    ``dst``: DST-III form — input reversal and (-1)^j output signs fold
-    in-kernel."""
-    (vpu, mxu) = sets
+def _dct3_kernel(n, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
+                 x_ref, *refs):
+    """DCT-III / DST-III: per line, c_j = x_j * rot_j zero-extended to 2n,
+    one complex 2n-point pipeline,
+        DCT3_k = Re(DFT_{2n}(c~)_k),   DST3_k = -Im(DFT_{2n}(c~)_k)
+    (rot tables carry the 2x weights, the DST bin shift, and the halved
+    end term) — no reversal, no permutation."""
     o_ref = refs[-1]
-    if dst:
-        (alt_ref,) = refs[-2:-1]
-        refs = refs[:-2] + refs[-1:]
-    Fn_ref, Fm_ref, rot_r_ref, rot_i_ref = refs[-5:-1]
-    tabs = refs[:-5]
-    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)      # (n, S)
-    S = x.shape[1]
-    if dst:
-        x = _rev_full(x, Fn_ref, S)
-    fbn = Fn_ref.shape[0]
-    rev = _revmod(x, n, fbn, Fn_ref, S)                       # x[(n-k)%n]
-    rev = jnp.concatenate([jnp.zeros_like(rev[:1]), rev[1:]], axis=0)
-    ur = 0.5 * x
-    ui = -0.5 * rev
-    rr = rot_r_ref[:]
-    ri = rot_i_ref[:]
-    Vr = ur * rr - ui * ri
-    Vi = ur * ri + ui * rr
-    vr, _ = _v3_apply_stages(Vr, Vi, S, tabs, vpu, mxu, prec, True)
-    vr = vr.reshape(n, S)
-    odd = _rev_full(vr[m:], Fm_ref, S)
-    out = 2.0 * jnp.stack([vr[:m], odd], axis=1).reshape(n, S)
-    if dst:
-        out = out * alt_ref[:]
-    o_ref[0] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
+    rr_ref, ri_ref = refs[-3:-1]
+    stage_refs = refs[:-3]
+    for i in range(il):
+        x = jnp.swapaxes(
+            x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (n, sb)
+        rr, ri = rr_ref[:], ri_ref[:]
+        pads = ((1, n - 1), (0, 0)) if dst else ((0, n), (0, 0))
+        cr = jnp.pad(x * rr, pads)
+        ci = jnp.pad(x * ri, pads)
+        Zr, Zi = _v3_apply_stages(cr, ci, sb, stage_refs, vpu_tabs,
+                                  mxu_tabs, prec, False)
+        M = 2 * n
+        out = (-Zi.reshape(M, sb)[:n]) if dst else Zr.reshape(M, sb)[:n]
+        o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=256)
@@ -2147,62 +2146,60 @@ def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
                     dtype_name: str = "float32", scale: float = 1.0,
                     dst: bool = False):
     dtype = jnp.dtype(dtype_name)
-    m = n // 2
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
-    k = np.arange(n)
     sb = _V3_SB
-    pad = (-batch) % sb
-    padded = batch + pad
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
-    alt = np.ones(n, np.float32)
-    alt[1::2] = -1.0
-    alt = alt[:, None]
+    vpu_tabs, mxu_tabs = _v3_tables(2 * n, False, scale=scale, int8=int8)
+    k = np.arange(n)
     if not type3:
-        sets = _v3_tables(m, False, scale=scale, int8=int8)
-        m2 = m  # rows of the even/odd halves
-        fo, Fo = _flip_block(m2)
-        fz, Fz = _flip_block(m)
-        t = np.exp(-2.0j * np.pi / n * np.arange(m))
-        twr = np.real(t).astype(np.float32)[:, None]
-        twi = np.imag(t).astype(np.float32)[:, None]
-        rot = 2.0 * np.exp(-0.5j * np.pi * k / n)
-        extra = [Fo, Fz, twr, twi,
-                 np.real(rot).astype(np.float32)[:, None],
-                 np.imag(rot).astype(np.float32)[:, None]]
-        if dst:
-            extra = extra + [_flip_block(n)[1], alt]
-        kernel = functools.partial(_dct2_kernel, n, m, m2, sb, dtype, prec,
-                                   dst, sets)
+        # DCT-II: rot = 2 e^{-i pi k/2n}; DST-II: rot = 2 e^{-i pi(k+1)/2n}
+        rot = 2.0 * np.exp(-0.5j * np.pi * (k + (1 if dst else 0)) / n)
+        pairs_per_step = 2    # merged-slab: two lines per pipeline pair
+        kernel_fn = _dct2_kernel
     else:
-        sets = _v3_tables(n, True, scale=scale, int8=int8)
-        fn, Fn = _flip_block(n)
-        fm, Fm = _flip_block(m)
-        rot = np.exp(0.5j * np.pi * k / n)
-        extra = [Fn, Fm,
-                 np.real(rot).astype(np.float32)[:, None],
-                 np.imag(rot).astype(np.float32)[:, None]]
         if dst:
-            extra = extra + [alt]
-        kernel = functools.partial(_dct3_kernel, n, m, sb, dtype, prec,
-                                   dst, sets)
-    tabs, tab_specs = _pair_operands(sets[0], sets[1], const)
+            # DST-III pre-rotation: c_l = x_{l-1} e^{-i pi l/2n}, l=1..n,
+            # end term halved (l = n)
+            l = k + 1
+            rot = 2.0 * np.exp(-0.5j * np.pi * l / n)
+            rot[-1] *= 0.5
+        else:
+            # DCT-III pre-rotation: c_j = 2 x_j e^{-i pi j/2n}, c_0 = x_0
+            rot = 2.0 * np.exp(-0.5j * np.pi * k / n)
+            rot[0] = 1.0
+        pairs_per_step = 1    # complex input: one line per pipeline
+        kernel_fn = _dct3_kernel
+    extra = [np.real(rot).astype(np.float32)[:, None],
+             np.imag(rot).astype(np.float32)[:, None]]
+    il = _V3_IL_OVERRIDE
+    if not il:
+        il = 1
+        while (il < 8 and 2 * n * (8 * il) * sb * 4 <= (4 << 20)
+               and batch >= 4 * il * sb):
+            il *= 2
+    gb = pairs_per_step * sb * il
+    pad = (-batch) % gb
+    padded = batch + pad
+    tabs, tab_specs = _pair_operands(vpu_tabs, mxu_tabs, const)
     np_tables = tabs + extra
     in_tab_specs = tab_specs + [const(a) for a in extra]
-    spec = pl.BlockSpec((1, sb, n), lambda b: (b, 0, 0),
+    spec = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     passes = _mxu_passes(prec)
-    macs = sum(r for *_, r, _, _ in sets[1]) + 3 * 128
+    macs = 2 * sum(r for *_, r, _, _ in mxu_tabs)
     ce = pl.CostEstimate(
         flops=2 * padded * n * (macs * 8 * passes + 60),
         transcendentals=0,
         bytes_accessed=dtype.itemsize * padded * n * 2)
+    kernel = functools.partial(kernel_fn, n, sb, il, dtype, prec, dst,
+                               vpu_tabs, mxu_tabs)
     call = pl.pallas_call(
-        kernel, grid=(padded // sb,),
+        kernel, grid=(padded // gb,),
         in_specs=[spec] + in_tab_specs,
         out_specs=spec,
-        out_shape=jax.ShapeDtypeStruct((padded // sb, sb, n), dtype),
+        out_shape=jax.ShapeDtypeStruct((padded // gb, gb, n), dtype),
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=ce)
@@ -2210,7 +2207,7 @@ def _build_dct_call(n: int, batch: int, interpret: bool, type3: bool,
     def run(x):
         if pad:
             x = jnp.pad(x, ((0, pad), (0, 0)))
-        y = call(x.reshape(padded // sb, sb, n),
+        y = call(x.reshape(padded // gb, gb, n),
                  *(jnp.asarray(t_) for t_ in np_tables))
         y = y.reshape(padded, n)
         return y[:batch] if pad else y
