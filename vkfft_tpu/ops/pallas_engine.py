@@ -1137,7 +1137,7 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
 
 
 def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
-                   win, *refs):
+                   win, in_tl, out_tl, *refs):
     if win is not None:
         # interior zero window [left, right): prefix + tail read as two
         # separately-DMA'd operands; the zero middle never leaves HBM
@@ -1152,10 +1152,17 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
     # overlaps one chain's VPU stages (butterflies, swaps) with the other's
     # MXU contraction — measured +10-15% over a single chain (E9/E10)
     for i in range(il):
-        xr = jnp.swapaxes(
-            xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
-        xi = jnp.swapaxes(
-            xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+        if in_tl:
+            # transposed-intermediate layout: block (1, n, gb) — the state
+            # orientation, no entry transpose (round-trip/convolution
+            # consumers: the fwd wrote this layout, saving both transposes)
+            xr = xr_ref[0, :, i * sb:(i + 1) * sb].astype(jnp.float32)
+            xi = xi_ref[0, :, i * sb:(i + 1) * sb].astype(jnp.float32)
+        else:
+            xr = jnp.swapaxes(
+                xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+            xi = jnp.swapaxes(
+                xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
         if win is not None:
             left, right = win
             z = jnp.zeros((right - left, sb), jnp.float32)
@@ -1173,6 +1180,10 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
             xi = jnp.pad(xi, zpad)
         xr, xi = _v3_apply_stages(xr, xi, sb, table_refs, vpu_tabs, mxu_tabs,
                                   prec, inverse)
+        if out_tl:
+            or_ref[0, :, i * sb:(i + 1) * sb] = xr.reshape(n, sb).astype(out_dtype)
+            oi_ref[0, :, i * sb:(i + 1) * sb] = xi.reshape(n, sb).astype(out_dtype)
+            continue
         keep = or_ref.shape[2]   # < n: discarded-tail writes are elided
         xr = xr.reshape(n, sb)[:keep]
         xi = xi.reshape(n, sb)[:keep]
@@ -1184,7 +1195,8 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
 def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
                        dtype_name: str = "float32", donate: bool = False,
                        in_keep: int = 0, out_keep: int = 0,
-                       scale: float = 1.0, in_window=None):
+                       scale: float = 1.0, in_window=None,
+                       in_tl: bool = False, out_tl: bool = False):
     """``in_keep`` (forward): read only the first in_keep entries of each
     line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
     write only the first out_keep entries (the returned planes have that
@@ -1197,7 +1209,15 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     two operand windows and the zero middle never leaves HBM (the
     reference's arbitrary-window read guards, ``vkFFT_Zeropad.h``).
     Requires ``right % (n - right) == 0`` so the tail window lands on a
-    BlockSpec block boundary (see `v3_interior_window_ok`)."""
+    BlockSpec block boundary (see `v3_interior_window_ok`).
+
+    ``in_tl``/``out_tl``: transposed-intermediate layout — the operand /
+    result arrays are (steps, n, gb) blocks in the kernel's state
+    orientation, skipping the entry/exit lane<->sublane transposes.  A
+    fwd(out_tl) + inv(in_tl) round trip (keep_intermediate_order consumers:
+    convolution, fwd+inv chains) saves both transposes of the inner
+    boundary — the reference's disableReorderFourStep economy
+    (vkFFT_Structs.h:221)."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
     vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8)
@@ -1225,11 +1245,19 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         win = (int(in_window[0]), int(in_window[1]))
         in_len = win[0]
     kernel = functools.partial(_fft_kernel_v3, n, sb, il, inverse, dtype,
-                               prec, vpu_tabs, mxu_tabs, win)
-    spec = pl.BlockSpec((1, gb, in_len), lambda b: (b, 0, 0),
-                        memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, gb, out_len), lambda b: (b, 0, 0),
+                               prec, vpu_tabs, mxu_tabs, win, in_tl, out_tl)
+    if in_tl:
+        spec = pl.BlockSpec((1, n, gb), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
+    else:
+        spec = pl.BlockSpec((1, gb, in_len), lambda b: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    if out_tl:
+        spec_out = pl.BlockSpec((1, n, gb), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        spec_out = pl.BlockSpec((1, gb, out_len), lambda b: (b, 0, 0),
+                                memory_space=pltpu.VMEM)
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     in_specs = [spec, spec]
@@ -1263,16 +1291,25 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     }
     if donate and not interpret and in_len == n and out_len == n:
         kw["input_output_aliases"] = {0: 0, 1: 1}
+    out_block = (padded // gb, n, gb) if out_tl else (padded // gb, gb,
+                                                      out_len)
     call = pl.pallas_call(
         kernel, grid=(padded // gb,),
         in_specs=in_specs, out_specs=[spec_out, spec_out],
-        out_shape=[jax.ShapeDtypeStruct((padded // gb, gb, out_len),
-                                        dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(out_block, dtype)] * 2,
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         **kw)
 
     def run(xr, xi):
+        if in_tl:
+            # operands already in the (steps, n, gb) intermediate layout
+            a, b = call(xr, xi, *(jnp.asarray(t) for t in np_tables))
+            if out_tl:
+                return a, b
+            a = a.reshape(padded, out_len)
+            b = b.reshape(padded, out_len)
+            return (a[:batch], b[:batch]) if pad else (a, b)
         if pad:
             xr = jnp.pad(xr, ((0, pad), (0, 0)))
             xi = jnp.pad(xi, ((0, pad), (0, 0)))
@@ -1280,6 +1317,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         b = xi.reshape(padded // gb, gb, xi.shape[-1])
         ins = (a, b, a, b) if win is not None else (a, b)
         a, b = call(*ins, *(jnp.asarray(t) for t in np_tables))
+        if out_tl:
+            return a, b
         a = a.reshape(padded, out_len)
         b = b.reshape(padded, out_len)
         return (a[:batch], b[:batch]) if pad else (a, b)
@@ -2281,8 +2320,9 @@ def use_dst1_kernel(n: int) -> bool:
 
 
 def use_dct4_kernel(n: int) -> bool:
-    """Even DCT/DST-IV sizes whose half length has a v3 plan."""
-    return n >= 8 and n % 2 == 0 and n // 2 <= 4096 and _use_v3(n // 2)
+    """DCT/DST-IV sizes whose doubled length has a v3 plan (per-line
+    complex-pipeline form — works for odd n too)."""
+    return n >= 4 and 2 * n <= _V3_MAX_N and _use_v3(2 * n)
 
 
 def _dct1_kernel(n, m, sb, il, out_dtype, prec, dst, scale, vpu_tabs,
@@ -2407,35 +2447,36 @@ def dst1_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
     return run(x)
 
 
-def _dct4_kernel(n, m, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
+def _dct4_kernel(n, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
                  x_ref, *refs):
+    """DCT-IV / DST-IV per line via odd bins of the 4n transform (round 3,
+    no-shuffle form): with c_j = x_j e^{-i pi j/(2n)} zero-extended to 2n
+    and Z = FFT_{2n}(c~),
+        DCT4_k = 2 Re(t_k Z_k),  DST4_k = -2 Im(t_k Z_k),
+        t_k = e^{-i pi (2k+1)/(4n)}
+    — one complex 2n-point pipeline per line, zero permutation/reversal
+    ops (the round-2 kernel's deinterleave + flip cost ~3 ms at n=1024,
+    e25)."""
     o_ref = refs[-1]
-    (F_ref, sr_ref, si_ref, ur_ref, ui_ref, vr_ref, vi_ref) = refs[-8:-1]
-    stage_refs = refs[:-8]
+    sr_ref, si_ref, tr_ref, ti_ref = refs[-5:-1]
+    stage_refs = refs[:-5]
+    M = 2 * n
     for i in range(il):
         x = jnp.swapaxes(
             x_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)  # (n, sb)
-        z = x.reshape(m, 2, sb)
-        e, o = z[:, 0], z[:, 1]
-        orev = _flip_rows_exact(o, F_ref, sb)        # x[n-1-2a]
-        if dst:
-            e, orev = orev, e                        # DST4 = DCT4 o rev + signs
         sr, si = sr_ref[:], si_ref[:]
-        cr = e * sr - orev * si
-        ci = e * si + orev * sr
-        # two single-width pipelines: C = FFT(c), D = FFT(conj c)
-        # (see `_dual_rfft_core` — a 2*sb-wide pass costs ~10x on Mosaic)
-        Cr, Ci = _v3_apply_stages(cr, ci, sb, stage_refs, vpu_tabs,
+        pads = ((0, n), (0, 0))
+        cr = jnp.pad(x * sr, pads)
+        ci = jnp.pad(x * si, pads)
+        Zr, Zi = _v3_apply_stages(cr, ci, sb, stage_refs, vpu_tabs,
                                   mxu_tabs, prec, False)
-        Dr0, Di0 = _v3_apply_stages(cr, -ci, sb, stage_refs, vpu_tabs,
-                                    mxu_tabs, prec, False)
-        Cr = Cr.reshape(m, sb)
-        Ci = Ci.reshape(m, sb)
-        Dr = pltpu.roll(Dr0.reshape(m, sb), shift=m - 1, axis=0)  # D_{(b+1)%m}
-        Di = pltpu.roll(Di0.reshape(m, sb), shift=m - 1, axis=0)
-        y_e = 2.0 * (ur_ref[:] * Cr - ui_ref[:] * Ci)   # 2 Re(u C)
-        y_o = 2.0 * (vr_ref[:] * Dr + vi_ref[:] * Di)   # 2 Re(v conj(D'))
-        out = jnp.stack([y_e, y_o], axis=1).reshape(n, sb)
+        Zr = Zr.reshape(M, sb)[:n]
+        Zi = Zi.reshape(M, sb)[:n]
+        tr, ti = tr_ref[:], ti_ref[:]
+        if dst:
+            out = -2.0 * (tr * Zi + ti * Zr)
+        else:
+            out = 2.0 * (tr * Zr - ti * Zi)
         o_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(out, 0, 1).astype(out_dtype)
 
 
@@ -2443,28 +2484,20 @@ def _dct4_kernel(n, m, sb, il, out_dtype, prec, dst, vpu_tabs, mxu_tabs,
 def _build_dct4_call(n: int, batch: int, interpret: bool, dst: bool,
                      dtype_name: str = "float32", scale: float = 1.0):
     dtype = jnp.dtype(dtype_name)
-    m = n // 2
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
-    vpu_tabs, mxu_tabs = _v3_tables(m, False, scale=scale, int8=int8)
-    j = np.arange(m)
-    s = np.exp(-1.0j * np.pi * (4 * j + 1) / (4 * n))
-    u = np.exp(-1.0j * np.pi * j / n)
-    v = np.exp(1.0j * np.pi * (j + 1) / n)
-    if dst:
-        v = -v
-    F = _flip_block(m)[1]
-    extra = [F,
-             np.real(s).astype(np.float32)[:, None],
+    vpu_tabs, mxu_tabs = _v3_tables(2 * n, False, scale=scale, int8=int8)
+    j = np.arange(n)
+    s = np.exp(-0.5j * np.pi * j / n)                # pre-rotation
+    t = np.exp(-0.25j * np.pi * (2 * j + 1) / n)     # post-rotation
+    extra = [np.real(s).astype(np.float32)[:, None],
              np.imag(s).astype(np.float32)[:, None],
-             np.real(u).astype(np.float32)[:, None],
-             np.imag(u).astype(np.float32)[:, None],
-             np.real(v).astype(np.float32)[:, None],
-             np.imag(v).astype(np.float32)[:, None]]
+             np.real(t).astype(np.float32)[:, None],
+             np.imag(t).astype(np.float32)[:, None]]
     sb = _V3_SB
     il = _V3_IL_OVERRIDE
     if not il:
         il = 1
-        while (il < 8 and n * (4 * il) * sb * 4 <= (4 << 20)
+        while (il < 8 and 2 * n * (8 * il) * sb * 4 <= (4 << 20)
                and batch >= 4 * il * sb):
             il *= 2
     gb = sb * il
@@ -2479,12 +2512,12 @@ def _build_dct4_call(n: int, batch: int, interpret: bool, dst: bool,
     spec = pl.BlockSpec((1, gb, n), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     passes = _mxu_passes(prec)
-    macs = 2 * sum(r for *_, r, _, _ in mxu_tabs) + 3 * F.shape[0] // 2
+    macs = 2 * sum(r for *_, r, _, _ in mxu_tabs)
     ce = pl.CostEstimate(
-        flops=2 * padded * m * (macs * 8 * passes + 80),
+        flops=2 * padded * n * (macs * 8 * passes + 80),
         transcendentals=0,
         bytes_accessed=dtype.itemsize * padded * n * 2)
-    kernel = functools.partial(_dct4_kernel, n, m, sb, il, dtype, prec,
+    kernel = functools.partial(_dct4_kernel, n, sb, il, dtype, prec,
                                dst, vpu_tabs, mxu_tabs)
     call = pl.pallas_call(
         kernel, grid=(padded // gb,),

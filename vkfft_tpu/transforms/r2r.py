@@ -146,6 +146,13 @@ def _dct3(x, engine):
 
 def _dct4(x, engine):
     n = x.shape[-1]
+    if _kernel_ok(x, engine, "use_dct4_kernel"):
+        # in-kernel odd-bins-of-4n form (reference appendDCTIV_even_read/
+        # _write + the odd path, vkFFT_R2R.h:2318/2946/3261): pre-rotation,
+        # 2n-point pipeline, post-rotation in one kernel, any length
+        from vkfft_tpu.ops import pallas_engine as pe
+        lead = x.shape[:-1]
+        return pe.dct4_lines(x.reshape(-1, n)).reshape(*lead, n)
     if n % 2 == 0 and n >= 4:
         return _dct4_even(x, engine)
     return _dct4_odd(x, engine)
@@ -161,13 +168,6 @@ def _dct4_even(x, engine):
       y[2t+1] = 2 Re(e^{+i pi (t+1)/n} W[(m-t-1) mod m])
     where W = FFT_m(v * e^{-i a}) and m = n/2."""
     n = x.shape[-1]
-    if _kernel_ok(x, engine, "use_dct4_kernel"):
-        # in-kernel N/2 trick (reference appendDCTIV_even_read/_write,
-        # vkFFT_R2R.h:2318/2946): pre-rotation, half-size dual-pipeline FFT,
-        # post-rotation and interleave all inside one kernel
-        from vkfft_tpu.ops import pallas_engine as pe
-        lead = x.shape[:-1]
-        return pe.dct4_lines(x.reshape(-1, n)).reshape(*lead, n)
     m = n // 2
     j = np.arange(m)
     ar = np.cos(np.pi * (4 * j + 1) / (4 * n))
@@ -255,8 +255,8 @@ def _dst3(x, engine):
 
 def _dst4(x, engine):
     n = x.shape[-1]
-    if n % 2 == 0 and n >= 8 and _kernel_ok(x, engine, "use_dct4_kernel"):
-        # the DCT-IV kernel with swapped input roles and negated odd phases
+    if _kernel_ok(x, engine, "use_dct4_kernel"):
+        # the DCT-IV kernel with the imaginary-part output combine
         from vkfft_tpu.ops import pallas_engine as pe
         lead = x.shape[:-1]
         return pe.dst4_lines(x.reshape(-1, n)).reshape(*lead, n)
