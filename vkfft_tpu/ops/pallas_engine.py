@@ -1223,14 +1223,14 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8)
     sb = _V3_SB
     # interleaved independent pipelines per grid step (E9-E13: Mosaic
-    # overlaps one chain's VPU work with another's MXU stage; production
-    # 128MB systems measure n=256: 276 -> 379 GB/s at il=8, n=512:
-    # 332 -> 396 at il=4, n=1024: 334 -> 361 at il=4, n=4096:
-    # 309 -> 321 at il=2).  Block budget 4MB with the raised VMEM limit.
+    # overlaps one chain's VPU work with another's MXU stage).  Round 3
+    # (e26): the 4MB block budget was too tight — il=8 at n=1024 (8MB
+    # blocks) measures 547 GB/s vs 509 at il=4; budget raised to 8MB
+    # (n=4096 gains il=2; il=16 regresses).
     il = _V3_IL_OVERRIDE
     if not il:
         il = 1
-        while (il < 8 and n * (2 * il) * sb * 4 <= (4 << 20)
+        while (il < 8 and n * (2 * il) * sb * 4 <= (8 << 20)
                and batch >= 4 * il * sb):
             il *= 2
     gb = sb * il
@@ -2846,42 +2846,47 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused, n_factors,
     oi_ref[0] = outi.astype(out_dtype)
 
 
-def _strided_kernel_v3(n, n1, n2, tile_s, out_dtype, prec, fused, n_factors,
-                       inverse, vpu_tabs, mxu_tabs, n_v3, *refs):
-    """v3-stage strided kernel: the (1, n, tile_s) block already has the
+def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
+                       n_factors, inverse, vpu_tabs, mxu_tabs, n_v3, *refs):
+    """v3-stage strided kernel: the (1, n, il*tile_s) block already has the
     transform axis in sublane/outer dims and the batch in lanes — the v3
     pipeline's native layout with no transpose at all.  One full-efficiency
     K=128 packed contraction replaces the two K<=2*64 partial-tile matmuls
-    of the two-factor form (measured 2x on the contiguous dual, E9)."""
+    of the two-factor form (measured 2x on the contiguous dual, E9).
+    ``il`` independent tile_s-lane pipelines per step (round 3 — same
+    Mosaic-overlap rationale as the contiguous kernel; il=1 when fused
+    twiddle factors are present)."""
     xr_ref, xi_ref = refs[0], refs[1]
     v3_refs = refs[2:2 + n_v3]
     factor_refs = [(refs[2 + n_v3 + 2 * i], refs[2 + n_v3 + 2 * i + 1])
                    for i in range(n_factors)]
     or_ref, oi_ref = refs[-2:]
-    xr = xr_ref[0].astype(jnp.float32)                       # (n, S)
-    xi = xi_ref[0].astype(jnp.float32)
-    if xr.shape[0] < n:
-        # zero-pad elision: the declared-zero row tail was never DMA'd
-        pads = ((0, n - xr.shape[0]), (0, 0))
-        xr = jnp.pad(xr, pads)
-        xi = jnp.pad(xi, pads)
-    if fused == "pre":
-        fr, fi = _fused_product(factor_refs)                 # (n2, n1, S)
-        fr = jnp.broadcast_to(fr, (n2, n1, tile_s)).reshape(n, tile_s)
-        fi = jnp.broadcast_to(fi, (n2, n1, tile_s)).reshape(n, tile_s)
-        xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
-    xr, xi = _v3_apply_stages(xr, xi, tile_s, v3_refs, vpu_tabs, mxu_tabs,
-                              prec, inverse)
-    xr = xr.reshape(n, tile_s)
-    xi = xi.reshape(n, tile_s)
-    if fused == "post":
-        fr, fi = _fused_product(factor_refs)                 # (n1, n2, S)
-        fr = jnp.broadcast_to(fr, (n1, n2, tile_s)).reshape(n, tile_s)
-        fi = jnp.broadcast_to(fi, (n1, n2, tile_s)).reshape(n, tile_s)
-        xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
-    keep = or_ref.shape[1]   # < n: discarded-row writes are elided
-    or_ref[0] = xr[:keep].astype(out_dtype)
-    oi_ref[0] = xi[:keep].astype(out_dtype)
+    for i in range(il):
+        sl = slice(i * tile_s, (i + 1) * tile_s)
+        xr = xr_ref[0, :, sl].astype(jnp.float32)            # (n, tile_s)
+        xi = xi_ref[0, :, sl].astype(jnp.float32)
+        if xr.shape[0] < n:
+            # zero-pad elision: the declared-zero row tail was never DMA'd
+            pads = ((0, n - xr.shape[0]), (0, 0))
+            xr = jnp.pad(xr, pads)
+            xi = jnp.pad(xi, pads)
+        if fused == "pre":
+            fr, fi = _fused_product(factor_refs)             # (n2, n1, S)
+            fr = jnp.broadcast_to(fr, (n2, n1, tile_s)).reshape(n, tile_s)
+            fi = jnp.broadcast_to(fi, (n2, n1, tile_s)).reshape(n, tile_s)
+            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+        xr, xi = _v3_apply_stages(xr, xi, tile_s, v3_refs, vpu_tabs,
+                                  mxu_tabs, prec, inverse)
+        xr = xr.reshape(n, tile_s)
+        xi = xi.reshape(n, tile_s)
+        if fused == "post":
+            fr, fi = _fused_product(factor_refs)             # (n1, n2, S)
+            fr = jnp.broadcast_to(fr, (n1, n2, tile_s)).reshape(n, tile_s)
+            fi = jnp.broadcast_to(fi, (n1, n2, tile_s)).reshape(n, tile_s)
+            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+        keep = or_ref.shape[1]   # < n: discarded-row writes are elided
+        or_ref[0, :, sl] = xr[:keep].astype(out_dtype)
+        oi_ref[0, :, sl] = xi[:keep].astype(out_dtype)
 
 
 def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
@@ -2972,7 +2977,19 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         while per % t:
             t -= 1
         tile_s = t
-    pad_s = (-s) % tile_s
+    # il interleaved lane-chunk pipelines per step on the plain (factor-
+    # free) v3 path — same Mosaic-overlap rationale and 8MB block budget
+    # as the contiguous kernel (e26/e27)
+    il = 1
+    if _use_v3(n) and not factors and not fused:
+        want = _V3_IL_OVERRIDE
+        if want:
+            il = want
+        else:
+            while (il < 8 and n * tile_s * (2 * il) * 4 <= (8 << 20)
+                   and s >= 2 * il * tile_s):
+                il *= 2
+    pad_s = (-s) % (tile_s * il)
     s_pad = s + pad_s
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
@@ -2996,11 +3013,13 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
             if Mp > 1:
                 v3_np += [tr_, ti_]
         kernel = functools.partial(_strided_kernel_v3, n, n1, n2, tile_s,
-                                   dtype, prec, fused, len(factors),
+                                   il, dtype, prec, fused, len(factors),
                                    inverse, vpu_tabs, mxu_tabs, len(v3_np))
-        spec_in = pl.BlockSpec((1, in_len, tile_s), lambda b, t: (b, 0, t),
+        spec_in = pl.BlockSpec((1, in_len, tile_s * il),
+                               lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((1, out_len, tile_s), lambda b, t: (b, 0, t),
+        spec_out = pl.BlockSpec((1, out_len, tile_s * il),
+                                lambda b, t: (b, 0, t),
                                 memory_space=pltpu.VMEM)
         in_specs = [spec_in, spec_in] + [const(t.shape) for t in v3_np]
         base_tabs = v3_np
@@ -3044,7 +3063,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel,
-        grid=(p, s_pad // tile_s),
+        grid=(p, s_pad // (tile_s * il)),
         in_specs=in_specs,
         out_specs=[spec_out, spec_out],
         out_shape=[out_struct] * 2,
