@@ -251,6 +251,19 @@ class FFTApplication:
         from vkfft_tpu.precision.doubledouble import DDComplex
         cfg = self.config
         ndim = len(cfg.shape)
+        # keep_intermediate_order inverse consuming the OPAQUE transposed-
+        # intermediate form the forward returned (v3 tl layout; reference
+        # disableReorderFourStep round trip) — recognized by shape before
+        # the natural-shape validation below
+        if (inverse and isinstance(x, Planar) and cfg.keep_intermediate_order
+                and ndim == 1 and getattr(self, "_tl_meta", None) is not None
+                and x.ndim == 3 and x.shape[1] == cfg.shape[0]):
+            from vkfft_tpu.ops import pallas_engine as _pe
+            n = cfg.shape[0]
+            lead, batch = self._tl_meta
+            s = (1.0 / n) if cfg.normalize else 1.0
+            rr, ii = _pe.core_fft_planar_v3_tl(x.re, x.im, n, True, scale=s)
+            return Planar(rr[:batch], ii[:batch]).reshape(*lead, n)
         if x.shape[-ndim:] != cfg.shape:
             raise InvalidConfigError(
                 f"input trailing shape {x.shape[-ndim:]} != configured {cfg.shape}")
@@ -296,10 +309,18 @@ class FFTApplication:
             from vkfft_tpu.planner.factorize import Algorithm as _Alg
             n = cfg.shape[cfg.axes[0]]
             plan = self.axis_plans[cfg.axes[0]]
-            # the v3 kernel is natural-order native — there is no reorder
-            # pass to skip, so the normal path already satisfies the
-            # disableReorderFourStep contract (and measures faster than the
-            # v2 swapped pair); only pre-v3 sizes take the swapped fast path
+            # v3 sizes: the kernel is natural-order native (no digit
+            # reorder), but the round trip still pays lane<->sublane
+            # transposes at the inner boundary — the tl (transposed-
+            # intermediate) form skips both (e26: n=4096 439 vs ~400 GB/s).
+            # The forward returns the OPAQUE (steps, n, gb) intermediate;
+            # only this app's inverse understands it.
+            if plan.algorithm is _Alg.DIRECT and _pe._use_v3(n) and not inverse:
+                lead = x.shape[:-1]
+                flat = x.reshape(-1, n)
+                rr, ii = _pe.core_fft_planar_v3_tl(flat.re, flat.im, n, False)
+                self._tl_meta = (lead, flat.shape[0])
+                return Planar(rr, ii)
             if (plan.algorithm is _Alg.DIRECT and _pe._use_v2(n)
                     and not _pe._use_v3(n)):
                 lead = x.shape[:-1]

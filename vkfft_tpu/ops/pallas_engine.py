@@ -1196,7 +1196,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
                        dtype_name: str = "float32", donate: bool = False,
                        in_keep: int = 0, out_keep: int = 0,
                        scale: float = 1.0, in_window=None,
-                       in_tl: bool = False, out_tl: bool = False):
+                       in_tl: bool = False, out_tl: bool = False,
+                       force_il: int = 0):
     """``in_keep`` (forward): read only the first in_keep entries of each
     line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
     write only the first out_keep entries (the returned planes have that
@@ -1227,10 +1228,12 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     # (e26): the 4MB block budget was too tight — il=8 at n=1024 (8MB
     # blocks) measures 547 GB/s vs 509 at il=4; budget raised to 8MB
     # (n=4096 gains il=2; il=16 regresses).
-    il = _V3_IL_OVERRIDE
+    il = force_il or _V3_IL_OVERRIDE
     if not il:
+        # strict <: n=1024 reaches il=8 (8MB blocks, 547 GB/s), n=4096
+        # stops at il=2 (il=4 measured a 10% regression, e26/bench_r3a)
         il = 1
-        while (il < 8 and n * (2 * il) * sb * 4 <= (8 << 20)
+        while (il < 8 and n * (2 * il) * sb * 4 < (8 << 20)
                and batch >= 4 * il * sb):
             il *= 2
     gb = sb * il
@@ -1324,6 +1327,27 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         return (a[:batch], b[:batch]) if pad else (a, b)
 
     return run
+
+
+def core_fft_planar_v3_tl(xr, xi, n: int, inverse: bool, scale: float = 1.0):
+    """Transposed-intermediate round-trip halves (keep_intermediate_order /
+    reference ``disableReorderFourStep``): the forward takes natural (B, n)
+    planes and returns the OPAQUE (steps, n, gb) intermediate (no exit
+    transpose); the inverse consumes that form and returns natural
+    (B_padded, n) planes (no entry transpose) — callers slice back to the
+    original batch.  Saves both lane<->sublane transposes of the inner
+    boundary (e26: n=4096 round trip 439 vs ~400 GB/s natural)."""
+    if not inverse:
+        run = _build_fft_call_v3(n, False, xr.shape[0], _INTERPRET,
+                                 str(xr.dtype), out_tl=True)
+        return run(xr, xi)
+    padded = xr.shape[0] * xr.shape[2]
+    # the inverse must tile with the SAME gb the forward wrote (its padded
+    # batch may cross an il threshold the original batch did not)
+    run = _build_fft_call_v3(n, True, padded, _INTERPRET, str(xr.dtype),
+                             in_tl=True, scale=scale,
+                             force_il=xr.shape[2] // _V3_SB)
+    return run(xr, xi)
 
 
 def v3_interior_window_ok(n: int, left: int, right: int) -> bool:
@@ -2986,7 +3010,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         if want:
             il = want
         else:
-            while (il < 8 and n * tile_s * (2 * il) * 4 <= (8 << 20)
+            while (il < 8 and n * tile_s * (2 * il) * 4 < (8 << 20)
                    and s >= 2 * il * tile_s):
                 il *= 2
     pad_s = (-s) % (tile_s * il)
