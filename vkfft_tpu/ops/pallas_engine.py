@@ -966,8 +966,13 @@ def _int8_dot_rhsm(z, ds, sD, dims):
 _VMEM_LIMIT = 100 * 1024 * 1024  # raised Mosaic VMEM budget for big blocks
 
 
-def _vmem_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT)
+def _vmem_params(ndims: int = 1):
+    """Raised VMEM budget + parallel dimension semantics: every kernel's
+    grid steps write disjoint blocks, so declaring them "parallel" lets
+    Mosaic pipeline across steps (round 3, e27)."""
+    return pltpu.CompilerParams(
+        vmem_limit_bytes=_VMEM_LIMIT,
+        dimension_semantics=("parallel",) * ndims)
 
 
 @functools.lru_cache(maxsize=1024)
@@ -3092,7 +3097,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         out_specs=[spec_out, spec_out],
         out_shape=[out_struct] * 2,
         interpret=interpret,
-        compiler_params=None if interpret else _vmem_params(),
+        compiler_params=None if interpret else _vmem_params(2),
         **kw,
     )
 
