@@ -181,14 +181,50 @@ def main() -> int:
     yrr = pe.irfft2_pair_planar(Xp.re, Xp.im, 256, 256)
     check("irfft2 pair roundtrip", np.asarray(yrr), xrr, tol=2e-4)
 
-    # --- in-kernel DCT-II/III
-    print("in-kernel DCT-II/III:")
+    # --- in-kernel DCT/DST I-IV (round-3 no-shuffle forms)
+    print("in-kernel DCT/DST I-IV:")
     import scipy.fft as sfft
     xdc = rng.standard_normal((4, 1024)).astype(np.float32)
     check("dct2 kernel n=1024", np.asarray(pe.dct2_lines(jnp.asarray(xdc))),
           sfft.dct(xdc.astype(np.float64), type=2, axis=-1), tol=2e-4)
     check("dct3 kernel n=1024", np.asarray(pe.dct3_lines(jnp.asarray(xdc))),
           sfft.dct(xdc.astype(np.float64), type=3, axis=-1), tol=2e-4)
+    check("dst2 kernel n=1024", np.asarray(pe.dst2_lines(jnp.asarray(xdc))),
+          sfft.dst(xdc.astype(np.float64), type=2, axis=-1), tol=2e-4)
+    check("dst3 kernel n=1024", np.asarray(pe.dst3_lines(jnp.asarray(xdc))),
+          sfft.dst(xdc.astype(np.float64), type=3, axis=-1), tol=2e-4)
+    xd1 = rng.standard_normal((4, 1025)).astype(np.float32)
+    check("dct1 kernel n=1025", np.asarray(pe.dct1_lines(jnp.asarray(xd1))),
+          sfft.dct(xd1.astype(np.float64), type=1, axis=-1), tol=2e-4)
+    xs1 = rng.standard_normal((4, 1023)).astype(np.float32)
+    check("dst1 kernel n=1023", np.asarray(pe.dst1_lines(jnp.asarray(xs1))),
+          sfft.dst(xs1.astype(np.float64), type=1, axis=-1), tol=2e-4)
+    check("dct4 kernel n=1024", np.asarray(pe.dct4_lines(jnp.asarray(xdc))),
+          sfft.dct(xdc.astype(np.float64), type=4, axis=-1), tol=2e-4)
+    check("dst4 kernel n=1024", np.asarray(pe.dst4_lines(jnp.asarray(xdc))),
+          sfft.dst(xdc.astype(np.float64), type=4, axis=-1), tol=2e-4)
+
+    # --- packed half-spectrum layout + tl round trip + interior zeropad
+    print("round-3 layout paths:")
+    xrp = rng.standard_normal((260, 1024)).astype(np.float32)
+    pr, pi = pe.rfft_lines_packed(jnp.asarray(xrp))
+    back = pe.irfft_lines_packed(pr, pi, 1024, scale=1.0 / 512)
+    check("r2c packed roundtrip n=1024", np.asarray(back), xrp, tol=2e-5)
+    xtl = (rng.standard_normal((300, 1024))
+           + 1j * rng.standard_normal((300, 1024)))
+    tlr = jnp.asarray(xtl.real.astype(np.float32))
+    tli = jnp.asarray(xtl.imag.astype(np.float32))
+    ar, ai = pe.core_fft_planar_v3_tl(tlr, tli, 1024, False)
+    br, bi = pe.core_fft_planar_v3_tl(ar, ai, 1024, True, scale=1.0 / 1024)
+    check("tl-intermediate roundtrip n=1024",
+          np.asarray(br)[:300] + 1j * np.asarray(bi)[:300], xtl, tol=2e-5)
+    xw = rng.standard_normal((130, 1024)).astype(np.float32)
+    xw[:, 256:768] = 0
+    wr, wi = pe.core_fft_planar_v3(jnp.asarray(xw),
+                                   jnp.zeros((130, 1024), jnp.float32),
+                                   1024, False, in_window=(256, 768))
+    check("interior zeropad window n=1024",
+          np.asarray(wr) + 1j * np.asarray(wi), np.fft.fft(xw), tol=2e-4)
 
     # --- int8 compute mode (6-pass digit emulation on the int8 MXU)
     print("int8 compute mode (set_compute_mode('fp32_int8')):")

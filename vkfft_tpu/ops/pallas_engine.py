@@ -1431,6 +1431,20 @@ def _pair_pad_in(xr, xi, ny, nz):
     return xr, xi
 
 
+def _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y, mxu_y,
+                   vpu_z, mxu_z, prec, inverse):
+    """Full 2-D DFT of one (ny, nz) plane inside a kernel: Y stages in the
+    natural layout, in-tile transpose, Z stages, transpose back."""
+    xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
+                              prec, inverse)
+    xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)            # (nz, ny)
+    xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
+    xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
+                              prec, inverse)
+    return (jnp.swapaxes(xr.reshape(nz, ny), 0, 1),
+            jnp.swapaxes(xi.reshape(nz, ny), 0, 1))        # (ny, nz)
+
+
 def _pair_kernel(ny, nz, il, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
                  mxu_z, n_y_refs, xr_ref, xi_ref, *refs):
     or_ref, oi_ref = refs[-2:]
@@ -1441,17 +1455,11 @@ def _pair_kernel(ny, nz, il, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
     for i in range(il):
         xr, xi = _pair_pad_in(xr_ref[i].astype(jnp.float32),
                               xi_ref[i].astype(jnp.float32), ny, nz)
-        xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
-                                  prec, inverse)
-        xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)        # (nz, ny)
-        xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
-        xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
-                                  prec, inverse)
+        xr, xi = _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y,
+                                mxu_y, vpu_z, mxu_z, prec, inverse)
         oy, oz = or_ref.shape[1:]  # < (ny, nz): discarded-tail writes elided
-        xr = jnp.swapaxes(xr.reshape(nz, ny), 0, 1)[:oy, :oz]
-        xi = jnp.swapaxes(xi.reshape(nz, ny), 0, 1)[:oy, :oz]
-        or_ref[i] = xr.astype(out_dtype)
-        oi_ref[i] = xi.astype(out_dtype)
+        or_ref[i] = xr[:oy, :oz].astype(out_dtype)
+        oi_ref[i] = xi[:oy, :oz].astype(out_dtype)
 
 
 def _pair_operands(vpu_tabs, mxu_tabs, const):
@@ -1736,91 +1744,6 @@ def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
 # ---------------------------------------------------------------------------
 
 
-def _flip_block(m: int) -> tuple[int, np.ndarray]:
-    """(fb, F): fb = largest divisor of m <= 128; F the (fb, fb) reversal
-    permutation matrix (exact in bf16)."""
-    fb = next(b for b in range(min(m, 128), 0, -1) if m % b == 0)
-    F = np.zeros((fb, fb), np.float32)
-    F[np.arange(fb), fb - 1 - np.arange(fb)] = 1.0
-    return fb, F
-
-
-def _flip_blocks_exact(a, fb, F_ref, S):
-    """Per-fb-block row reversal of f32 data, EXACT in 3 DEFAULT MXU passes:
-    the data splits into three bf16-exact digits (24 = 3x8 mantissa bits),
-    the 0/1 flip matrix selects each digit losslessly, and the three-term
-    f32 sum reassembles the value exactly — half the MXU passes of the
-    HIGHEST-precision flip this replaces (round 3)."""
-    nb = a.shape[0] // fb
-    acc = None
-    for d in _split3_bf16(a):
-        y = jax.lax.dot_general(
-            F_ref[:], d.reshape(nb, fb, S), (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.DEFAULT)      # (fb, nb, S)
-        acc = y if acc is None else acc + y
-    return jnp.swapaxes(acc, 0, 1)                    # (nb, fb, S)
-
-
-def _revmod(a, m, fb, F_ref, S):
-    """a[(m-k) % m] for (m, S) along sublanes: per-block exact reversal
-    matmuls, reversed static block concat, then roll(1)."""
-    nb = m // fb
-    y = _flip_blocks_exact(a, fb, F_ref, S)
-    if nb > 1:
-        rev = jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
-    else:
-        rev = y[0]
-    return pltpu.roll(rev, shift=1, axis=0)
-
-
-def _rfft_untangle(Zr, Zi, m, F_ref, twr, twi, S):
-    """Half-size complex FFT -> (m+1, S) half spectrum: E/O split via the
-    conj-reversal, post-twiddle rotation, Nyquist row (vkFFT_R2C.h:450)."""
-    Vr = _revmod(Zr, m, F_ref.shape[0], F_ref, S)            # conj(Z[-k])
-    Vi = -_revmod(Zi, m, F_ref.shape[0], F_ref, S)
-    Er, Ei = 0.5 * (Zr + Vr), 0.5 * (Zi + Vi)
-    Or, Oi = 0.5 * (Zi - Vi), -0.5 * (Zr - Vr)
-    Xr = Er + Or * twr - Oi * twi
-    Xi = Ei + Or * twi + Oi * twr
-    nyq = Zr[:1] - Zi[:1]                                    # X[m] = Re - Im
-    Xr = jnp.concatenate([Xr, nyq], axis=0)                  # (m+1, S)
-    Xi = jnp.concatenate([Xi, jnp.zeros_like(nyq)], axis=0)
-    return Xr, Xi
-
-
-def _c2r_repack(Xfr, Xfi, m, F_ref, twr, twi, S):
-    """(m+1, S) half spectrum -> (m, S) packed complex input of the
-    half-size inverse FFT (vkFFT_R2C.h:178): B = conj(X[m-k]), E/D split,
-    O = t_inv * D, Z = E + iO."""
-    Br = _revmod_tail(Xfr, m, F_ref, S)
-    Bi = -_revmod_tail(Xfi, m, F_ref, S)
-    Er, Ei = 0.5 * (Xfr[:m] + Br), 0.5 * (Xfi[:m] + Bi)
-    Dr, Di = 0.5 * (Xfr[:m] - Br), 0.5 * (Xfi[:m] - Bi)
-    Or = Dr * twr - Di * twi
-    Oi = Dr * twi + Di * twr
-    return Er - Oi, Ei + Or
-
-
-# Merged-slab R2C/C2R (round 3, third design — the one that measures):
-# instead of the textbook even/odd half-size trick (whose stride-2
-# deinterleave costs ~1.7 ms/128MB as a Mosaic sublane relayout, e24b) or
-# the dual [z|conj z] pipeline (2x compute), each kernel step pairs TWO
-# whole lines as re/im of ONE full-n complex FFT — the line slabs are
-# contiguous, so there is no element shuffling at all:
-#
-#   forward:  Z = FFT_n(lineA + i lineB);  V = conj(Z[(n-k) % n]) computed
-#             as a SECOND pipeline FFT_n(lineA - i lineB) — a reversal
-#             materialized via flip matmuls costs ~0.9 ms/kernel in the
-#             (fb, nb) output transpose (e24d), vs ~0.18 ms for a pipeline;
-#             F_A = (Z+V)/2,  F_B = (Z-V)/(2i)
-#   inverse:  H = A + iB (bins 0..m),  G = A - iB (bins 1..m-1), both
-#             zero-extended to n rows;  y = IDFT_n(H') + conj(IDFT_n(G'));
-#             lineA = Re y, lineB = Im y
-#
-# Compute per 2 real lines = two n-point pipelines — 2x the C2C MXU per
-# equal real content at half the HBM bytes; measured ~1.4x faster per
-# transform than C2C of the same length (e24e).
 def _r2c_kernel(n, m, sb, il, out_dtype, prec, packed, probe, vpu_tabs,
                 mxu_tabs, x_ref, *refs):
     or_ref, oi_ref = refs[-2:]
@@ -1918,16 +1841,6 @@ def _c2r_kernel(n, m, sb, il, out_dtype, prec, packed, probe, vpu_tabs,
         yb = (y1i - y2i).reshape(n, sb)                      # line B = Im y
         o_ref[0, base:base + sb] = jnp.swapaxes(ya, 0, 1).astype(out_dtype)
         o_ref[0, base + sb:base + 2 * sb] = jnp.swapaxes(yb, 0, 1).astype(out_dtype)
-
-
-def _revmod_tail(X, m, F_ref, S):
-    """X[m-k] for k=0..m-1 from an (m+1, S) array: reverse rows 1..m."""
-    fb = F_ref.shape[0]
-    nb = m // fb
-    y = _flip_blocks_exact(X[1:m + 1], fb, F_ref, S)
-    if nb > 1:
-        return jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
-    return y[0]
 
 
 @functools.lru_cache(maxsize=512)
@@ -2106,32 +2019,6 @@ def numpy_to_packed_layout(xr: jax.Array, xi: jax.Array):
 # inside ONE kernel — a DCT moves one real read + one real write instead of
 # the XLA composition's multiple gather/scatter passes.
 # ---------------------------------------------------------------------------
-
-
-def _rev_full(a, F_ref, S):
-    """a[m-1-k] over rows (full reversal): per-block exact flip matmuls +
-    reversed static block concat."""
-    fb = F_ref.shape[0]
-    nb = a.shape[0] // fb
-    y = _flip_blocks_exact(a, fb, F_ref, S)
-    if nb > 1:
-        return jnp.concatenate([y[nb - 1 - i] for i in range(nb)], axis=0)
-    return y[0]
-
-
-def _split3_bf16(a):
-    """Three bf16-exact f32 digit planes with d0+d1+d2 == a exactly (24-bit
-    f32 significand = 3x8-bit bf16 digits; each subtraction is exact)."""
-    d0 = a.astype(jnp.bfloat16).astype(jnp.float32)
-    r = a - d0
-    d1 = r.astype(jnp.bfloat16).astype(jnp.float32)
-    return d0, d1, r - d1
-
-
-def _flip_rows_exact(a, F_ref, S):
-    """Exact full row reversal a[rows-1-k] of f32 data (see
-    `_flip_blocks_exact`) + reversed static block concat."""
-    return _rev_full(a, F_ref, S)
 
 
 def use_dct_kernel(n: int) -> bool:
@@ -2597,67 +2484,60 @@ def dst4_lines(x: jax.Array, scale: float = 1.0) -> jax.Array:
 
 
 def use_r2c_pair(ny: int, nz: int) -> bool:
-    m = nz // 2
-    return (nz >= 8 and nz % 256 == 0 and ny % 128 == 0
-            and _use_v3(ny) and _use_v3(m)
-            and ny * nz <= _PAIR_MAX_PTS)
+    return pair_available(ny, nz)
 
 
-def _r2c_pair_kernel(ny, nz, m, out_dtype, prec, sets, c1, x_ref, *refs):
-    (vz, mz), (vy, my) = sets
+def _r2c_pair_kernel(ny, nz, m, il, out_dtype, prec, sets, c1,
+                     x_ref, *refs):
+    """Merged-plane rfft2 (round 3, no-shuffle form): two real planes ride
+    one complex 2-D pipeline pair as re/im —
+        Z = FFT2(A + iB);  V = FFT2(A - iB) = conj(Z_rev2)
+        F_A = (Z+V)/2,  F_B = (Z-V)/(2i);  keep kz <= nz/2
+    replacing the round-2 kernel's packed-column + three reversal matmuls
+    (the relayout cost class measured in e24)."""
+    (vy, my), (vz, mz) = sets
     or_ref, oi_ref = refs[-2:]
-    Fz_ref, twr_ref, twi_ref, Fy_ref = refs[-6:-2]
-    tabs = refs[:-6]
-    x = jnp.swapaxes(x_ref[0].astype(jnp.float32), 0, 1)     # (nz, ny)
-    z = x.reshape(m, 2, ny)
-    Zr, Zi = _v3_apply_stages(z[:, 0], z[:, 1], ny, tabs[:c1], vz, mz,
-                              prec, False)
-    Hr, Hi = _rfft_untangle(Zr.reshape(m, ny), Zi.reshape(m, ny), m, Fz_ref,
-                            twr_ref[:], twi_ref[:], ny)
-    Xr = Hr[:m]
-    # pack: row-0 imag (zero for real input) carries the Nyquist row
-    Xi = jnp.concatenate([Hr[m:], Hi[1:m]], axis=0)
-    Pr = jnp.swapaxes(Xr, 0, 1)                               # (ny, m)
-    Pi = jnp.swapaxes(Xi, 0, 1)
-    Qr, Qi = _v3_apply_stages(Pr, Pi, m, tabs[c1:], vy, my, prec, False)
-    Qr = Qr.reshape(ny, m)
-    Qi = Qi.reshape(ny, m)
-    # unpack the packed column: X0 = (Q + conj(Q[-k]))/2, XN = -i/2 (Q - conj)
-    fby = Fy_ref.shape[0]
-    Wr = _revmod(Qr, ny, fby, Fy_ref, m)
-    Wi = _revmod(Qi, ny, fby, Fy_ref, m)
-    X0r = (0.5 * (Qr + Wr))[:, :1]
-    X0i = (0.5 * (Qi - Wi))[:, :1]
-    XNr = (0.5 * (Qi + Wi))[:, :1]
-    XNi = (-0.5 * (Qr - Wr))[:, :1]
-    or_ref[0] = jnp.concatenate([X0r, Qr[:, 1:], XNr], axis=1).astype(out_dtype)
-    oi_ref[0] = jnp.concatenate([X0i, Qi[:, 1:], XNi], axis=1).astype(out_dtype)
+    tabs = refs[:-2]
+    for i in range(il):
+        a = x_ref[2 * i].astype(jnp.float32)                 # (ny, nz)
+        b = x_ref[2 * i + 1].astype(jnp.float32)
+        Zr, Zi = _pair_fft_body(a, b, ny, nz, tabs, c1, vy, my, vz, mz,
+                                prec, False)
+        Vr, Vi = _pair_fft_body(a, -b, ny, nz, tabs, c1, vy, my, vz, mz,
+                                prec, False)
+        h = m + 1
+        or_ref[2 * i] = (0.5 * (Zr + Vr))[:, :h].astype(out_dtype)
+        oi_ref[2 * i] = (0.5 * (Zi + Vi))[:, :h].astype(out_dtype)
+        or_ref[2 * i + 1] = (0.5 * (Zi - Vi))[:, :h].astype(out_dtype)
+        oi_ref[2 * i + 1] = (-0.5 * (Zr - Vr))[:, :h].astype(out_dtype)
 
 
-def _c2r_pair_kernel(ny, nz, m, out_dtype, prec, sets, c1,
+def _c2r_pair_kernel(ny, nz, m, il, out_dtype, prec, sets, c1,
                      xr_ref, xi_ref, *refs):
+    """Merged-plane irfft2: H = A + iB (kz <= m), G = A - iB (kz 1..m-1),
+    both zero-extended;  y = IDFT2(H') + conj(IDFT2(G'));
+    plane A = Re y, plane B = Im y."""
     (vy, my), (vz, mz) = sets
     (o_ref,) = refs[-1:]
-    Fz_ref, twr_ref, twi_ref = refs[-4:-1]
-    tabs = refs[:-4]
-    Xr = xr_ref[0].astype(jnp.float32)                        # (ny, m+1)
-    Xi = xi_ref[0].astype(jnp.float32)
-    # repack: Q[:, 0] = X0 + i XN
-    Q0r = Xr[:, :1] - Xi[:, m:]
-    Q0i = Xi[:, :1] + Xr[:, m:]
-    Qr = jnp.concatenate([Q0r, Xr[:, 1:m]], axis=1)           # (ny, m)
-    Qi = jnp.concatenate([Q0i, Xi[:, 1:m]], axis=1)
-    Pr, Pi = _v3_apply_stages(Qr, Qi, m, tabs[:c1], vy, my, prec, True)
-    Ar = jnp.swapaxes(Pr.reshape(ny, m), 0, 1)                # (m, ny)
-    Ai = jnp.swapaxes(Pi.reshape(ny, m), 0, 1)
-    # rebuild the z half spectrum: rows 0 and m are the packed col's planes
-    zero = jnp.zeros_like(Ar[:1])
-    Xfr = jnp.concatenate([Ar[:1], Ar[1:m], Ai[:1]], axis=0)  # (m+1, ny)
-    Xfi = jnp.concatenate([zero, Ai[1:m], zero], axis=0)
-    Zr, Zi = _c2r_repack(Xfr, Xfi, m, Fz_ref, twr_ref[:], twi_ref[:], ny)
-    zr, zi = _v3_apply_stages(Zr, Zi, ny, tabs[c1:], vz, mz, prec, True)
-    x = jnp.stack([zr.reshape(m, ny), zi.reshape(m, ny)], axis=1)
-    o_ref[0] = jnp.swapaxes(x.reshape(nz, ny), 0, 1).astype(out_dtype)
+    tabs = refs[:-1]
+    for i in range(il):
+        Ar = xr_ref[2 * i].astype(jnp.float32)               # (ny, m+1)
+        Ai = xi_ref[2 * i].astype(jnp.float32)
+        Br = xr_ref[2 * i + 1].astype(jnp.float32)
+        Bi = xi_ref[2 * i + 1].astype(jnp.float32)
+        ztail = jnp.zeros((ny, nz - m - 1), jnp.float32)
+        Hr = jnp.concatenate([Ar - Bi, ztail], axis=1)       # (ny, nz)
+        Hi = jnp.concatenate([Ai + Br, ztail], axis=1)
+        z1 = jnp.zeros((ny, 1), jnp.float32)
+        zt2 = jnp.zeros((ny, nz - m), jnp.float32)
+        Gr = jnp.concatenate([z1, (Ar + Bi)[:, 1:m], zt2], axis=1)
+        Gi = jnp.concatenate([z1, (Ai - Br)[:, 1:m], zt2], axis=1)
+        y1r, y1i = _pair_fft_body(Hr, Hi, ny, nz, tabs, c1, vy, my, vz, mz,
+                                  prec, True)
+        y2r, y2i = _pair_fft_body(Gr, Gi, ny, nz, tabs, c1, vy, my, vz, mz,
+                                  prec, True)
+        o_ref[2 * i] = (y1r + y2r).astype(out_dtype)         # plane A
+        o_ref[2 * i + 1] = (y1i - y2i).astype(out_dtype)     # plane B
 
 
 @functools.lru_cache(maxsize=128)
@@ -2671,66 +2551,73 @@ def _build_r2c_pair_call(ny: int, nz: int, b: int, interpret: bool,
     dtype = jnp.dtype(dtype_name)
     m = nz // 2
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
-    set_z = _v3_tables(m, inverse, scale=scale_z, int8=int8)
+    # merged-plane pipelines run full-nz stages; the public scale contract
+    # (1/(nz//2) on z) halves to the true 1/nz
     set_y = _v3_tables(ny, inverse, scale=scale_y, int8=int8)
+    set_z = _v3_tables(nz, inverse, scale=scale_z * m / nz if inverse
+                       else scale_z, int8=int8)
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
-    # kernel consumption order: forward z then y; inverse y then z
-    first, second = ((set_z, set_y) if not inverse else (set_y, set_z))
-    tabs1, specs1 = _pair_operands(first[0], first[1], const)
-    tabs2, specs2 = _pair_operands(second[0], second[1], const)
-    fbz, Fz = _flip_block(m)
-    fby, Fy = _flip_block(ny)
-    k = np.arange(m)
-    sign = 2.0j if inverse else -2.0j
-    t = np.exp(sign * np.pi / nz * k)
-    twr = np.real(t).astype(np.float32)[:, None]
-    twi = np.imag(t).astype(np.float32)[:, None]
-    extra = [Fz, twr, twi] + ([Fy] if not inverse else [])
-    np_tables = tabs1 + tabs2 + extra
-    tab_specs = specs1 + specs2 + [const(a) for a in extra]
-    spec_r = pl.BlockSpec((1, ny, nz), lambda i: (i, 0, 0),
+    tabs1, specs1 = _pair_operands(set_y[0], set_y[1], const)
+    tabs2, specs2 = _pair_operands(set_z[0], set_z[1], const)
+    np_tables = tabs1 + tabs2
+    tab_specs = specs1 + specs2
+    il = 1
+    while il < 4 and ny * nz * 32 * (il * 2) <= (8 << 20) and b >= il * 4:
+        il *= 2
+    gb = 2 * il
+    pad = (-b) % gb
+    padded = b + pad
+    spec_r = pl.BlockSpec((gb, ny, nz), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
-    spec_c = pl.BlockSpec((1, ny, m + 1), lambda i: (i, 0, 0),
+    spec_c = pl.BlockSpec((gb, ny, m + 1), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
     passes = _mxu_passes(prec)
-    macs = (sum(r for *_, r, _, _ in set_z[1]) * ny
-            + sum(r for *_, r, _, _ in set_y[1]) * m + fbz * ny + fby * m)
+    macs = 2 * (sum(r for *_, r, _, _ in set_z[1]) * ny
+                + sum(r for *_, r, _, _ in set_y[1]) * nz)
     ce = pl.CostEstimate(
-        flops=2 * b * macs * 8 * passes,
+        flops=2 * padded * macs * 8 * passes,
         transcendentals=0,
-        bytes_accessed=dtype.itemsize * b * (ny * nz + 2 * ny * (m + 1)))
+        bytes_accessed=dtype.itemsize * padded * (ny * nz + 2 * ny * (m + 1)))
 
     if not inverse:
-        kernel = functools.partial(_r2c_pair_kernel, ny, nz, m, dtype, prec,
-                                   (set_z, set_y), len(tabs1))
+        kernel = functools.partial(_r2c_pair_kernel, ny, nz, m, il, dtype,
+                                   prec, (set_y, set_z), len(tabs1))
         call = pl.pallas_call(
-            kernel, grid=(b,),
+            kernel, grid=(padded // gb,),
             in_specs=[spec_r] + tab_specs,
             out_specs=[spec_c, spec_c],
-            out_shape=[jax.ShapeDtypeStruct((b, ny, m + 1), dtype)] * 2,
+            out_shape=[jax.ShapeDtypeStruct((padded, ny, m + 1), dtype)] * 2,
             interpret=interpret,
             compiler_params=None if interpret else _vmem_params(),
             cost_estimate=ce)
 
         def run(x):
-            return call(x, *(jnp.asarray(t_) for t_ in np_tables))
+            if pad:
+                x = jnp.pad(x, ((0, pad), (0, 0), (0, 0)))
+            a, c = call(x, *(jnp.asarray(t_) for t_ in np_tables))
+            return (a[:b], c[:b]) if pad else (a, c)
         return run
 
-    kernel = functools.partial(_c2r_pair_kernel, ny, nz, m, dtype, prec,
-                               (set_y, set_z), len(tabs1))
+    kernel = functools.partial(_c2r_pair_kernel, ny, nz, m, il, dtype,
+                               prec, (set_y, set_z), len(tabs1))
     call = pl.pallas_call(
-        kernel, grid=(b,),
+        kernel, grid=(padded // gb,),
         in_specs=[spec_c, spec_c] + tab_specs,
         out_specs=spec_r,
-        out_shape=jax.ShapeDtypeStruct((b, ny, nz), dtype),
+        out_shape=jax.ShapeDtypeStruct((padded, ny, nz), dtype),
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=ce)
 
     def run_inv(xr, xi):
-        return call(xr, xi, *(jnp.asarray(t_) for t_ in np_tables))
+        if pad:
+            zp = ((0, pad), (0, 0), (0, 0))
+            xr = jnp.pad(xr, zp)
+            xi = jnp.pad(xi, zp)
+        y = call(xr, xi, *(jnp.asarray(t_) for t_ in np_tables))
+        return y[:b] if pad else y
     return run_inv
 
 

@@ -291,7 +291,7 @@ def _build_dd_strided_call(n: int, inverse: bool, p: int, s: int,
     kw = {}
     if not interpret:
         from vkfft_tpu.ops.pallas_engine import _vmem_params
-        kw["compiler_params"] = _vmem_params()
+        kw["compiler_params"] = _vmem_params(2)
     call = pl.pallas_call(
         kernel, grid=(p, s_pad // tile_s),
         in_specs=[spec] * 4 + [const(t) for t in np_tables],
