@@ -3136,7 +3136,13 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
         tr, ti = run(xr.reshape(B, nc, ns), xi.reshape(B, nc, ns),
                      jnp.asarray(fa[0]), jnp.asarray(fa[1]),
                      jnp.asarray(fb[0]), jnp.asarray(fb[1]))   # (B, kc, ns)
-        if _use_v2(ns):
+        if _use_v3(ns):
+            # natural-order-native contiguous stage (round 3; v2's natural
+            # path pays a digit-reorder pass)
+            orr, oi = core_fft_planar_v3(tr.reshape(B * nc, ns),
+                                         ti.reshape(B * nc, ns), ns, False,
+                                         scale=scale)
+        elif _use_v2(ns):
             orr, oi = core_fft_planar_v2(tr.reshape(B * nc, ns),
                                          ti.reshape(B * nc, ns), ns, False,
                                          order="natural", donate=True,
@@ -3162,8 +3168,12 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
     else:
         xr = xr.reshape(B, nc, ns)
         xi = xi.reshape(B, nc, ns)
-    br, bi = core_fft_planar(xr.reshape(B * nc, ns),
-                             xi.reshape(B * nc, ns), ns, True)
+    if _use_v3(ns):
+        br, bi = core_fft_planar_v3(xr.reshape(B * nc, ns),
+                                    xi.reshape(B * nc, ns), ns, True)
+    else:
+        br, bi = core_fft_planar(xr.reshape(B * nc, ns),
+                                 xi.reshape(B * nc, ns), ns, True)
     br = br.reshape(B, nc, ns)
     bi = bi.reshape(B, nc, ns)
     # pre twiddle on the strided INPUT block (1, c2, c1, ts):
