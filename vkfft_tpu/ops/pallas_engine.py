@@ -3074,8 +3074,19 @@ def _divisors(n: int) -> tuple:
 
 @functools.lru_cache(maxsize=512)
 def split_long(n: int) -> Optional[tuple[int, int]]:
-    """(Nc, Ns): strided-factor x contiguous-factor, both v2-supported,
-    Ns as large as possible."""
+    """(Nc, Ns): strided-factor x contiguous-factor.
+
+    Round 3: prefer Nc in {128, 256, 512, 1024} with a v3-plannable Ns —
+    then the contiguous stage's transposed-intermediate (tl) write IS the
+    four-step natural-order reorder (gb == Nc makes the (steps, Ns, gb)
+    output exactly the (B, Ns, Nc) layout), eliminating the separate XLA
+    transpose pass, and the stage itself runs the v3 pipeline.  Otherwise:
+    the v2 rule (Ns as large as possible)."""
+    for nc in (128, 256, 512, 1024):
+        if n % nc == 0:
+            ns = n // nc
+            if 1 < ns <= _V3_MAX_N and _use_v3(ns) and _use_v3(nc):
+                return (nc, ns)
     for ns in reversed(_divisors(n)):
         if ns > MAX_SINGLE_KERNEL_N or ns >= n:
             continue
@@ -3136,6 +3147,17 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
         tr, ti = run(xr.reshape(B, nc, ns), xi.reshape(B, nc, ns),
                      jnp.asarray(fa[0]), jnp.asarray(fa[1]),
                      jnp.asarray(fb[0]), jnp.asarray(fb[1]))   # (B, kc, ns)
+        tl_ok = (order == "natural" and nc % _V3_SB == 0
+                 and nc // _V3_SB in (1, 2, 4, 8) and _use_v3(ns))
+        if tl_ok:
+            # free four-step reorder (round 3): the tl write with gb == nc
+            # makes the contiguous stage's output exactly the natural
+            # (B, Ns, Nc) layout — no XLA transpose pass
+            run = _build_fft_call_v3(ns, False, B * nc, _INTERPRET,
+                                     str(tr.dtype), out_tl=True,
+                                     scale=scale, force_il=nc // _V3_SB)
+            orr, oi = run(tr.reshape(B * nc, ns), ti.reshape(B * nc, ns))
+            return orr.reshape(B, n), oi.reshape(B, n)
         if _use_v3(ns):
             # natural-order-native contiguous stage (round 3; v2's natural
             # path pays a digit-reorder pass)
@@ -3162,20 +3184,32 @@ def fft_long_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
         return orr, oi
 
     # inverse: mirror pipeline
-    if order == "natural":
-        xr = xr.reshape(B, ns, nc).swapaxes(1, 2)
-        xi = xi.reshape(B, ns, nc).swapaxes(1, 2)
+    tl_ok = (order == "natural" and nc % _V3_SB == 0
+             and nc // _V3_SB in (1, 2, 4, 8) and _use_v3(ns))
+    if tl_ok:
+        # the natural (B, Ns, Nc) view IS the tl input layout — no
+        # transpose, no swapaxes (mirror of the forward's free reorder)
+        run = _build_fft_call_v3(ns, True, B * nc, _INTERPRET,
+                                 str(xr.dtype), in_tl=True,
+                                 force_il=nc // _V3_SB)
+        br, bi = run(xr.reshape(B, ns, nc), xi.reshape(B, ns, nc))
+        br = br.reshape(B, nc, ns)
+        bi = bi.reshape(B, nc, ns)
     else:
-        xr = xr.reshape(B, nc, ns)
-        xi = xi.reshape(B, nc, ns)
-    if _use_v3(ns):
-        br, bi = core_fft_planar_v3(xr.reshape(B * nc, ns),
-                                    xi.reshape(B * nc, ns), ns, True)
-    else:
-        br, bi = core_fft_planar(xr.reshape(B * nc, ns),
-                                 xi.reshape(B * nc, ns), ns, True)
-    br = br.reshape(B, nc, ns)
-    bi = bi.reshape(B, nc, ns)
+        if order == "natural":
+            xr = xr.reshape(B, ns, nc).swapaxes(1, 2)
+            xi = xi.reshape(B, ns, nc).swapaxes(1, 2)
+        else:
+            xr = xr.reshape(B, nc, ns)
+            xi = xi.reshape(B, nc, ns)
+        if _use_v3(ns):
+            br, bi = core_fft_planar_v3(xr.reshape(B * nc, ns),
+                                        xi.reshape(B * nc, ns), ns, True)
+        else:
+            br, bi = core_fft_planar(xr.reshape(B * nc, ns),
+                                     xi.reshape(B * nc, ns), ns, True)
+        br = br.reshape(B, nc, ns)
+        bi = bi.reshape(B, nc, ns)
     # pre twiddle on the strided INPUT block (1, c2, c1, ts):
     # kc = a*c1 + b with a in [c2] -> A[a, is] = w*(a*c1*is), B[b, is]
     fa = _sep_twiddle(c2, c1, ns, n, True)
