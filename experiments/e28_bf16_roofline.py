@@ -1,0 +1,75 @@
+"""E28: the bf16-storage tier vs the HBM roofline.
+
+The fp32/HIGHEST headline is compute-bound (6 bf16 MXU passes per
+contraction — BENCH.md ceiling analysis).  The bf16 STORAGE tier
+(halfPrecisionMemoryOnly analog) halves the bytes AND runs DEFAULT
+precision (one MXU pass): this is the DMA-bound regime where the >=90%
+roofline north star is meaningful.  Accuracy: ~3e-3 (storage rounding).
+"""
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+GB = 1e9
+TARGET = 128 * 1024 * 1024
+
+
+def timed_chain(fn, p0, fetch, n_lo=10, n_hi=60, reps=3):
+    import jax
+
+    def make(iters):
+        @jax.jit
+        def run(p):
+            return jax.lax.fori_loop(0, iters, lambda i, v: fn(v), p)
+        return run
+
+    f_lo, f_hi = make(n_lo), make(n_hi)
+    fetch(f_lo(p0)); fetch(f_hi(p0))
+
+    def t(f):
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fetch(f(p0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return (t(f_hi) - t(f_lo)) / (n_hi - n_lo)
+
+
+def main():
+    import jax.numpy as jnp
+    from vkfft_tpu import cache
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar
+
+    try:
+        cache.enable_persistent_cache()
+    except Exception:
+        pass
+    rng = np.random.default_rng(0)
+    fetch = lambda r: float(np.asarray(r.re[0, 0]))
+
+    for n in (256, 1024, 4096):
+        # same element count as the fp32 headline; bf16 planes = half bytes
+        b = TARGET // (8 * n)
+        p0 = Planar(
+            jnp.asarray(rng.standard_normal((b, n)).astype(np.float32)).astype(jnp.bfloat16),
+            jnp.asarray(rng.standard_normal((b, n)).astype(np.float32)).astype(jnp.bfloat16))
+
+        def rt(p, n=n):
+            rr, ii = pe.core_fft_planar_v3(p.re, p.im, n, False)
+            rr, ii = pe.core_fft_planar_v3(rr, ii, n, True, scale=1.0 / n)
+            return Planar(rr, ii)
+
+        dt = timed_chain(rt, p0, fetch)
+        data = 2 * b * n * 2              # bf16 planes
+        print(f"bf16 storage n={n:5d}: {dt*1e3:7.3f} ms  "
+              f"{4*data/dt/GB:6.1f} GB/s  ({4*data/dt/GB/819*100:4.1f}% roofline)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
