@@ -81,8 +81,11 @@ def _time_fwd_inv(app, x, iters=80, warmup=2):
         return run
 
     def force(v):
+        # index ON DEVICE first: np.asarray on the full array would pull
+        # the whole working set through the tunnel inside the timed region
+        # (the e20/e22 harness bug — BENCH.md postmortem)
         leaf = v.re if isinstance(v, Planar) else v
-        return float(_np.asarray(leaf).reshape(-1)[0].real)
+        return float(_np.asarray(leaf[(0,) * leaf.ndim]).real)
 
     lo_n = max(1, iters // 6)
     hi_n = max(iters, lo_n + 1)
@@ -101,10 +104,12 @@ def _time_fwd_inv(app, x, iters=80, warmup=2):
     return max((timed(f_hi) - timed(f_lo)) / (hi_n - lo_n), 1e-9)
 
 
-def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=64, label="",
-                   iters=80):
+def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=128,
+                   label="", iters=80):
     """Reference sample-0 pattern: sweep systems, batch each to target size,
-    print ms + bandwidth + aggregate score."""
+    print ms + bandwidth + aggregate score.  128MB default sets: the only
+    stable size class on the tunneled runtime (64MB swings +-30%, BENCH.md
+    fact 14)."""
     import vkfft_tpu as vt
 
     score = 0.0
