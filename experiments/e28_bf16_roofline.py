@@ -73,3 +73,38 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def rfft2_alternative():
+    """rfft2 via the generic route (1-D merged-slab r2c + strided y pass)
+    vs the merged-plane pair kernel — justifies the use_r2c_pair gate."""
+    import jax.numpy as jnp
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.transforms import r2c as tr2c
+    rng = np.random.default_rng(0)
+    ny = nz = 256
+    b = TARGET // (4 * ny * nz)
+    x = jnp.asarray(rng.standard_normal((b, ny, nz)).astype(np.float32))
+    fetch = lambda r: float(np.asarray(r[0, 0, 0]))
+
+    def rt_pair(v):
+        F = pe.rfft2_pair_planar(v)
+        return pe.irfft2_pair_planar(F.re, F.im, ny, nz)
+
+    saved = pe.use_r2c_pair
+    pe.use_r2c_pair = lambda *a: False
+    try:
+        def rt_generic(v):
+            F = tr2c.rfftn(v, axes=(-2, -1))
+            return tr2c.irfftn(F, s=(ny, nz), axes=(-2, -1))
+
+        dt = timed_chain(rt_generic, x, fetch)
+        print(f"rfft2 generic route rt : {dt*1e3:7.3f} ms", flush=True)
+    finally:
+        pe.use_r2c_pair = saved
+    dt = timed_chain(rt_pair, x, fetch)
+    print(f"rfft2 pair kernel rt   : {dt*1e3:7.3f} ms", flush=True)
+
+
+if __name__ == "__main__":
+    rfft2_alternative()

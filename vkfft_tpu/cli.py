@@ -292,7 +292,8 @@ def sample_16(ctx):
     import vkfft_tpu as vt
     worst = 0.0
     for t in (1, 2, 3, 4):
-        for n in (16, 64, 100, 256):
+        # 1024/1000/255 exercise the in-kernel forms (incl. odd lengths)
+        for n in (16, 64, 100, 256, 255, 1000, 1024):
             rng = np.random.default_rng(n * t)
             x = rng.standard_normal((3, n)).astype(np.float32)
             got = np.asarray(vt.dct(x, type=t, engine=ctx.engine))
@@ -318,7 +319,7 @@ def sample_17(ctx):
     import vkfft_tpu as vt
     worst = 0.0
     for t in (1, 2, 3, 4):
-        for n in (16, 64, 100):
+        for n in (16, 64, 100, 255, 1024):
             rng = np.random.default_rng(n * t + 7)
             x = rng.standard_normal((2, n)).astype(np.float32)
             got = np.asarray(vt.dst(x, type=t, engine=ctx.engine))
