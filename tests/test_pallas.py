@@ -740,3 +740,26 @@ def test_interior_zeropad_elision():
         assert app3.zeropad_mode == "masked"
     finally:
         pe.set_interpret(False)
+
+
+def test_strided_unaligned_trailing_batch():
+    """Strided tile rounds UP to whole lane tiles when the trailing batch
+    is unaligned (e.g. s=129 from a half-spectrum axis) — an unaligned
+    tile fails Mosaic layout inference on hardware (round-3 e28 finding;
+    hardware coverage in tpu_smoke)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    from vkfft_tpu.planner import plan_axis
+    pallas_engine.set_interpret(True)
+    try:
+        assert pallas_engine._strided_tile_s(256, 129) % 128 == 0
+        rng = np.random.default_rng(46)
+        x = rng.standard_normal((2, 256, 129)) + 1j * rng.standard_normal((2, 256, 129))
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        q = pallas_engine.fft_axis_p(p, 1, plan_axis(256), False)
+        ref = np.fft.fft(x, axis=1)
+        got = np.asarray(q.re) + 1j * np.asarray(q.im)
+        assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
+    finally:
+        pallas_engine.set_interpret(False)

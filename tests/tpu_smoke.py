@@ -112,6 +112,13 @@ def main() -> int:
     from vkfft_tpu.pcomplex import to_numpy, Planar
     got = to_numpy(got) if isinstance(got, Planar) else np.asarray(got)
     check("fft axis0 (strided) 64x256", got, np.fft.fft(x2, axis=0))
+    # unaligned trailing batch (s=129, a half-spectrum width): the strided
+    # tile must round up to whole lane tiles (e28-found Mosaic layout bug)
+    x2u = (rng.standard_normal((2, 256, 129))
+           + 1j * rng.standard_normal((2, 256, 129)))
+    got = vk.fftn(x2u.astype(np.complex64), axes=(1,))
+    got = to_numpy(got) if isinstance(got, Planar) else np.asarray(got)
+    check("fft strided s=129 (unaligned)", got, np.fft.fft(x2u, axis=1))
     for n in [101, 1009, 1001]:
         x1 = (rng.standard_normal((8, n)) + 1j * rng.standard_normal((8, n)))
         got = vk.fft(x1.astype(np.complex64))

@@ -2679,7 +2679,11 @@ def _strided_tile_s(n: int, s: int) -> int:
         return 128
     target = max(256, min(8192, (1 << 18) // (4 * n)))
     if s <= target:
-        return s
+        # round UP to whole lane tiles (pad_s zero-fills): an unaligned
+        # tile (e.g. s=129 from a half-spectrum axis) fails Mosaic's
+        # layout inference on hardware ("unsupported shape cast" — found
+        # by e28's rfftn generic-route probe; interpreter mode hides it)
+        return ((s + 127) // 128) * 128
     # round down to a multiple of 256 for clean lane tiles
     return max(256, (target // 256) * 256)
 
