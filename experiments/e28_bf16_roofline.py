@@ -71,10 +71,6 @@ def main():
               flush=True)
 
 
-if __name__ == "__main__":
-    main()
-
-
 def rfft2_alternative():
     """rfft2 via the generic route (1-D merged-slab r2c + strided y pass)
     vs the merged-plane pair kernel — justifies the use_r2c_pair gate."""
@@ -107,4 +103,9 @@ def rfft2_alternative():
 
 
 if __name__ == "__main__":
-    rfft2_alternative()
+    import sys
+    secs = set(sys.argv[1:]) or {"bf16", "rfft2"}
+    if "bf16" in secs:
+        main()
+    if "rfft2" in secs:
+        rfft2_alternative()
