@@ -94,3 +94,23 @@ def dump_hlo(app, x, inverse: bool = False, stage: str = "hlo") -> str:
     if stage == "stablehlo":
         return str(lowered.compiler_ir("stablehlo"))
     return lowered.as_text()
+
+
+def profile_trace(fn, *args, outdir="/tmp/vkfft_tpu_trace", iters=5):
+    """Capture a jax.profiler trace of ``iters`` calls of ``fn(*args)``
+    (works on the tunneled axon runtime — round-3 validated; op-level
+    device events incl. per-pallas_call durations land in
+    ``outdir/plugins/profile/*/*.trace.json.gz``).  Returns the outdir.
+    The TPU analog of the reference's keepShaderCode+chrono loop pair."""
+    import jax
+    import numpy as _np
+
+    out = fn(*args)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    float(_np.asarray(leaf[(0,) * leaf.ndim]).real)  # warm compile
+    with jax.profiler.trace(outdir):
+        for _ in range(iters):
+            out = fn(*args)
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(_np.asarray(leaf[(0,) * leaf.ndim]).real)
+    return outdir
