@@ -256,11 +256,12 @@ class FFTApplication:
         # disableReorderFourStep round trip) — recognized by shape before
         # the natural-shape validation below
         if (inverse and isinstance(x, Planar) and cfg.keep_intermediate_order
-                and ndim == 1 and getattr(self, "_tl_meta", None) is not None
-                and x.ndim == 3 and x.shape[1] == cfg.shape[0]):
+                and ndim == 1 and x.ndim == 3
+                and x.shape[1] == cfg.shape[0]
+                and getattr(self, "_tl_meta", {}).get(x.shape) is not None):
             from vkfft_tpu.ops import pallas_engine as _pe
             n = cfg.shape[0]
-            lead, batch = self._tl_meta
+            lead, batch = self._tl_meta[x.shape]
             s = (1.0 / n) if cfg.normalize else 1.0
             rr, ii = _pe.core_fft_planar_v3_tl(x.re, x.im, n, True, scale=s)
             return Planar(rr[:batch], ii[:batch]).reshape(*lead, n)
@@ -319,7 +320,11 @@ class FFTApplication:
                 lead = x.shape[:-1]
                 flat = x.reshape(-1, n)
                 rr, ii = _pe.core_fft_planar_v3_tl(flat.re, flat.im, n, False)
-                self._tl_meta = (lead, flat.shape[0])
+                # keyed by the opaque shape: one app can round-trip several
+                # batch shapes (shapes are static per jit trace)
+                if not hasattr(self, "_tl_meta"):
+                    self._tl_meta = {}
+                self._tl_meta[rr.shape] = (lead, flat.shape[0])
                 return Planar(rr, ii)
             if (plan.algorithm is _Alg.DIRECT and _pe._use_v2(n)
                     and not _pe._use_v3(n)):
