@@ -188,7 +188,7 @@ def sample_1(ctx):
 
 @sample(3, "benchmark 3D C2C FP32")
 def sample_3(ctx):
-    _bench_systems(ctx, [(32, 32, 32), (64, 64, 64), (128, 128, 128)], target_mb=32)
+    _bench_systems(ctx, [(32, 32, 32), (64, 64, 64), (128, 128, 128)], target_mb=128)
 
 
 @sample(6, "benchmark R2C/C2R FP32")
