@@ -1248,6 +1248,10 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     in_len = in_keep if (in_keep and not inverse) else n
     out_len = out_keep if (out_keep and inverse) else n
 
+    assert not (in_tl and (in_keep or in_window is not None)), \
+        "tl input layout cannot combine with read-elision windows"
+    assert not (out_tl and out_keep), \
+        "tl output layout cannot combine with write-elision windows"
     win = None
     if in_window is not None and not inverse:
         win = (int(in_window[0]), int(in_window[1]))
