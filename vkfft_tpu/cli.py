@@ -104,6 +104,38 @@ def _time_fwd_inv(app, x, iters=80, warmup=2):
     return max((timed(f_hi) - timed(f_lo)) / (hi_n - lo_n), 1e-9)
 
 
+def _time_chain_fn(fn, x0, n_lo=10, n_hi=60):
+    """Chained two-point timing of a shape-preserving jitted callable
+    (see _time_fwd_inv; naive block_until_ready loops are fiction on the
+    tunneled runtime)."""
+    import jax
+    import numpy as _np
+
+    def make(n_it):
+        @jax.jit
+        def run(v):
+            return jax.lax.fori_loop(0, n_it, lambda i, z: fn(z), v)
+        return run
+
+    def force(v):
+        leaf = jax.tree_util.tree_leaves(v)[0]
+        return float(_np.asarray(leaf[(0,) * leaf.ndim]).real)
+
+    f_lo, f_hi = make(n_lo), make(n_hi)
+    force(f_lo(x0))
+    force(f_hi(x0))
+
+    def timed(f):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            force(f(x0))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    return max((timed(f_hi) - timed(f_lo)) / (n_hi - n_lo), 1e-9)
+
+
 def _bench_systems(ctx, systems, dtype=np.complex64, target_mb=128,
                    label="", iters=80):
     """Reference sample-0 pattern: sweep systems, batch each to target size,
@@ -195,19 +227,20 @@ def sample_3(ctx):
 def sample_6(ctx):
     import vkfft_tpu as vt
     import jax
+    import jax.numpy as jnp
     for n in (256, 1024, 4096):
-        batch = max(1, 32 * 1024 * 1024 // (4 * n))
+        batch = max(1, 128 * 1024 * 1024 // (4 * n))
         rng = np.random.default_rng(n)
-        x = rng.standard_normal((batch, n)).astype(np.float32)
-        f = jax.jit(lambda v: vt.irfft(vt.rfft(v, engine=ctx.engine), n=n, engine=ctx.engine))
-        y = f(x)
-        jax.block_until_ready(y)
-        t0 = time.perf_counter()
-        for _ in range(10):
-            y = f(x)
-        jax.block_until_ready(y)
-        dt = (time.perf_counter() - t0) / 10
-        ctx.log(f"  R2C+C2R n={n:6d} batch {batch:6d}: {dt * 1e3:8.3f} ms")
+        x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+        f = lambda v: vt.irfft(vt.rfft(v, engine=ctx.engine), n=n,
+                               engine=ctx.engine)
+        dt = _time_chain_fn(f, x)
+        if dt < 50e-6:
+            ctx.log(f"  R2C+C2R n={n:6d}: below timing noise floor")
+            continue
+        moved = 2 * 2 * batch * n * 4   # real r+w per direction class
+        ctx.log(f"  R2C+C2R n={n:6d} batch {batch:6d}: {dt * 1e3:8.3f} ms  "
+                f"est {moved / dt / 1e9:7.1f} GB/s")
 
 
 @sample(7, "benchmark Bluestein (primes) FP32")
@@ -367,18 +400,21 @@ def sample_52(ctx):
 @sample(100, "benchmark multidim DCT-2 FP32")
 def sample_100(ctx):
     import vkfft_tpu as vt
-    import jax
+    import jax.numpy as jnp
     for n in (256, 1024):
-        batch = max(1, 16 * 1024 * 1024 // (4 * n))
+        batch = max(1, 128 * 1024 * 1024 // (4 * n))
         rng = np.random.default_rng(n)
-        x = rng.standard_normal((batch, n)).astype(np.float32)
-        f = jax.jit(lambda v: vt.dct(v, type=2, engine=ctx.engine))
-        jax.block_until_ready(f(x))
-        t0 = time.perf_counter()
-        for _ in range(10):
-            y = f(x)
-        jax.block_until_ready(y)
-        ctx.log(f"  DCT-2 n={n} batch {batch}: {(time.perf_counter() - t0) / 10 * 1e3:.3f} ms")
+        x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+        inv_scale = np.float32(1.0 / (2 * n))
+        f = lambda v: vt.idct(vt.dct(v, type=2, engine=ctx.engine), type=2,
+                              engine=ctx.engine)
+        dt = _time_chain_fn(f, x)
+        if dt < 50e-6:
+            ctx.log(f"  DCT-2 n={n}: below timing noise floor")
+            continue
+        moved = 2 * 2 * batch * n * 4
+        ctx.log(f"  DCT-2+inv n={n} batch {batch}: {dt * 1e3:8.3f} ms  "
+                f"est {moved / dt / 1e9:7.1f} GB/s")
 
 
 @sample(1000, "sweep: all smooth systems 2..4096 FP32 precision")
