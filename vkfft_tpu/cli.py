@@ -627,6 +627,20 @@ def sample_4(ctx):
             continue
         ctx.log(f"  n={n} batch {batch}: full {dt_full*1e3:8.3f} ms  "
                 f"zeropad {dt_pad*1e3:8.3f} ms  speedup {dt_full/dt_pad:.2f}x")
+        # interior (centered) declared-zero window — round 3: forward reads
+        # of the zero middle are elided via dual prefix+tail operand
+        # windows; inverse writes still mask (the app reports the mode via
+        # FFTApplication.zeropad_mode)
+        xi_ = _rand_complex((batch, n), seed=n + 1)
+        xi_[..., n // 4: 3 * n // 4] = 0
+        mid = vt.get_application(
+            vt.FFTConfig(shape=(n,), zeropad_input=((n // 4, 3 * n // 4),)),
+            ctx.engine)
+        dt_mid = _time_fwd_inv(mid, xi_)
+        if dt_mid >= 50e-6:
+            ctx.log(f"  n={n} interior window [n/4, 3n/4): "
+                    f"{dt_mid*1e3:8.3f} ms  speedup {dt_full/dt_mid:.2f}x  "
+                    f"(mode: {mid.zeropad_mode})")
 
 
 @sample(5, "benchmark no-reorder 4-step (disableReorderFourStep analog)")
