@@ -1591,39 +1591,46 @@ def use_conv_pair(ny: int, nz: int) -> bool:
     return pair_available(ny, nz) and ny * nz <= _CONV_PAIR_MAX_PTS
 
 
-def _conv_pair_kernel(ny, nz, out_dtype, prec, conj_data, xpow, counts,
+def _conv_pair_kernel(ny, nz, il, out_dtype, prec, conj_data, xpow, counts,
                       stage_sets, xr_ref, xi_ref, hr_ref, hi_ref, *refs):
     (vy_f, my_f), (vz_f, mz_f), (vz_i, mz_i), (vy_i, my_i) = stage_sets
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
     c1, c2, c3 = counts
-    xr, xi = _pair_pad_in(xr_ref[0].astype(jnp.float32),
-                          xi_ref[0].astype(jnp.float32), ny, nz)
-    xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:c1], vy_f, my_f, prec, False)
-    xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)
-    xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
-    xr, xi = _v3_apply_stages(xr, xi, ny, tabs[c1:c2], vz_f, mz_f,
-                              prec, False)
-    xr = xr.reshape(nz, ny)
-    xi = xi.reshape(nz, ny)
-    if conj_data:
-        xi = -xi
-    hr = hr_ref[0]
-    hi = hi_ref[0]
-    yr = xr * hr - xi * hi
-    yi = xr * hi + xi * hr
-    if xpow:
-        inv = 1.0 / jnp.maximum(jnp.sqrt(yr * yr + yi * yi),
-                                np.float32(1e-30))
-        yr = yr * inv
-        yi = yi * inv
-    yr, yi = _v3_apply_stages(yr, yi, ny, tabs[c2:c3], vz_i, mz_i, prec, True)
-    yr = jnp.swapaxes(yr.reshape(nz, ny), 0, 1)
-    yi = jnp.swapaxes(yi.reshape(nz, ny), 0, 1)
-    yr, yi = _v3_apply_stages(yr, yi, nz, tabs[c3:], vy_i, my_i, prec, True)
-    oy, oz = or_ref.shape[1:]   # < (ny, nz): discarded-tail writes elided
-    or_ref[0] = yr.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
-    oi_ref[0] = yi.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
+    # il interleaved plane pipelines per grid step (round 3 — the same
+    # Mosaic-overlap rationale as the pair kernel; il=1 when per-slice
+    # spectra (hp > 1) pin one h block per step)
+    for i in range(il):
+        xr, xi = _pair_pad_in(xr_ref[i].astype(jnp.float32),
+                              xi_ref[i].astype(jnp.float32), ny, nz)
+        xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:c1], vy_f, my_f,
+                                  prec, False)
+        xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)
+        xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
+        xr, xi = _v3_apply_stages(xr, xi, ny, tabs[c1:c2], vz_f, mz_f,
+                                  prec, False)
+        xr = xr.reshape(nz, ny)
+        xi = xi.reshape(nz, ny)
+        if conj_data:
+            xi = -xi
+        hr = hr_ref[0]
+        hi = hi_ref[0]
+        yr = xr * hr - xi * hi
+        yi = xr * hi + xi * hr
+        if xpow:
+            inv = 1.0 / jnp.maximum(jnp.sqrt(yr * yr + yi * yi),
+                                    np.float32(1e-30))
+            yr = yr * inv
+            yi = yi * inv
+        yr, yi = _v3_apply_stages(yr, yi, ny, tabs[c2:c3], vz_i, mz_i,
+                                  prec, True)
+        yr = jnp.swapaxes(yr.reshape(nz, ny), 0, 1)
+        yi = jnp.swapaxes(yi.reshape(nz, ny), 0, 1)
+        yr, yi = _v3_apply_stages(yr, yi, nz, tabs[c3:], vy_i, my_i,
+                                  prec, True)
+        oy, oz = or_ref.shape[1:]  # < (ny, nz): discarded-tail writes elided
+        or_ref[i] = yr.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
+        oi_ref[i] = yi.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=128)
@@ -1651,16 +1658,24 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
         np_tables += t
         tab_specs += s
         counts.append(len(np_tables))
+    # il interleaved plane pipelines; per-slice spectra (hp > 1) pin one
+    # h block per step -> il = 1
+    il = 1
+    if hp == 1:
+        while il < 4 and ny * nz * 32 * (il * 2) <= (8 << 20) and b >= il * 2:
+            il *= 2
     kernel = functools.partial(
-        _conv_pair_kernel, ny, nz, dtype, prec, conj_data, xpow,
+        _conv_pair_kernel, ny, nz, il, dtype, prec, conj_data, xpow,
         tuple(counts[:3]), tuple(sets))
     iy = in_keep[0] or ny
     iz = in_keep[1] or nz
     oy = out_keep[0] or ny
     oz = out_keep[1] or nz
-    spec_in = pl.BlockSpec((1, iy, iz), lambda i: (i, 0, 0),
+    pad = (-b) % il
+    padded = b + pad
+    spec_in = pl.BlockSpec((il, iy, iz), lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((1, oy, oz), lambda i: (i, 0, 0),
+    spec_out = pl.BlockSpec((il, oy, oz), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     h_spec = pl.BlockSpec((1, nz, ny),
                           (lambda i: (i % hp, 0, 0)) if hp > 1
@@ -1670,19 +1685,24 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
     macs = 2 * (sum(r for *_, r, _, _ in sets[0][1]) * nz
                 + sum(r for *_, r, _, _ in sets[1][1]) * ny)
     call = pl.pallas_call(
-        kernel, grid=(b,),
+        kernel, grid=(padded // il,),
         in_specs=[spec_in, spec_in, h_spec, h_spec] + tab_specs,
         out_specs=[spec_out, spec_out],
-        out_shape=[jax.ShapeDtypeStruct((b, oy, oz), dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((padded, oy, oz), dtype)] * 2,
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * b * macs * 8 * passes,
+            flops=2 * padded * macs * 8 * passes,
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * b * (iy * iz + oy * oz)))
+            bytes_accessed=dtype.itemsize * 2 * padded * (iy * iz + oy * oz)))
 
     def run(xr, xi, hr, hi):
-        return call(xr, xi, hr, hi, *(jnp.asarray(t) for t in np_tables))
+        if pad:
+            zp = ((0, pad), (0, 0), (0, 0))
+            xr = jnp.pad(xr, zp)
+            xi = jnp.pad(xi, zp)
+        a, c = call(xr, xi, hr, hi, *(jnp.asarray(t) for t in np_tables))
+        return (a[:b], c[:b]) if pad else (a, c)
 
     return run
 
