@@ -1658,12 +1658,10 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
         np_tables += t
         tab_specs += s
         counts.append(len(np_tables))
-    # il interleaved plane pipelines; per-slice spectra (hp > 1) pin one
-    # h block per step -> il = 1
+    # il stays 1: interleaving measured a ~6% LOSS here (e32: 2.72 vs
+    # 2.56 ms at 256x256) — the four stage sets + spectrum already fill
+    # the VMEM working set; the machinery remains for experiments
     il = 1
-    if hp == 1:
-        while il < 4 and ny * nz * 32 * (il * 2) <= (8 << 20) and b >= il * 2:
-            il *= 2
     kernel = functools.partial(
         _conv_pair_kernel, ny, nz, il, dtype, prec, conj_data, xpow,
         tuple(counts[:3]), tuple(sets))
