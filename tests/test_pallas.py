@@ -389,6 +389,60 @@ def test_zeropad_elision_api():
     assert np.abs(z[:, h:]).max() < 1e-5
 
 
+def test_zeropad_output_elision_api():
+    """frequencyZeroPadding (``vkFFT_Structs.h:264``) through the config:
+    a declared-zero spectrum tail elides the forward's writes and the
+    inverse's reads on the v3 kernel (round-4, verdict item 5)."""
+    import vkfft_tpu as vt
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    n, oh = 256, 96
+    cfg = vt.FFTConfig(shape=(n,), zeropad_output=((oh, n),), normalize=True)
+    app = vt.FFTApplication(cfg, engine="pallas")
+    assert app.zeropad_mode == "elided-output"
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+         ).astype(np.complex64)
+    y = to_numpy(app.forward(from_complex(x)))
+    ref = np.fft.fft(x.astype(np.complex128))
+    # kept spectrum prefix is exact; the declared-zero tail comes back zero
+    assert rel_err(y[:, :oh], ref[:, :oh]) < 2e-6
+    assert np.abs(y[:, oh:]).max() == 0.0
+    # inverse never reads the declared-zero tail: feed garbage there and the
+    # result must match the ifft of the windowed spectrum
+    y_g = y.copy()
+    y_g[:, oh:] = 123.0
+    z = to_numpy(app.inverse(from_complex(y_g)))
+    zref = np.fft.ifft(np.concatenate(
+        [ref[:, :oh], np.zeros((3, n - oh))], axis=1))
+    assert rel_err(z, zref) < 2e-6
+
+
+def test_zeropad_both_windows_api():
+    """Input-prefix + output-window combined: one kernel call with both
+    elision windows ('elided-prefix+output')."""
+    import vkfft_tpu as vt
+    from vkfft_tpu.pcomplex import from_complex, to_numpy
+    n, ih, oh = 256, 128, 64
+    cfg = vt.FFTConfig(shape=(n,), zeropad_input=((ih, n),),
+                       zeropad_output=((oh, n),), normalize=True)
+    app = vt.FFTApplication(cfg, engine="pallas")
+    assert app.zeropad_mode == "elided-prefix+output"
+    rng = np.random.default_rng(11)
+    x = np.zeros((3, n), dtype=np.complex64)
+    x[:, :ih] = (rng.standard_normal((3, ih))
+                 + 1j * rng.standard_normal((3, ih)))
+    y = to_numpy(app.forward(from_complex(x)))
+    ref = np.fft.fft(x.astype(np.complex128))
+    assert rel_err(y[:, :oh], ref[:, :oh]) < 2e-6
+    assert np.abs(y[:, oh:]).max() == 0.0
+    z = to_numpy(app.inverse(from_complex(y)))
+    zref = np.fft.ifft(np.concatenate(
+        [ref[:, :oh], np.zeros((3, n - oh))], axis=1))
+    # declared-zero time tail restored as zeros, prefix matches the oracle
+    assert rel_err(z[:, :ih], zref[:, :ih]) < 2e-6
+    assert np.abs(z[:, ih:]).max() == 0.0
+
+
 # ---------------------------------------------------------------------------
 # v3 kernel (batch-in-lanes Stockham, natural-order native)
 # ---------------------------------------------------------------------------
@@ -420,6 +474,57 @@ def test_v3_plan_rules():
     assert pallas_engine._v3_plan(8192) == ((4, 4, 4, 2), (64,))
     assert pallas_engine._v3_plan(16384) is None         # beyond _V3_MAX_N
     assert pallas_engine._v3_plan(1) is None
+
+
+@pytest.mark.parametrize("n,h", [
+    (1024, 256),   # VPU r=4 first stage, q=1 (quarter-pad)
+    (1024, 512),   # q=2 (half-pad)
+    (1024, 768),   # q=3
+    (1024, 600),   # q=3 with a partial live chunk
+    (190, 80),     # VPU r=2 first stage, q=1 (plan ((2,), (19, 5)))
+    (96, 40),      # MXU-first (48, 2): pruned packed table K=2q
+    (47, 20),      # MXU-only prime: pruned direct DFT contraction
+])
+def test_v3_pruned_stage1(n, h):
+    """Zero-pad COMPUTE pruning (round 4): the declared-zero tail prunes the
+    first stage's butterfly/contraction — the full-width zero plane never
+    materializes in VMEM (reference ``vkFFT_Zeropad.h:133-182``)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n + h)
+    xr = np.zeros((4, n), np.float32)
+    xi = np.zeros((4, n), np.float32)
+    xr[:, :h] = rng.standard_normal((4, h))
+    xi[:, :h] = rng.standard_normal((4, h))
+    # forward read elision + pruning
+    fr, fi = pallas_engine.core_fft_planar_v3(
+        jnp.asarray(xr), jnp.asarray(xi), n, False, in_nonzero=h)
+    ref = np.fft.fft(xr.astype(np.complex128) + 1j * xi)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+    # inverse read elision + pruning (frequencyZeroPadding mirror: the
+    # spectrum's declared-zero tail is never read)
+    sr = np.zeros((4, n), np.float32)
+    si = np.zeros((4, n), np.float32)
+    sr[:, :h] = rng.standard_normal((4, h))
+    si[:, :h] = rng.standard_normal((4, h))
+    br, bi = pallas_engine.core_fft_planar_v3(
+        jnp.asarray(sr), jnp.asarray(si), n, True, in_nonzero=h)
+    iref = np.fft.ifft(sr.astype(np.complex128) + 1j * si) * n
+    assert rel_err(np.asarray(br) + 1j * np.asarray(bi), iref) < 5e-6
+
+
+def test_strided_pruned_stage1():
+    """The strided kernel prunes its first stage the same way."""
+    import jax.numpy as jnp
+    n, h, s = 256, 64, 256
+    rng = np.random.default_rng(3)
+    xr = np.zeros((2, n, s), np.float32)
+    xi = np.zeros((2, n, s), np.float32)
+    xr[:, :h] = rng.standard_normal((2, h, s))
+    xi[:, :h] = rng.standard_normal((2, h, s))
+    orr, oi = pallas_engine.strided_fft_planar(
+        jnp.asarray(xr), jnp.asarray(xi), n, False, in_keep=h)
+    ref = np.fft.fft(xr.astype(np.complex128) + 1j * xi, axis=1)
+    assert rel_err(np.asarray(orr) + 1j * np.asarray(oi), ref) < 5e-6
 
 
 def test_v3_zeropad_elision():

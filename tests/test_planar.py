@@ -116,3 +116,63 @@ def test_keep_intermediate_order():
                            nat.reshape(4, n1, n2).swapaxes(1, 2)) < 5e-6
     finally:
         pallas_engine.set_interpret(False)
+
+
+def test_tl_spectrum_no_shape_collision():
+    """Round-3 advice (medium): two forwards whose padded tl intermediates
+    share a SHAPE (e.g. batches 100 and 128 both padding to one 128-line
+    block) must each round-trip to their own batch — the contract rides the
+    TlSpectrum value, not app side-state."""
+    from vkfft_tpu.ops import pallas_engine
+    from vkfft_tpu.pcomplex import TlSpectrum
+    pallas_engine.set_interpret(True)
+    try:
+        n = 256
+        cfg = vt.FFTConfig(shape=(n,), normalize=True,
+                           keep_intermediate_order=True)
+        app = vt.FFTApplication(cfg, engine="pallas")
+        xa = _mk(n, batch=100, dtype=np.float32)
+        xb = _mk(n, batch=128, dtype=np.float32)
+        Ya = app.forward(from_complex(xa))
+        Yb = app.forward(from_complex(xb))
+        assert isinstance(Ya, TlSpectrum) and isinstance(Yb, TlSpectrum)
+        assert Ya.shape == Yb.shape  # the collision the dict keying broke on
+        za = to_numpy(app.inverse(Ya))
+        zb = to_numpy(app.inverse(Yb))
+        assert za.shape == (100, n) and zb.shape == (128, n)
+        assert rel_err(za, xa) < 5e-6
+        assert rel_err(zb, xb) < 5e-6
+    finally:
+        pallas_engine.set_interpret(False)
+
+
+def test_tl_spectrum_survives_plan_reload():
+    """Verdict item 9: a reloaded application (plan blob round trip) can
+    invert a tl forward produced by the original app — the
+    disableReorderFourStep contract is declarative, not side-stateful."""
+    from vkfft_tpu import cache
+    from vkfft_tpu.ops import pallas_engine
+    from vkfft_tpu.pcomplex import TlSpectrum
+    pallas_engine.set_interpret(True)
+    try:
+        n = 256
+        cfg = vt.FFTConfig(shape=(n,), normalize=True,
+                           keep_intermediate_order=True)
+        app = vt.FFTApplication(cfg, engine="pallas")
+        x = _mk(n, batch=5, dtype=np.float32)
+        Y = app.forward(from_complex(x))
+        assert isinstance(Y, TlSpectrum)
+        app2 = cache.load_application_from_string(
+            cache.save_application_to_string(app), engine="pallas")
+        z = to_numpy(app2.inverse(Y))
+        assert rel_err(z, x) < 5e-6
+        # and a mismatched config refuses rather than mis-slicing
+        other = vt.FFTApplication(vt.FFTConfig(shape=(512,), normalize=True),
+                                  engine="pallas")
+        try:
+            other.inverse(Y)
+            assert False, "expected InvalidConfigError"
+        except vt.errors.InvalidConfigError:
+            pass
+    finally:
+        pallas_engine.set_interpret(False)

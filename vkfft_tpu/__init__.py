@@ -11,6 +11,7 @@ Layer map (see SURVEY.md for the reference correspondence):
 """
 from vkfft_tpu.config import FFTConfig, Precision, TransformKind
 from vkfft_tpu.errors import FFTError, FFTResult, error_string
+from vkfft_tpu.pcomplex import Planar, TlSpectrum
 from vkfft_tpu.api import (
     FFTApplication,
     get_application,

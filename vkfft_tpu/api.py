@@ -20,7 +20,7 @@ import numpy as np
 
 from vkfft_tpu.config import FFTConfig, Precision, TransformKind
 from vkfft_tpu.errors import InvalidConfigError
-from vkfft_tpu.pcomplex import Planar, from_complex, to_numpy
+from vkfft_tpu.pcomplex import Planar, TlSpectrum, from_complex, to_numpy
 from vkfft_tpu.planner.plan import AxisPlan, plan_axis
 
 
@@ -121,6 +121,7 @@ class FFTApplication:
         self.axis_plans: dict[int, AxisPlan] = {
             ax: plan_axis(config.shape[ax]) for ax in config.axes
         }
+        self._zp_route = self._resolve_zeropad_route()
         if config.kind is TransformKind.C2C:
             self._fwd = jax.jit(functools.partial(self._transform, inverse=False))
             self._inv = jax.jit(functools.partial(self._transform, inverse=True))
@@ -128,48 +129,107 @@ class FFTApplication:
             self._fwd = jax.jit(functools.partial(self._real_transform, inverse=False))
             self._inv = jax.jit(functools.partial(self._real_transform, inverse=True))
 
-    @property
-    def zeropad_mode(self) -> Optional[str]:
-        """Which strategy the configured zero-pad windows get (the zeropad
-        analog of ``ConvolutionApplication.fusion_mode``): 'elided-prefix'
-        (kernel never DMAs the zero tail), 'elided-interior' (prefix+tail
-        windows DMA'd, zero middle skipped; forward reads only),
-        'elided-pair' (through the fused two-axis kernel), or 'masked'
-        (explicit zeroing pass — no bandwidth saving).  None = no window
-        configured."""
+    def _resolve_zeropad_route(self) -> dict:
+        """The ONE zero-pad routing decision — shared by the execution path
+        (`_transform`) and the `zeropad_mode` introspection so the two
+        cannot drift (round-3 advice).  Static per config/engine/plans;
+        elision applies to Planar inputs on the pallas engine (other input
+        forms fall back to masking with identical declared-zero semantics).
+
+        Returns a record with ``kind``:
+          'none'     — no window configured
+          'masked'   — explicit zeroing pass (no bandwidth saving)
+          'v3'       — 1-D contiguous elision; ``in_h``/``out_h`` kept
+                       prefixes of the input line / output spectrum (0=full)
+          'v2'       — 1-D v2 row-aligned input-prefix elision (fwd reads /
+                       inv writes); ``in_h``
+          'interior' — 1-D interior input window, forward reads only;
+                       ``window`` = (left, right)
+          'pair'     — N-D fused-pair + outer-axis prefix elision;
+                       ``minor`` = (ky, kz), ``outer`` = {axis: kept}
+        """
         cfg = self.config
-        if cfg.zeropad_input is None and cfg.zeropad_output is not None:
-            return "masked"
-        if cfg.zeropad_input is None:
-            return None
-        ndim = len(cfg.shape)
-        if (self.engine_name != "pallas" or cfg.zeropad_output is not None
-                or cfg.kind is not TransformKind.C2C):
-            return "masked"
+        if cfg.zeropad_input is None and cfg.zeropad_output is None:
+            return {"kind": "none"}
+        if self.engine_name != "pallas" or cfg.kind is not TransformKind.C2C:
+            return {"kind": "masked"}
         from vkfft_tpu.ops import pallas_engine as _pe
         from vkfft_tpu.planner.factorize import Algorithm as _Alg
+        ndim = len(cfg.shape)
+        n = cfg.shape[-1]
+
+        def prefix(spec):
+            """Kept prefix for the minor axis: 0 = unwindowed, -1 = window
+            present but not a to-the-end prefix form (or on another axis)."""
+            if spec is None:
+                return 0
+            for ax, w in enumerate(spec[:-1]):
+                if w is not None:
+                    return -1
+            w = spec[-1]
+            if w is None:
+                return 0
+            if w[1] == n and 0 < w[0] < n:
+                return w[0]
+            return -1
+
         if len(cfg.axes) == 1 and cfg.axes[0] == ndim - 1:
-            n = cfg.shape[-1]
-            w = cfg.zeropad_input[-1]
             plan = self.axis_plans[cfg.axes[0]]
-            if plan.algorithm is _Alg.DIRECT and w is not None:
-                if (w[1] == n and 0 < w[0] < n
-                        and (_pe._use_v3(n)
-                             or (_pe._use_v2(n) and _pe.zeropad_rows(n, w[0])))):
-                    return "elided-prefix"
-                if w[1] < n and _pe.v3_interior_window_ok(n, w[0], w[1]):
-                    return "elided-interior (forward reads; inverse masked)"
-            return "masked"
-        if len(cfg.axes) >= 2:
+            if plan.algorithm is _Alg.DIRECT:
+                in_h = prefix(cfg.zeropad_input)
+                out_h = prefix(cfg.zeropad_output)
+                w = cfg.zeropad_input[-1] if cfg.zeropad_input else None
+                if (in_h == -1 and out_h == 0 and w is not None and w[1] < n
+                        and _pe.v3_interior_window_ok(n, w[0], w[1])):
+                    return {"kind": "interior", "window": (w[0], w[1])}
+                if in_h >= 0 and out_h >= 0 and (in_h or out_h):
+                    if _pe._use_v3(n):
+                        return {"kind": "v3", "in_h": in_h, "out_h": out_h}
+                    if (out_h == 0 and in_h and _pe._use_v2(n)
+                            and _pe.zeropad_rows(n, in_h)):
+                        return {"kind": "v2", "in_h": in_h}
+            return {"kind": "masked"}
+        if len(cfg.axes) >= 2 and cfg.zeropad_output is None \
+                and cfg.zeropad_input is not None:
             ay, az = ndim - 2, ndim - 1
             if (ay in cfg.axes and az in cfg.axes
                     and self.axis_plans[ay].algorithm is _Alg.DIRECT
                     and self.axis_plans[az].algorithm is _Alg.DIRECT
-                    and _pe.pair_available(cfg.shape[ay], cfg.shape[az])
-                    and _prefix_keep_all(cfg.zeropad_input, cfg.shape)
-                    is not None):
-                return "elided-pair"
-        return "masked"
+                    and _pe.pair_available(cfg.shape[ay], cfg.shape[az])):
+                keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
+                if keeps is not None:
+                    return {"kind": "pair", "minor": keeps[0],
+                            "outer": keeps[1]}
+        return {"kind": "masked"}
+
+    @property
+    def zeropad_mode(self) -> Optional[str]:
+        """Which strategy the configured zero-pad windows get (the zeropad
+        analog of ``ConvolutionApplication.fusion_mode``): 'elided-prefix'
+        (kernel never DMAs the zero input tail), 'elided-output' (the
+        declared-zero spectrum region is never written/read —
+        frequencyZeroPadding, ``vkFFT_Structs.h:264``),
+        'elided-prefix+output' (both), 'elided-interior' (prefix+tail
+        windows DMA'd, zero middle skipped; forward reads only),
+        'elided-pair' (through the fused two-axis kernel), or 'masked'
+        (explicit zeroing pass — no bandwidth saving).  None = no window
+        configured.  Derived from the same resolver the execution path
+        uses."""
+        r = self._zp_route
+        kind = r["kind"]
+        if kind == "none":
+            return None
+        if kind == "masked":
+            return "masked"
+        if kind == "interior":
+            return "elided-interior (forward reads; inverse masked)"
+        if kind == "pair":
+            return "elided-pair"
+        if kind == "v2":
+            return "elided-prefix"
+        if r["in_h"] and r["out_h"]:
+            return "elided-prefix+output"
+        return "elided-output" if r["out_h"] else "elided-prefix"
 
     # -- execution ---------------------------------------------------------
 
@@ -253,18 +313,20 @@ class FFTApplication:
         ndim = len(cfg.shape)
         # keep_intermediate_order inverse consuming the OPAQUE transposed-
         # intermediate form the forward returned (v3 tl layout; reference
-        # disableReorderFourStep round trip) — recognized by shape before
-        # the natural-shape validation below
-        if (inverse and isinstance(x, Planar) and cfg.keep_intermediate_order
-                and ndim == 1 and x.ndim == 3
-                and x.shape[1] == cfg.shape[0]
-                and getattr(self, "_tl_meta", {}).get(x.shape) is not None):
+        # disableReorderFourStep round trip).  The round-trip contract rides
+        # the TlSpectrum VALUE itself (typed wrapper with static lead/batch/n
+        # metadata) — durable across app instances and plan-blob reloads, and
+        # immune to the shape-collision hazard of side-state (round-3 advice).
+        if inverse and isinstance(x, TlSpectrum):
             from vkfft_tpu.ops import pallas_engine as _pe
-            n = cfg.shape[0]
-            lead, batch = self._tl_meta[x.shape]
+            n = cfg.shape[0] if ndim == 1 else None
+            if n is None or x.n != n:
+                raise InvalidConfigError(
+                    f"TlSpectrum carries n={x.n} but this application is "
+                    f"configured for shape {cfg.shape}")
             s = (1.0 / n) if cfg.normalize else 1.0
             rr, ii = _pe.core_fft_planar_v3_tl(x.re, x.im, n, True, scale=s)
-            return Planar(rr[:batch], ii[:batch]).reshape(*lead, n)
+            return Planar(rr[:x.batch], ii[:x.batch]).reshape(*x.lead, n)
         if x.shape[-ndim:] != cfg.shape:
             raise InvalidConfigError(
                 f"input trailing shape {x.shape[-ndim:]} != configured {cfg.shape}")
@@ -273,12 +335,20 @@ class FFTApplication:
         ddc = isinstance(x, DDComplex)
         planar = isinstance(x, Planar)
         if ddc or cfg.precision == Precision.DOUBLE and not complex_supported():
-            # the TPU "fp64" tier: double-double quad planes
+            # the TPU "fp64" tier: double-double quad planes.  Raw DDComplex
+            # input is the zero-copy path; Planar fp32 pairs widen in-trace
+            # (lo planes = 0); host complex128 converts at the API boundary
+            # (see `forward`/`inverse`) — the reference's one-flag
+            # doublePrecision ergonomics (``vkFFT_Structs.h:187-199``).
             from vkfft_tpu.precision import dd_fft
+            from vkfft_tpu.precision.doubledouble import DD
             if not ddc:
-                raise InvalidConfigError(
-                    "DOUBLE precision on this backend requires DDComplex input "
-                    "(see vkfft_tpu.precision.ddc_from_complex128)")
+                if not planar:
+                    raise InvalidConfigError(
+                        "DOUBLE precision on this backend takes complex128 "
+                        "host arrays, Planar pairs, or DDComplex quad planes")
+                x = DDComplex(DD(x.re, jnp.zeros_like(x.re)),
+                              DD(x.im, jnp.zeros_like(x.im)))
             axes = cfg.axes if not inverse else tuple(reversed(cfg.axes))
             for ax in axes:
                 x = dd_fft.fft_axis_dd(x, x.ndim - ndim + ax, cfg.shape[ax], inverse)
@@ -320,12 +390,8 @@ class FFTApplication:
                 lead = x.shape[:-1]
                 flat = x.reshape(-1, n)
                 rr, ii = _pe.core_fft_planar_v3_tl(flat.re, flat.im, n, False)
-                # keyed by the opaque shape: one app can round-trip several
-                # batch shapes (shapes are static per jit trace)
-                if not hasattr(self, "_tl_meta"):
-                    self._tl_meta = {}
-                self._tl_meta[rr.shape] = (lead, flat.shape[0])
-                return Planar(rr, ii)
+                # the round-trip contract rides the value (typed wrapper)
+                return TlSpectrum(rr, ii, lead, flat.shape[0], n)
             if (plan.algorithm is _Alg.DIRECT and _pe._use_v2(n)
                     and not _pe._use_v3(n)):
                 lead = x.shape[:-1]
@@ -335,48 +401,48 @@ class FFTApplication:
                                                 order="swapped", scale=s)
                 return Planar(rr, ii).reshape(*lead, n)
 
-        # Zero-pad work elision (reference ``vkFFT_Zeropad.h``, README.md:14):
-        # a declared-zero tail on a 1-D pallas DIRECT transform skips the
-        # read of the zero region (forward) / the write of the discarded
-        # region (inverse) at the kernel level — bandwidth and MACs drop
-        # with the pad fraction instead of paying an extra masking pass.
-        if (planar and self.engine_name == "pallas" and len(cfg.axes) == 1
-                and cfg.axes[0] == ndim - 1 and cfg.zeropad_input is not None
-                and cfg.zeropad_output is None):
+        # Zero-pad work elision (reference ``vkFFT_Zeropad.h``, README.md:14;
+        # output windows: frequencyZeroPadding, ``vkFFT_Structs.h:264``):
+        # declared-zero prefix windows on a 1-D pallas DIRECT transform skip
+        # the reads of the zero region and the writes of the discarded
+        # region at the kernel level — bandwidth and MACs drop with the pad
+        # fraction instead of paying an extra masking pass.  Routing comes
+        # from the SAME resolver `zeropad_mode` reports.
+        route = self._zp_route
+        if planar and route["kind"] in ("v3", "v2", "interior"):
             from vkfft_tpu.ops import pallas_engine as _pe
-            from vkfft_tpu.planner.factorize import Algorithm as _Alg
             n = cfg.shape[-1]
-            plan = self.axis_plans[cfg.axes[0]]
-            w = cfg.zeropad_input[-1]
-            use_v3 = (plan.algorithm is _Alg.DIRECT and _pe._use_v3(n)
-                      and w is not None and w[1] == n and 0 < w[0] < n)
-            use_v2 = (not use_v3 and plan.algorithm is _Alg.DIRECT
-                      and _pe._use_v2(n) and w is not None and w[1] == n
-                      and _pe.zeropad_rows(n, w[0]))
-            # interior window (data on both sides of the zero region, e.g.
-            # frequency-domain upsampling): the prefix and tail are DMA'd
-            # as two windows, the middle never leaves HBM (forward reads;
-            # inverse interior writes still fall back to masking)
-            if (not inverse and not (use_v3 or use_v2)
-                    and plan.algorithm is _Alg.DIRECT and w is not None
-                    and w[1] < n
-                    and _pe.v3_interior_window_ok(n, w[0], w[1])):
-                lead = x.shape[:-1]
+            lead = x.shape[:-1]
+            if route["kind"] == "interior" and not inverse:
                 flat = x.reshape(-1, n)
                 rr, ii = _pe.core_fft_planar_v3(flat.re, flat.im, n, False,
-                                                in_window=(w[0], w[1]))
+                                                in_window=route["window"])
                 return Planar(rr, ii).reshape(*lead, n)
-            if use_v3 or use_v2:
-                core = (_pe.core_fft_planar_v3 if use_v3
-                        else _pe.core_fft_planar_v2)
-                h = w[0]
-                lead = x.shape[:-1]
+            if route["kind"] == "v3":
+                flat = x.reshape(-1, n)
+                in_h, out_h = route["in_h"], route["out_h"]
+                # forward: read the input prefix, write the spectrum prefix;
+                # inverse: the mirror — the spectrum's declared-zero tail is
+                # never read, the discarded time-domain tail never written
+                ik, ok = (in_h, out_h) if not inverse else (out_h, in_h)
+                s = (1.0 / n) if (inverse and cfg.normalize) else 1.0
+                rr, ii = _pe.core_fft_planar_v3(flat.re, flat.im, n, inverse,
+                                                in_nonzero=ik, out_keep=ok,
+                                                scale=s)
+                out = Planar(rr, ii)
+                if ok:
+                    out = _pad_planar_tail(out, ((ok, n),))
+                return out.reshape(*lead, n)
+            if route["kind"] == "v2":
+                h = route["in_h"]
                 flat = x.reshape(-1, n)
                 if not inverse:
-                    rr, ii = core(flat.re, flat.im, n, False, in_nonzero=h)
+                    rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n,
+                                                    False, in_nonzero=h)
                     return Planar(rr, ii).reshape(*lead, n)
                 s = (1.0 / n) if cfg.normalize else 1.0
-                rr, ii = core(flat.re, flat.im, n, True, out_keep=h, scale=s)
+                rr, ii = _pe.core_fft_planar_v2(flat.re, flat.im, n, True,
+                                                out_keep=h, scale=s)
                 out = _pad_planar_tail(Planar(rr, ii), ((h, n),))
                 return out.reshape(*lead, n)
 
@@ -411,17 +477,15 @@ class FFTApplication:
         outer_in = {}
         outer_out = {}
         elide_in = False
-        if pair is not None and cfg.zeropad_input is not None:
-            keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
-            if keeps is not None:
-                minor_keep, outer_keeps = keeps
-                elide_in = True
-                if not inverse:
-                    pair_in = minor_keep
-                    outer_in = outer_keeps
-                else:
-                    pair_out = minor_keep
-                    outer_out = outer_keeps
+        if pair is not None and route["kind"] == "pair":
+            minor_keep, outer_keeps = route["minor"], route["outer"]
+            elide_in = True
+            if not inverse:
+                pair_in = minor_keep
+                outer_in = outer_keeps
+            else:
+                pair_out = minor_keep
+                outer_out = outer_keeps
         if not inverse and not elide_in:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         if pair is not None:
@@ -470,15 +534,41 @@ class FFTApplication:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)
         return x
 
+    def _coerce_double(self, x):
+        """Config-level fp64 boundary conversion (reference
+        ``doublePrecision``, ``vkFFT_Structs.h:187``): on complex-free
+        backends a DOUBLE-precision config accepts host complex arrays and
+        converts them to double-double quad planes here (and back after —
+        see `forward`).  Returns (value, was_host_complex)."""
+        cfg = self.config
+        if (cfg.precision != Precision.DOUBLE or complex_supported()
+                or cfg.kind is not TransformKind.C2C
+                or not isinstance(x, np.ndarray)):
+            return x, False
+        from vkfft_tpu.precision.doubledouble import ddc_from_complex128
+        return ddc_from_complex128(np.asarray(x, np.complex128)), True
+
     def forward(self, x):
         """``VkFFTAppend(app, -1, ...)`` analog (forward transform).
-        Accepts a complex array (complex-capable backends) or a ``Planar``
-        pair (any backend, the TPU-native format)."""
-        return self._fwd(x)
+        Accepts a complex array (complex-capable backends; on complex-free
+        backends a DOUBLE-precision config converts host complex128 through
+        the quad planes and back), a ``Planar`` pair, or ``DDComplex`` quad
+        planes (the zero-copy fp64 path)."""
+        x, host = self._coerce_double(x)
+        y = self._fwd(x)
+        if host:
+            from vkfft_tpu.precision.doubledouble import ddc_to_complex128
+            return ddc_to_complex128(y)
+        return y
 
     def inverse(self, x):
         """``VkFFTAppend(app, 1, ...)`` analog (inverse transform)."""
-        return self._inv(x)
+        x, host = self._coerce_double(x)
+        y = self._inv(x)
+        if host:
+            from vkfft_tpu.precision.doubledouble import ddc_to_complex128
+            return ddc_to_complex128(y)
+        return y
 
 
 # ---------------------------------------------------------------------------

@@ -1004,16 +1004,39 @@ def _use_v3(n: int) -> bool:
 
 
 def _v3_tables(n: int, inverse: bool, plan=None, scale: float = 1.0,
-               int8=None):
+               int8=None, in_rows: int = 0):
     """See `_v3_tables_impl`; resolves the int8-MXU flag before caching."""
     if int8 is None:
         int8 = _V3_MXU_INT8
-    return _v3_tables_impl(n, inverse, plan, scale, int8)
+    if int8:
+        in_rows = 0   # stage pruning not wired through the digit tables
+    return _v3_tables_impl(n, inverse, plan, scale, int8, in_rows)
+
+
+def _v3_first_stage(n: int, plan=None) -> tuple[int, int]:
+    """(r1, Mp1) of the overall first stage of the v3 pipeline for n."""
+    vpu_r, mxu_r = plan if plan is not None else _v3_plan(n)
+    r1 = vpu_r[0] if vpu_r else mxu_r[0]
+    return r1, n // r1
+
+
+def _v3_prune_q(n: int, in_rows: int, plan=None) -> int:
+    """Nonzero stage-1 chunks for a declared-zero tail [in_rows, n): the
+    input rows live in r1 contiguous Mp1-chunks, so only the first
+    ceil(in_rows/Mp1) participate in the first butterfly/contraction — the
+    TPU realization of the reference's zero-pad COMPUTE guards
+    (``vkFFT_Zeropad.h:133-182`` wraps the read so downstream stages see a
+    shorter sequence; README.md:14 'up to 2x').  Returns r1 (= no pruning)
+    when the tail doesn't clear a whole chunk."""
+    r1, mp1 = _v3_first_stage(n, plan)
+    if not in_rows or in_rows >= n:
+        return r1
+    return min(r1, -(-in_rows // mp1))
 
 
 @functools.lru_cache(maxsize=512)
 def _v3_tables_impl(n: int, inverse: bool, plan=None, scale: float = 1.0,
-                    int8: bool = False):
+                    int8: bool = False, in_rows: int = 0):
     """Per-stage constants.  Stage walk: L = lines done, M = remaining; a
     stage reshapes the state to (L, r, M/r) [flat, batch lanes trailing],
     butterflies/contracts r, twiddles by w_M^(k_r * m), and flattens with the
@@ -1021,7 +1044,13 @@ def _v3_tables_impl(n: int, inverse: bool, plan=None, scale: float = 1.0,
 
     ``scale`` is folded into the first stage's table host-side — in-kernel
     normalization at zero runtime cost, the reference's stageNormalization
-    (``vkFFT_RadixShuffle.h:49-65``) done as constant folding."""
+    (``vkFFT_RadixShuffle.h:49-65``) done as constant folding.
+
+    ``in_rows``: declared-zero tail [in_rows, n) — when the FIRST stage is
+    an MXU contraction, its packed matrix is pruned to the q nonzero input
+    chunks (K shrinks from 2*r to 2*q: proportionally fewer MXU passes, the
+    zero-pad compute guard of ``vkFFT_Zeropad.h``).  VPU first stages prune
+    in the kernel body instead (`_v3_apply_stages`)."""
     vpu_r, mxu_r = plan if plan is not None else _v3_plan(n)
     sign = 2.0j if inverse else -2.0j
     vpu_tabs, mxu_tabs = [], []
@@ -1040,6 +1069,13 @@ def _v3_tables_impl(n: int, inverse: bool, plan=None, scale: float = 1.0,
         if scale != 1.0 and L == 1:
             D = D * scale
         Dp = np.ascontiguousarray(_pack_complex_matrix(D).T)
+        if L == 1 and in_rows:
+            # MXU-first stage-1 pruning: keep table rows of the q nonzero
+            # input chunks ([re 0..q) | im r..r+q) in the packed layout)
+            q = _v3_prune_q(n, in_rows, plan)
+            if q < r:
+                Dp = np.ascontiguousarray(
+                    Dp[np.r_[0:q, r:r + q], :])
         if int8:
             # digit-decomposed constant matrix for the 6-pass int8 path;
             # sD rides in the tuple and is folded into the recombine
@@ -1058,15 +1094,72 @@ def _v3_tables_impl(n: int, inverse: bool, plan=None, scale: float = 1.0,
     return vpu_tabs, mxu_tabs
 
 
+def _pruned_butterfly(zr, zi, r, q, inverse):
+    """Stage-1 butterfly on q < r nonzero input chunks (the declared-zero
+    tail never materializes): the r digit outputs computed directly from the
+    live chunks — fewer VPU adds AND no (n, S) zero-fill copy.  Matches the
+    dense r=4/2 networks below with z[q:] = 0."""
+    z = lambda p, j: p[:, j]
+    if r == 2:          # q == 1: X = [z0, z0]
+        ar = jnp.stack([z(zr, 0), z(zr, 0)], axis=0)
+        ai = jnp.stack([z(zi, 0), z(zi, 0)], axis=0)
+        return ar, ai
+    if q == 1:          # r == 4: all four digits equal z0
+        ar = jnp.stack([z(zr, 0)] * 4, axis=0)
+        ai = jnp.stack([z(zi, 0)] * 4, axis=0)
+        return ar, ai
+    if q == 2:          # t0 = t1 = z0, t2 = t3 = z1
+        s_r, s_i = z(zr, 0) + z(zr, 1), z(zi, 0) + z(zi, 1)
+        d_r, d_i = z(zr, 0) - z(zr, 1), z(zi, 0) - z(zi, 1)
+        if inverse:
+            y1r, y1i = z(zr, 0) - z(zi, 1), z(zi, 0) + z(zr, 1)
+            y3r, y3i = z(zr, 0) + z(zi, 1), z(zi, 0) - z(zr, 1)
+        else:
+            y1r, y1i = z(zr, 0) + z(zi, 1), z(zi, 0) - z(zr, 1)
+            y3r, y3i = z(zr, 0) - z(zi, 1), z(zi, 0) + z(zr, 1)
+        ar = jnp.stack([s_r, y1r, d_r, y3r], axis=0)
+        ai = jnp.stack([s_i, y1i, d_i, y3i], axis=0)
+        return ar, ai
+    # q == 3: t0 = z0 + z2, t1 = z0 - z2, t2 = t3 = z1
+    t0r, t0i = z(zr, 0) + z(zr, 2), z(zi, 0) + z(zi, 2)
+    t1r, t1i = z(zr, 0) - z(zr, 2), z(zi, 0) - z(zi, 2)
+    if inverse:
+        y1r, y1i = t1r - z(zi, 1), t1i + z(zr, 1)
+        y3r, y3i = t1r + z(zi, 1), t1i - z(zr, 1)
+    else:
+        y1r, y1i = t1r + z(zi, 1), t1i - z(zr, 1)
+        y3r, y3i = t1r - z(zi, 1), t1i + z(zr, 1)
+    ar = jnp.stack([t0r + z(zr, 1), y1r, t0r - z(zr, 1), y3r], axis=0)
+    ai = jnp.stack([t0i + z(zi, 1), y1i, t0i - z(zi, 1), y3i], axis=0)
+    return ar, ai
+
+
 def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
-                     inverse):
+                     inverse, in_rows: int = 0):
     """Run the staged Stockham pipeline on (n, S) planes inside a kernel.
-    ``table_refs`` order matches ``_v3_operand_tables``."""
+    ``table_refs`` order matches ``_v3_operand_tables``.
+
+    ``in_rows``: the state carries only the first ceil(in_rows/Mp1) stage-1
+    chunks (declared-zero tail) — the first stage prunes its butterfly /
+    contraction and EXPANDS to the dense width; later stages are unchanged
+    (reference zero-pad compute guards, ``vkFFT_Zeropad.h:133-182``)."""
     ti = 0
+    first = True
     for (_, _, r, L0, Mp) in vpu_tabs:
         twr = table_refs[ti][:][:, None, :, None]            # (r, 1, Mp, 1)
         twi = table_refs[ti + 1][:][:, None, :, None]
         ti += 2
+        q = r
+        if first and in_rows:
+            q = min(r, -(-in_rows // Mp))
+        first = False
+        if q < r:
+            zr = xr.reshape(L0, q, Mp, S)
+            zi = xi.reshape(L0, q, Mp, S)
+            ar, ai = _pruned_butterfly(zr, zi, r, q, inverse)
+            xr = (ar * twr - ai * twi).reshape(-1, S)
+            xi = (ar * twi + ai * twr).reshape(-1, S)
+            continue
         zr = xr.reshape(L0, r, Mp, S)
         zi = xi.reshape(L0, r, Mp, S)
         if r == 4:
@@ -1089,13 +1182,20 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
         xr = (ar * twr - ai * twi).reshape(-1, S)
         xi = (ar * twi + ai * twr).reshape(-1, S)
     for (Dp_t, twr_t, twi_t, r, L0, Mp) in mxu_tabs:
+        rq = r
+        if first and in_rows:
+            # stage-1 pruned contraction: K = 2q rows of the pruned packed
+            # table (built by `_v3_tables(in_rows=...)`) against the q live
+            # input chunks — proportionally fewer MXU passes
+            rq = min(r, -(-in_rows // Mp))
+        first = False
         # Merge (Mp, S) into one trailing dim for the contraction: Mosaic
         # lowers the non-leading contraction as a transpose, and a 4-D
         # transpose whose second-minor dim is a small Mp (e.g. 5) fails
         # hardware compile ("Layout with implicit dimension"); the merged
         # 3-D form (L0, 2r, Mp*S) compiles for every factorization.
-        z = jnp.concatenate([xr.reshape(L0, r, Mp * S),
-                             xi.reshape(L0, r, Mp * S)], axis=1)
+        z = jnp.concatenate([xr.reshape(L0, rq, Mp * S),
+                             xi.reshape(L0, rq, Mp * S)], axis=1)
         dims = (((0,), (1,)), ((), ()))
         if isinstance(Dp_t, tuple):
             # 6-pass int8 emulation (experiments/e18): quantize z into
@@ -1142,7 +1242,7 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
 
 
 def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
-                   win, in_tl, out_tl, *refs):
+                   win, in_tl, out_tl, in_rows, qrows, *refs):
     if win is not None:
         # interior zero window [left, right): prefix + tail read as two
         # separately-DMA'd operands; the zero middle never leaves HBM
@@ -1177,14 +1277,17 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
                 xit_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
             xr = jnp.concatenate([xr, z, tr], axis=0)
             xi = jnp.concatenate([xi, z, ti], axis=0)
-        elif xr.shape[0] < n:
+        elif xr.shape[0] < qrows:
             # zero-pad elision: the declared-zero tail was never read from
-            # HBM (``vkFFT_Zeropad.h`` analog); materialize zeros VMEM-side
-            zpad = ((0, n - xr.shape[0]), (0, 0))
+            # HBM (``vkFFT_Zeropad.h`` analog).  With stage-1 pruning the
+            # state only fills to the q live chunks (qrows = q*Mp1 <= n) —
+            # the full-width zero plane is never materialized; the pruned
+            # first stage expands to dense width as part of its butterfly.
+            zpad = ((0, qrows - xr.shape[0]), (0, 0))
             xr = jnp.pad(xr, zpad)
             xi = jnp.pad(xi, zpad)
         xr, xi = _v3_apply_stages(xr, xi, sb, table_refs, vpu_tabs, mxu_tabs,
-                                  prec, inverse)
+                                  prec, inverse, in_rows=in_rows)
         if out_tl:
             or_ref[0, :, i * sb:(i + 1) * sb] = xr.reshape(n, sb).astype(out_dtype)
             oi_ref[0, :, i * sb:(i + 1) * sb] = xi.reshape(n, sb).astype(out_dtype)
@@ -1226,7 +1329,15 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     (vkFFT_Structs.h:221)."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
-    vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8)
+    # stage-1 compute pruning rides the read-elision window: q live chunks
+    # of the first stage (q == r1 means the window is too shallow to prune)
+    q1 = _v3_prune_q(n, in_keep) if (in_keep and not int8) else None
+    r1, mp1 = _v3_first_stage(n)
+    prune = q1 is not None and q1 < r1
+    in_rows_eff = in_keep if prune else 0
+    qrows = q1 * mp1 if prune else n
+    vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8,
+                                    in_rows=in_rows_eff)
     sb = _V3_SB
     # interleaved independent pipelines per grid step (E9-E13: Mosaic
     # overlaps one chain's VPU work with another's MXU stage).  Round 3
@@ -1245,8 +1356,13 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     pad = (-batch) % gb
     padded = batch + pad
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    in_len = in_keep if (in_keep and not inverse) else n
-    out_len = out_keep if (out_keep and inverse) else n
+    # direction-free elision windows (round 4): in_keep = prefix of each
+    # input line actually DMA'd (forward: zeropad_input; inverse: the
+    # spectrum's declared-zero tail under zeropad_output), out_keep = prefix
+    # of each output line actually written (forward: frequencyZeroPadding
+    # write elision, vkFFT_Structs.h:264; inverse: discarded-tail writes)
+    in_len = in_keep or n
+    out_len = out_keep or n
 
     assert not (in_tl and (in_keep or in_window is not None)), \
         "tl input layout cannot combine with read-elision windows"
@@ -1257,7 +1373,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         win = (int(in_window[0]), int(in_window[1]))
         in_len = win[0]
     kernel = functools.partial(_fft_kernel_v3, n, sb, il, inverse, dtype,
-                               prec, vpu_tabs, mxu_tabs, win, in_tl, out_tl)
+                               prec, vpu_tabs, mxu_tabs, win, in_tl, out_tl,
+                               in_rows_eff, qrows)
     if in_tl:
         spec = pl.BlockSpec((1, n, gb), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1374,10 +1491,13 @@ def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
                        scale: float = 1.0, in_window=None):
     """v3 core: natural order in, natural order out, both directions.
 
-    ``in_nonzero`` (forward): the tail [in_nonzero, n) of each input line is
-    declared zero and never read (pass full-width planes; only the prefix is
-    DMA'd).  ``out_keep`` (inverse): only [0, out_keep) is computed into the
-    returned planes (of that width).  ``scale``: normalization folded into
+    ``in_nonzero``: the tail [in_nonzero, n) of each input line is declared
+    zero and never read (pass full-width planes; only the prefix is DMA'd).
+    ``out_keep``: only [0, out_keep) is computed into the returned planes
+    (of that width).  Both windows are direction-free (round 4): forward
+    out_keep is the frequencyZeroPadding write elision
+    (``vkFFT_Structs.h:264``), inverse in_nonzero skips reads of the
+    spectrum's declared-zero tail.  ``scale``: normalization folded into
     the stage tables — no output multiply pass.  ``in_window`` (forward):
     interior declared-zero window (left, right), right < n — both the prefix
     and the tail are read, the zero middle is never DMA'd (gate:
@@ -1387,19 +1507,12 @@ def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
                                  str(xr.dtype), False, scale=scale,
                                  in_window=tuple(in_window))
         return run(xr, xi)
-    if in_nonzero and not inverse:
-        run = _build_fft_call_v3(n, False, xr.shape[0], _INTERPRET,
-                                 str(xr.dtype), False, in_keep=in_nonzero,
-                                 scale=scale)
-        # full-width planes; the BlockSpec window DMAs only the prefix
-        return run(xr, xi)
-    if out_keep and inverse:
-        run = _build_fft_call_v3(n, True, xr.shape[0], _INTERPRET,
-                                 str(xr.dtype), False, out_keep=out_keep,
-                                 scale=scale)
-        return run(xr, xi)
     run = _build_fft_call_v3(n, inverse, xr.shape[0], _INTERPRET,
-                             str(xr.dtype), donate, scale=scale)
+                             str(xr.dtype),
+                             donate and not (in_nonzero or out_keep),
+                             in_keep=in_nonzero, out_keep=out_keep,
+                             scale=scale)
+    # full-width planes welcome; the BlockSpec window DMAs only the prefix
     return run(xr, xi)
 
 
@@ -2789,7 +2902,8 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused, n_factors,
 
 
 def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
-                       n_factors, inverse, vpu_tabs, mxu_tabs, n_v3, *refs):
+                       n_factors, inverse, vpu_tabs, mxu_tabs, n_v3,
+                       in_rows, qrows, *refs):
     """v3-stage strided kernel: the (1, n, il*tile_s) block already has the
     transform axis in sublane/outer dims and the batch in lanes — the v3
     pipeline's native layout with no transpose at all.  One full-efficiency
@@ -2807,9 +2921,10 @@ def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
         sl = slice(i * tile_s, (i + 1) * tile_s)
         xr = xr_ref[0, :, sl].astype(jnp.float32)            # (n, tile_s)
         xi = xi_ref[0, :, sl].astype(jnp.float32)
-        if xr.shape[0] < n:
-            # zero-pad elision: the declared-zero row tail was never DMA'd
-            pads = ((0, n - xr.shape[0]), (0, 0))
+        if xr.shape[0] < qrows:
+            # zero-pad elision: the declared-zero row tail was never DMA'd;
+            # with stage-1 pruning only the q live chunks materialize
+            pads = ((0, qrows - xr.shape[0]), (0, 0))
             xr = jnp.pad(xr, pads)
             xi = jnp.pad(xi, pads)
         if fused == "pre":
@@ -2818,7 +2933,7 @@ def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
             fi = jnp.broadcast_to(fi, (n2, n1, tile_s)).reshape(n, tile_s)
             xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
         xr, xi = _v3_apply_stages(xr, xi, tile_s, v3_refs, vpu_tabs,
-                                  mxu_tabs, prec, inverse)
+                                  mxu_tabs, prec, inverse, in_rows=in_rows)
         xr = xr.reshape(n, tile_s)
         xi = xi.reshape(n, tile_s)
         if fused == "post":
@@ -2944,9 +3059,14 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     in_len = in_keep or n
     out_len = out_keep or n
     if use_v3:
-        vpu_tabs, mxu_tabs = _v3_tables(
-            n, inverse, scale=scale,
-            int8=_V3_MXU_INT8 and dtype == jnp.float32)
+        int8 = _V3_MXU_INT8 and dtype == jnp.float32
+        q1 = _v3_prune_q(n, in_keep) if (in_keep and not int8) else None
+        r1, mp1 = _v3_first_stage(n)
+        prune = q1 is not None and q1 < r1
+        in_rows_eff = in_keep if prune else 0
+        qrows = q1 * mp1 if prune else n
+        vpu_tabs, mxu_tabs = _v3_tables(n, inverse, scale=scale, int8=int8,
+                                        in_rows=in_rows_eff)
         v3_np = []
         for tr_, ti_, *_ in vpu_tabs:
             v3_np += [tr_, ti_]
@@ -2956,7 +3076,8 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                 v3_np += [tr_, ti_]
         kernel = functools.partial(_strided_kernel_v3, n, n1, n2, tile_s,
                                    il, dtype, prec, fused, len(factors),
-                                   inverse, vpu_tabs, mxu_tabs, len(v3_np))
+                                   inverse, vpu_tabs, mxu_tabs, len(v3_np),
+                                   in_rows_eff, qrows)
         spec_in = pl.BlockSpec((1, in_len, tile_s * il),
                                lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM)

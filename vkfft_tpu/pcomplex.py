@@ -81,6 +81,49 @@ class Planar:
         return Planar(self.re, -self.im)
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass
+class TlSpectrum(Planar):
+    """Opaque transposed-intermediate spectrum (the ``keep_intermediate_order``
+    forward result for v3 sizes; reference ``disableReorderFourStep``,
+    ``vkFFT_Structs.h:221``).
+
+    The planes hold the (steps, n, gb) kernel-state layout — natural spectrum
+    values with lines in lanes — and the round-trip contract (``lead``
+    original leading dims, ``batch`` flattened line count, ``n`` transform
+    length) rides the VALUE as static pytree metadata, so any application
+    instance (including one reloaded from a plan blob) can invert a forward
+    produced elsewhere.  Elementwise arithmetic with broadcastable operands
+    (e.g. a spectrum-domain convolution table in the same layout) preserves
+    the wrapper."""
+
+    lead: tuple = ()
+    batch: int = 0
+    n: int = 0
+
+    def tree_flatten(self):
+        return (self.re, self.im), (tuple(self.lead), self.batch, self.n)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+    def _like(self, p: Planar) -> "TlSpectrum":
+        return TlSpectrum(p.re, p.im, self.lead, self.batch, self.n)
+
+    def __add__(self, other):
+        return self._like(Planar.__add__(self, other))
+
+    def __sub__(self, other):
+        return self._like(Planar.__sub__(self, other))
+
+    def __mul__(self, other):
+        return self._like(Planar.__mul__(self, other))
+
+    def conj(self):
+        return self._like(Planar.conj(self))
+
+
 def from_complex(x) -> Planar:
     """Host/CPU conversion: complex array -> planes (numpy or jnp)."""
     if isinstance(x, Planar):
