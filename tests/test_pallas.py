@@ -512,6 +512,55 @@ def test_v3_pruned_stage1(n, h):
     assert rel_err(np.asarray(br) + 1j * np.asarray(bi), iref) < 5e-6
 
 
+@pytest.mark.parametrize("n", [263, 1019])  # p-1 non-smooth -> BLUESTEIN
+def test_bluestein_fused_kernel(n):
+    """Single-kernel Bluestein (round 4, verdict item 3): chirp pre/post
+    multiplies fused into the kernel's read/write paths, the [n, m) pad
+    never DMA'd, pruned first stage (``vkFFT_Bluestein.h:32,201``)."""
+    from vkfft_tpu.planner import plan_axis, Algorithm
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    plan = plan_axis(n)
+    assert plan.algorithm is Algorithm.BLUESTEIN
+    m = plan.decomp.bluestein_size
+    assert pallas_engine._use_v3(m), (n, m)
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+    p = Planar(jnp.asarray(x.real.astype(np.float32)),
+               jnp.asarray(x.imag.astype(np.float32)))
+    y = pallas_engine.fft_lines_p(p, plan, False)
+    ref = np.fft.fft(x)
+    assert rel_err(np.asarray(y.re) + 1j * np.asarray(y.im), ref) < 2e-5
+    z = pallas_engine.fft_lines_p(y, plan, True, scale=1.0 / n)
+    assert rel_err(np.asarray(z.re) + 1j * np.asarray(z.im), x) < 2e-5
+
+
+def test_bluestein_long_conv():
+    """Long-regime Bluestein (round 4, verdict item 3): m beyond the
+    single-kernel range runs the 3-kernel fused path — strided + fused conv
+    (spectrum multiply in the swapped four-step layout) + strided — with the
+    structured padded size m = Nc*Ns chosen by the planner."""
+    from vkfft_tpu.planner import plan_axis, Algorithm
+    from vkfft_tpu.pcomplex import Planar
+    import jax.numpy as jnp
+    n = 10007   # prime, p-1 = 2*5003 non-smooth -> Bluestein
+    plan = plan_axis(n)
+    assert plan.algorithm is Algorithm.BLUESTEIN
+    m = plan.decomp.bluestein_size
+    assert m == 20480, m   # structured long-conv size 128 * 160
+    nc, ns = pallas_engine.split_long(m)
+    assert nc % 128 == 0 and pallas_engine._use_v3(ns)
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+    p = Planar(jnp.asarray(x.real.astype(np.float32)),
+               jnp.asarray(x.imag.astype(np.float32)))
+    y = pallas_engine.fft_lines_p(p, plan, False)
+    ref = np.fft.fft(x)
+    assert rel_err(np.asarray(y.re) + 1j * np.asarray(y.im), ref) < 5e-5
+    z = pallas_engine.fft_lines_p(y, plan, True, scale=1.0 / n)
+    assert rel_err(np.asarray(z.re) + 1j * np.asarray(z.im), x) < 5e-5
+
+
 def test_strided_pruned_stage1():
     """The strided kernel prunes its first stage the same way."""
     import jax.numpy as jnp

@@ -158,6 +158,22 @@ int64_t vt_primitive_root(int64_t p) {
 int64_t vt_bluestein_size(int64_t n, int64_t max_direct_prime,
                           int64_t group_radix) {
     int64_t lo = 2 * n - 1;
+    // Long-conv regime (M beyond the 16384 single-kernel range): M = nc*ns
+    // with nc a lane-tile multiple and ns in the v3 range (<= 8192), so the
+    // Bluestein convolution runs the fused 3-kernel long path.  Mirrors
+    // _bluestein_padded_size in planner/factorize.py bit-for-bit.
+    if (lo > 16384) {
+        int64_t best = -1;
+        const int64_t ncs[4] = {128, 256, 512, 1024};
+        for (int i = 0; i < 4; ++i) {
+            int64_t ns = vt_next_smooth((lo + ncs[i] - 1) / ncs[i]);
+            if (ns <= 8192) {
+                int64_t m = ncs[i] * ns;
+                if (best < 0 || m < best) best = m;
+            }
+        }
+        if (best > 0) return best;
+    }
     int64_t cands[8];
     int64_t nc = 0;
     int64_t c = vt_next_smooth(lo);

@@ -376,14 +376,13 @@ def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
     passes either way (reference: bit-reversed-order convolutions under
     disableReorderFourStep, README.md:16).
 
-    v3 pairs are natural-order native so the table needs no permutation; the
-    v2 fallback runs swapped-digit-order pairs with a host-permuted table."""
+    v3 sizes run the whole round trip as ONE fused kernel (forward stages +
+    spectrum multiply + inverse stages, all VMEM-resident — the reference's
+    ``appendBluesteinConvolution`` single-kernel structure,
+    ``vkFFT_Bluestein.h:201``); the v2 fallback runs swapped-digit-order
+    pairs with a host-permuted table."""
     if _use_v3(m):
-        fr, fi = core_fft_planar_v3(y.re, y.im, m, False, donate=True)
-        bp = planar_table(b_table, y.dtype)
-        F = Planar(fr, fi) * bp[None, :]
-        ir, ii = core_fft_planar_v3(F.re, F.im, m, True, donate=True)
-        return Planar(ir, ii)
+        return conv_fused_v3(y, m, b_table)
     if _use_v2(m):
         n1, n2 = split_lane_major(m)
         b_sw = np.ascontiguousarray(b_table.reshape(n1, n2).T).reshape(-1)
@@ -394,9 +393,53 @@ def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
         ir, ii = core_fft_planar_v2(F.re, F.im, m, True, order="swapped",
                                     donate=True)
         return Planar(ir, ii)
+    long_ok = split_long(m)
+    if (long_ok is not None and long_ok[0] % _V3_SB == 0
+            and _use_v3(long_ok[1])):
+        return _conv_roundtrip_long_p(y, m, b_table)
     bp = planar_table(b_table, y.dtype)
     F = _core_fft_p(y, m, False) * bp[None, :]
     return _core_fft_p(F, m, True)
+
+
+def _conv_roundtrip_long_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
+    """Fused long-regime circular convolution: m = Nc * Ns beyond the
+    single-kernel range runs as THREE kernels — strided Nc pass (four-step
+    twiddle fused on the write), ONE fused contiguous kernel doing
+    [Ns-forward stages -> per-line spectrum multiply -> inline Ns-inverse
+    stages], and the inverse strided Nc pass (conjugate twiddle fused on the
+    read).  No reorder passes, no separate spectrum-multiply HBM pass: the
+    spectrum multiply happens in the SWAPPED (kc-major) four-step layout,
+    where line kc multiplies by table column T[ks, kc] = b[ks*Nc + kc]
+    (reference: bit-reversed-order convolutions under
+    disableReorderFourStep, README.md:16; in-kernel conv ``vkFFT_FFT.h:
+    241-351``)."""
+    nc, ns = split_long(m)
+    B = y.shape[0]
+    c1, c2 = split_lane_major(nc)
+    # forward strided pass, four-step twiddle fused on the write
+    fa = _sep_twiddle(c1, c2, ns, m, False)
+    fb = _sep_twiddle(c2, 1, ns, m, False)
+    run = _build_strided_call(nc, False, B, ns, _INTERPRET, str(y.dtype),
+                              fused="post",
+                              factors=(("dim1", c1), ("dim2", c2)))
+    tr, ti = run(y.re.reshape(B, nc, ns), y.im.reshape(B, nc, ns),
+                 jnp.asarray(fa[0]), jnp.asarray(fa[1]),
+                 jnp.asarray(fb[0]), jnp.asarray(fb[1]))      # (B, kc, ns)
+    # middle: one fused kernel per-line conv in swapped layout
+    mid = conv_fused_v3_rows(
+        Planar(tr.reshape(B * nc, ns), ti.reshape(B * nc, ns)),
+        ns, nc, np.ascontiguousarray(b_table.reshape(ns, nc)))
+    # inverse strided pass, conjugate twiddle fused on the read
+    fa = _sep_twiddle(c2, c1, ns, m, True)
+    fb = _sep_twiddle(c1, 1, ns, m, True)
+    run = _build_strided_call(nc, True, B, ns, _INTERPRET, str(y.dtype),
+                              fused="pre",
+                              factors=(("dim1", c2), ("dim2", c1)))
+    orr, oi = run(mid.re.reshape(B, nc, ns), mid.im.reshape(B, nc, ns),
+                  jnp.asarray(fa[0]), jnp.asarray(fa[1]),
+                  jnp.asarray(fb[0]), jnp.asarray(fb[1]))
+    return Planar(orr.reshape(B, m), oi.reshape(B, m))
 
 
 def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
@@ -434,6 +477,9 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
         return _core_fft_p(x, n, inverse, donate=donate, scale=scale)
     if alg is Algorithm.BLUESTEIN:
         m = plan.decomp.bluestein_size
+        if _use_v3(m):
+            # single fused kernel: chirp mults + pad + crop all in-kernel
+            return bluestein_fused_v3(x, n, m, inverse, scale=scale)
         a_t, b_t = luts.bluestein_chirp(n, m, inverse)
         a = planar_table(a_t, x.dtype)
         y = _pad_tail_p(x * a[None, :], m - n)
@@ -3611,11 +3657,13 @@ def conv_fused_planar(x: Planar, n: int, table: np.ndarray,
 
 
 def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
-                    fwd_tabs, inv_tabs, n_fwd, n_inv, *refs):
+                    fwd_tabs, inv_tabs, n_fwd, n_inv, blu, qrows, *refs):
     xr_ref, xi_ref = refs[0], refs[1]
     fwd_refs = refs[2:2 + n_fwd]
     inv_refs = refs[2 + n_fwd:2 + n_fwd + n_inv]
     cr_ref, ci_ref = refs[2 + n_fwd + n_inv:4 + n_fwd + n_inv]
+    if blu:
+        ar_ref, ai_ref = refs[4 + n_fwd + n_inv:6 + n_fwd + n_inv]
     or_ref, oi_ref = refs[-2:]
     fwd_vpu, fwd_mxu = fwd_tabs
     inv_vpu, inv_mxu = inv_tabs
@@ -3629,10 +3677,22 @@ def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
             xr0, xi0 = xr_ref[0], xi_ref[0]
         else:
             xr0, xi0 = xr_ref[:, i, :], xi_ref[:, i, :]
-        xr = jnp.swapaxes(xr0.astype(jnp.float32), 0, 1)         # (n, sb)
+        xr = jnp.swapaxes(xr0.astype(jnp.float32), 0, 1)    # (n|blu, sb)
         xi = jnp.swapaxes(xi0.astype(jnp.float32), 0, 1)
+        if blu:
+            # fused Bluestein (reference appendBluesteinMultiplication,
+            # vkFFT_Bluestein.h:32): chirp pre-multiply on the read path;
+            # the chirp-pad region [blu, n) never leaves HBM and only the
+            # q live stage-1 chunks materialize (pruned first stage)
+            ar = ar_ref[...].astype(jnp.float32)            # (blu, 1)
+            ai = ai_ref[...].astype(jnp.float32)
+            xr, xi = xr * ar - xi * ai, xr * ai + xi * ar
+            if qrows > blu:
+                pads = ((0, qrows - blu), (0, 0))
+                xr = jnp.pad(xr, pads)
+                xi = jnp.pad(xi, pads)
         fr, fi = _v3_apply_stages(xr, xi, sb, fwd_refs, fwd_vpu, fwd_mxu,
-                                  prec, False)
+                                  prec, False, in_rows=blu)
         fr = fr.reshape(n, sb)
         fi = fi.reshape(n, sb)
         if conj_data:
@@ -3661,6 +3721,11 @@ def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
                                   prec, True)
         br = br.reshape(n, sb)
         bi = bi.reshape(n, sb)
+        if blu:
+            # fused Bluestein write path: crop to the live prefix (the
+            # padded tail is never written) + chirp post-multiply
+            br, bi = br[:blu], bi[:blu]
+            br, bi = br * ar - bi * ai, br * ai + bi * ar
         if post_scale != 1.0:
             s = jnp.float32(post_scale)
             br = br * s
@@ -3677,7 +3742,8 @@ def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
 def _build_conv_v3_call(n: int, batch: int, interpret: bool,
                         dtype_name: str = "float32", m: int = 1,
                         rows: int = 1, conj_data: bool = False,
-                        xpow: bool = False, post_scale: float = 1.0):
+                        xpow: bool = False, post_scale: float = 1.0,
+                        blu: int = 0):
     """One-kernel circular convolution of ``batch`` lines of length n.
 
     ``m`` > 1: matrix convolution — operands are (batch, m, n) planes and
@@ -3686,10 +3752,26 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     multiplies by column j %% rows (requires sb | rows).
     ``post_scale`` != 1: in-kernel multiply after the inverse stages (used
     with ``xpow`` where a table scale would cancel in Y/|Y|; otherwise
-    callers bake normalization into the table)."""
+    callers bake normalization into the table).
+
+    ``blu`` > 0: fused Bluestein mode — the operands are (1, batch, blu)
+    planes of the ORIGINAL (unpadded) length; the kernel multiplies by the
+    chirp on its read path, runs the padded n-point convolution with a
+    pruned first stage (the [blu, n) pad never exists anywhere), crops to
+    blu on the write path and chirp-post-multiplies.  HBM traffic is 2*blu
+    per line instead of ~2*n + 4 extra XLA passes — the reference's
+    in-kernel structure (``vkFFT_Bluestein.h:32,201``)."""
     dtype = jnp.dtype(dtype_name)
     _i8 = _V3_MXU_INT8 and dtype == jnp.float32
-    fwd_tabs = _v3_tables(n, False, int8=_i8)
+    if blu:
+        assert m == 1 and rows == 1, (m, rows)
+        q1 = _v3_prune_q(n, blu)
+        r1, mp1 = _v3_first_stage(n)
+        qrows = q1 * mp1 if q1 < r1 else n
+        in_rows = blu if q1 < r1 else 0
+    else:
+        qrows, in_rows = n, 0
+    fwd_tabs = _v3_tables(n, False, int8=_i8, in_rows=in_rows)
     inv_tabs = _v3_tables(n, True, int8=_i8)
     sb = _V3_SB
     pad = (-batch) % sb
@@ -3713,12 +3795,14 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     inv_np = np_tables(inv_tabs)
     kernel = functools.partial(_conv_v3_kernel, n, sb, m, dtype, prec,
                                conj_data, xpow, post_scale,
-                               fwd_tabs, inv_tabs, len(fwd_np), len(inv_np))
+                               fwd_tabs, inv_tabs, len(fwd_np), len(inv_np),
+                               blu if in_rows or blu else 0, qrows)
 
+    io_len = blu or n
     if m == 1:
-        spec = pl.BlockSpec((1, sb, n), lambda b: (0, b, 0),
+        spec = pl.BlockSpec((1, sb, io_len), lambda b: (0, b, 0),
                             memory_space=pltpu.VMEM)
-        out_struct = jax.ShapeDtypeStruct((1, padded, n), dtype)
+        out_struct = jax.ShapeDtypeStruct((1, padded, io_len), dtype)
     else:
         spec = pl.BlockSpec((sb, m, n), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -3736,6 +3820,10 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
                                 memory_space=pltpu.VMEM)
     in_specs = ([spec, spec] + [const(t) for t in fwd_np]
                 + [const(t) for t in inv_np] + [tab_spec, tab_spec])
+    if blu:
+        chirp_spec = pl.BlockSpec((blu, 1), lambda b: (0, 0),
+                                  memory_space=pltpu.VMEM)
+        in_specs += [chirp_spec, chirp_spec]
     passes = _mxu_passes(prec)
     mxu_macs = (sum(r for *_, r, _, _ in fwd_tabs[1])
                 + sum(r for *_, r, _, _ in inv_tabs[1]))
@@ -3743,7 +3831,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
         "cost_estimate": pl.CostEstimate(
             flops=2 * m * padded * n * (mxu_macs * 8 * passes + 80),
             transcendentals=0,
-            bytes_accessed=dtype.itemsize * 2 * m * padded * n * 2),
+            bytes_accessed=dtype.itemsize * 2 * m * padded * io_len * 2),
     }
     if not interpret:
         kw["input_output_aliases"] = {0: 0, 1: 1}
@@ -3755,9 +3843,10 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
         compiler_params=None if interpret else _vmem_params(),
         **kw)
 
-    def run(xr, xi, cr, ci):
+    def run(xr, xi, cr, ci, ar=None, ai=None):
         """m == 1: (1, batch, n) planes; m > 1: (batch, m, n) planes.
-        ``cr/ci``: (n, cols) table planes."""
+        ``cr/ci``: (n, cols) table planes; ``ar/ai``: (blu, 1) chirp planes
+        (Bluestein mode only)."""
         if pad:
             pads = (((0, 0), (0, pad), (0, 0)) if m == 1
                     else ((0, pad), (0, 0), (0, 0)))
@@ -3765,7 +3854,8 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
             xi = jnp.pad(xi, pads)
         tabs = [jnp.asarray(t) for t in fwd_np] + \
                [jnp.asarray(t) for t in inv_np]
-        a, b = call(xr, xi, *tabs, cr, ci)
+        extra = (cr, ci, ar, ai) if blu else (cr, ci)
+        a, b = call(xr, xi, *tabs, *extra)
         if pad:
             return ((a[:, :batch], b[:, :batch]) if m == 1
                     else (a[:batch], b[:batch]))
@@ -3776,6 +3866,30 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
 
 def use_conv_v3(n: int) -> bool:
     return _use_v3(n)
+
+
+def bluestein_fused_v3(x: Planar, n: int, m: int, inverse: bool,
+                       scale: float = 1.0) -> Planar:
+    """ONE-kernel Bluestein transform of (B, n) planar lines: chirp
+    pre-multiply on the kernel's read path, padded m-point forward stages
+    (pruned first stage — the [n, m) chirp pad never exists in HBM or
+    VMEM), spectrum multiply, inline inverse stages, crop + chirp
+    post-multiply on the write path.  HBM traffic = 2n per line per
+    direction, vs ~2m + 4 extra XLA passes for the unfused form — the
+    reference's in-kernel Bluestein structure
+    (``appendBluesteinMultiplication`` ``vkFFT_Bluestein.h:32``,
+    ``appendBluesteinConvolution`` ``:201``)."""
+    a_t, b_t = luts.bluestein_chirp(n, m, inverse)
+    B = x.shape[0]
+    run = _build_conv_v3_call(m, B, _INTERPRET, str(x.dtype), 1, 1,
+                              False, False, 1.0, blu=n)
+    tab = b_t * (scale / m)     # 1/m + caller normalization ride the table
+    cr = jnp.asarray(np.real(tab).astype(np.float32).reshape(m, 1))
+    ci = jnp.asarray(np.imag(tab).astype(np.float32).reshape(m, 1))
+    ar = jnp.asarray(np.real(a_t).astype(np.float32).reshape(n, 1))
+    ai = jnp.asarray(np.imag(a_t).astype(np.float32).reshape(n, 1))
+    orr, oi = run(x.re[None], x.im[None], cr, ci, ar, ai)
+    return Planar(orr[0], oi[0])
 
 
 def conv_fused_v3(x: Planar, n: int, table, scale: float = 1.0,

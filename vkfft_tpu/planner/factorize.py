@@ -200,8 +200,27 @@ def _bluestein_padded_size(n: int) -> int:
     """Padded length M >= 2n-1 minimizing stage MAC cost among smooth sizes.
 
     Prefers slightly larger but cheaper sizes (reference picks from vendor
-    tables with the same "bigger but faster" logic)."""
+    tables with the same "bigger but faster" logic).
+
+    Beyond the single-kernel range (M > 16384) the padded size is chosen as
+    M = nc * ns with nc a lane-tile multiple and ns in the v3 single-kernel
+    range, so the Bluestein convolution runs the fused 3-kernel long path
+    (strided + single-kernel conv + strided) — execution structure beats a
+    marginally smaller but structureless smooth M (the reference's
+    vendor-table logic makes the same trade, ``vkFFT_Scheduler.h:
+    2406-2578``).  Mirrored bit-for-bit in the native core
+    (``vt_bluestein_size``)."""
     lo = 2 * n - 1
+    if lo > 16384:  # MAX_SINGLE_KERNEL_N (ops layer)
+        best = None
+        for nc in (128, 256, 512, 1024):
+            ns = next_smooth(-(-lo // nc))
+            if ns <= 8192:  # _V3_MAX_N (ops layer)
+                m = nc * ns
+                if best is None or m < best:
+                    best = m
+        if best is not None:
+            return best
     candidates = {next_smooth(lo)}
     # Also consider the next power of two and a couple of nearby smooth sizes.
     candidates.add(1 << (lo - 1).bit_length())
