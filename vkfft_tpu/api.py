@@ -423,16 +423,16 @@ class FFTApplication:
                 in_h, out_h = route["in_h"], route["out_h"]
                 # forward: read the input prefix, write the spectrum prefix;
                 # inverse: the mirror — the spectrum's declared-zero tail is
-                # never read, the discarded time-domain tail never written
+                # never read, the discarded time-domain tail never computed.
+                # The declared-zero output region is restored as literal
+                # zeros by the kernel's own store (out_fill) — no separate
+                # XLA zero-restore pass.
                 ik, ok = (in_h, out_h) if not inverse else (out_h, in_h)
                 s = (1.0 / n) if (inverse and cfg.normalize) else 1.0
                 rr, ii = _pe.core_fft_planar_v3(flat.re, flat.im, n, inverse,
                                                 in_nonzero=ik, out_keep=ok,
-                                                scale=s)
-                out = Planar(rr, ii)
-                if ok:
-                    out = _pad_planar_tail(out, ((ok, n),))
-                return out.reshape(*lead, n)
+                                                scale=s, out_fill=bool(ok))
+                return Planar(rr, ii).reshape(*lead, n)
             if route["kind"] == "v2":
                 h = route["in_h"]
                 flat = x.reshape(-1, n)
@@ -489,19 +489,57 @@ class FFTApplication:
         if not inverse and not elide_in:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         if pair is not None:
+            ny_, nz_ = pair
             rest = [ax for ax in axes if ax < ndim - 2]
+            ky = pair_in[0] or ny_
+            kz = pair_in[1] or nz_
+            # Outer-first corner elision (forward): when the minor axes
+            # carry declared-zero windows, the outer strided passes run
+            # FIRST on the nonzero (ky, kz) corner — zero minor lines are
+            # never transformed at all, so the work elision COMPOUNDS
+            # across axes (the reference's N-D zero-pad economy,
+            # README.md:14 "up to 2x"; its sample 4 is exactly this 3-D
+            # case).  The pair kernel then consumes the corner directly.
+            corner = (not inverse and elide_in and bool(rest)
+                      and (ky < ny_ or kz < nz_))
             if not inverse:
-                x = eng.fft_pair_p(x, pair[0], pair[1], False,
-                                   in_keep=pair_in)
-            for ax in rest:
-                # outer-axis prefix windows elide the strided kernel's row
-                # reads (forward) / writes (inverse, shrinking the axis)
-                x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
-                             inverse, scale=1.0,
-                             in_keep=outer_in.get(ax, 0),
-                             out_keep=outer_out.get(ax, 0))
-            if inverse:
-                x = eng.fft_pair_p(x, pair[0], pair[1], True,
+                if corner:
+                    x = x[..., :ky, :kz]
+                    for ax in rest:
+                        x = fft_axis(x, x.ndim - ndim + ax,
+                                     self.axis_plans[ax], False, scale=1.0,
+                                     in_keep=outer_in.get(ax, 0))
+                    x = eng.fft_pair_p(x, ny_, nz_, False, in_keep=pair_in)
+                else:
+                    x = eng.fft_pair_p(x, ny_, nz_, False, in_keep=pair_in)
+                    for ax in rest:
+                        x = fft_axis(x, x.ndim - ndim + ax,
+                                     self.axis_plans[ax], False, scale=1.0,
+                                     in_keep=outer_in.get(ax, 0))
+            elif elide_in and pair_out != (0, 0) and rest:
+                # inverse mirror: pair first (cropping to the corner), the
+                # outer passes then run on the corner only, zeros restored
+                # once at the end
+                x = eng.fft_pair_p(x, ny_, nz_, True,
+                                   scale=norm_scale, out_keep=pair_out)
+                for ax in rest:
+                    x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
+                                 True, scale=1.0,
+                                 out_keep=outer_out.get(ax, 0))
+                keeps = []
+                for ax in range(ndim):
+                    if ax >= ndim - 2:
+                        keeps.append((pair_out[ax - (ndim - 2)],
+                                      cfg.shape[ax]))
+                    else:
+                        keeps.append((outer_out.get(ax, 0), cfg.shape[ax]))
+                x = _pad_planar_tail(x, tuple(keeps))
+            else:
+                for ax in rest:
+                    x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
+                                 True, scale=1.0,
+                                 out_keep=outer_out.get(ax, 0))
+                x = eng.fft_pair_p(x, ny_, nz_, True,
                                    scale=norm_scale, out_keep=pair_out)
                 if pair_out != (0, 0) or outer_out:
                     keeps = []

@@ -255,9 +255,10 @@ def sample_7(ctx):
 _PRECISION_SYSTEMS_1D = [(1 << k,) for k in range(3, 15)] + [
     (6,), (12,), (60,), (120,), (360,), (1000,), (2310,),
 ]
-# long-path (multi-upload four-step) systems toward the reference's 2^26
-# envelope (sample_11_precision_VkFFT_single.cpp:78-90) — round 3
-_PRECISION_SYSTEMS_LONG = [(1 << 17,), (1 << 20,), (1 << 22,), (1 << 24,)]
+# long-path (multi-upload four-step) systems to the reference's full 2^26
+# envelope (sample_11_precision_VkFFT_single.cpp:78-90) — round 4
+_PRECISION_SYSTEMS_LONG = [(1 << 17,), (1 << 20,), (1 << 22,), (1 << 24,),
+                           (1 << 26,)]
 # 4-D transforms (reference default VKFFT_MAX_FFT_DIMENSIONS=4,
 # vkFFT/vkFFT.h:70-102)
 _PRECISION_SYSTEMS_ND = [(8, 16), (32, 32), (16, 17, 4), (8, 8, 8),
@@ -430,22 +431,37 @@ def sample_100(ctx):
                 f"est {moved / dt / 1e9:7.1f} GB/s")
 
 
-@sample(1000, "sweep: all smooth systems 2..4096 FP32 precision")
+@sample(1000, "sweep: EVERY system 2..4096 FP32 precision")
 def sample_1000(ctx):
-    from vkfft_tpu.planner import decompose, Algorithm
+    """Reference sample_1000 runs *every* n in 2..4096
+    (``sample_1000_benchmark_VkFFT_single_2_4096.cpp:77``) — the headline
+    sweep.  Full breadth runs on complex-capable backends (CPU); on the
+    tunneled TPU a ~130-system structured subset keeps compile volume sane
+    (every algorithm class: pow-2, smooth, Rader primes, Bluestein primes,
+    v2/v3 boundary sizes) — the full set is CI-coverable via
+    ``JAX_PLATFORMS=cpu``."""
+    from vkfft_tpu import api
     worst = 0.0
+    worst_n = 0
     count = 0
-    for n in range(2, 4097):
-        if decompose(n).algorithm is Algorithm.DIRECT and n % 37 == 0 or n in (
-                2, 3, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096,
-                6, 12, 60, 120, 360, 1000, 2310, 97, 101, 1009):
-            x = _rand_complex((2, n), seed=n, dtype=np.complex64)
-            got = _run_fft_host(x, ctx.engine, axes=(-1,))
-            ref = np.fft.fft(x.astype(np.complex128), axis=-1)
-            eps = np.abs(got - ref).max() / np.abs(ref).max()
-            worst = max(worst, eps)
-            count += 1
-    ctx.log(f"  {count} systems, worst rel err {worst:.3e} "
+    if api.complex_supported():
+        sizes = range(2, 4097)
+    else:
+        from vkfft_tpu.planner import decompose, Algorithm
+        keyset = {2, 3, 4, 5, 8, 16, 32, 64, 128, 256, 512, 1024, 2048,
+                  4096, 6, 12, 60, 120, 360, 1000, 2310, 97, 101, 1009,
+                  263, 1019, 129, 255, 257, 4095}
+        sizes = sorted(keyset | {n for n in range(2, 4097) if n % 37 == 0}
+                       | {n for n in range(2, 4097) if n % 61 == 0})
+    for n in sizes:
+        x = _rand_complex((2, n), seed=n, dtype=np.complex64)
+        got = _run_fft_host(x, ctx.engine, axes=(-1,))
+        ref = np.fft.fft(x.astype(np.complex128), axis=-1)
+        eps = np.abs(got - ref).max() / np.abs(ref).max()
+        if eps > worst:
+            worst, worst_n = eps, n
+        count += 1
+    ctx.log(f"  {count} systems, worst rel err {worst:.3e} at n={worst_n} "
             f"({'PASS' if worst < 1e-4 else 'FAIL'})")
 
 
@@ -620,35 +636,74 @@ def sample_10(ctx):
             f"({'PASS' if ok else 'FAIL'})")
 
 
-@sample(4, "benchmark zero-padded C2C FP32 (work elision; sample_4 analog)")
+@sample(4, "benchmark zero-padded C2C FP32 (3-D work elision; sample_4 analog)")
 def sample_4(ctx):
-    """Reference sample_4: zero-padding gives up to 2x speedup because
-    declared-zero reads are elided (vkFFT_Zeropad.h, README.md:14-15).
-    Times the FORWARD transform (where read elision applies; the inverse
-    of a zeropad_input config pays a zero-restore pass by contract —
-    chain timing of fwd-only is shape-stable and kernel-identical)."""
+    """Reference sample_4
+    (``sample_4_benchmark_VkFFT_single_3d_zeropadding.cpp``) benchmarks
+    THREE-dimensional transforms with half-size declared-zero windows on
+    every axis — the regime where zero-pad elision compounds (zero minor
+    lines are never transformed at all; README.md:14-15 'up to 2x').  The
+    1-D rows time full round trips (fwd-only single-kernel chains pay XLA
+    loop-carry copies that mask the kernel ratio — e35) plus a donated
+    per-kernel forward chain for the kernel-level ratio."""
     import vkfft_tpu as vt
     import jax.numpy as jnp
     from vkfft_tpu.pcomplex import from_complex
+
+    # -- 3-D: the reference's sample-4 geometry (half-pad every axis) --
+    for shape in ((128, 128, 128), (256, 256, 256)):
+        n_el = int(np.prod(shape))
+        batch = max(1, 128 * 1024 * 1024 // (8 * n_el))
+        x = from_complex(_rand_complex((batch,) + shape, seed=n_el))
+        full = vt.get_application(vt.FFTConfig(shape=shape), ctx.engine)
+        pad = vt.get_application(
+            vt.FFTConfig(shape=shape,
+                         zeropad_input=tuple((d // 2, d) for d in shape)),
+            ctx.engine)
+        dt_f = _time_chain_fn(full._fwd, x)
+        dt_p = _time_chain_fn(pad._fwd, x)
+        if min(dt_f, dt_p) < 50e-6:
+            ctx.log(f"  {shape}: below timing noise floor; see bench.py")
+            continue
+        ctx.log(f"  {'x'.join(map(str, shape))} batch {batch} fwd: "
+                f"full {dt_f*1e3:8.3f} ms  half-pad^3 {dt_p*1e3:8.3f} ms "
+                f"({dt_f/dt_p:.2f}x, mode: {pad.zeropad_mode})")
+
+    # -- 1-D: round trips + donated per-kernel forward --
+    from vkfft_tpu.ops import pallas_engine as _pe
     for n in (1024, 4096):
         batch = max(1, 128 * 1024 * 1024 // (8 * n))
         x = from_complex(_rand_complex((batch, n), seed=n))
-        full = vt.get_application(vt.FFTConfig(shape=(n,)), ctx.engine)
+        # normalize=True keeps round-trip chain values stationary
+        full = vt.get_application(vt.FFTConfig(shape=(n,), normalize=True),
+                                  ctx.engine)
         pad = vt.get_application(
-            vt.FFTConfig(shape=(n,), zeropad_input=((n // 2, n),)), ctx.engine)
+            vt.FFTConfig(shape=(n,), normalize=True,
+                         zeropad_input=((n // 2, n),)), ctx.engine)
         mid = vt.get_application(
             vt.FFTConfig(shape=(n,), zeropad_input=((n // 4, 3 * n // 4),)),
             ctx.engine)
-        dt_full = _time_chain_fn(full._fwd, x)
-        dt_pad = _time_chain_fn(pad._fwd, x)
+        rt_full = _time_chain_fn(lambda v, a=full: a._inv(a._fwd(v)), x)
+        rt_pad = _time_chain_fn(lambda v, a=pad: a._inv(a._fwd(v)), x)
         dt_mid = _time_chain_fn(mid._fwd, x)
-        if min(dt_full, dt_pad, dt_mid) < 50e-6:
+        # per-kernel forward ratio via donated single-kernel chains (the
+        # alias keeps XLA from inserting loop-carry copies)
+        s = float(1.0 / np.sqrt(n))
+        kf = _time_chain_fn(
+            lambda p: _pe.Planar(*_pe.core_fft_planar_v3(
+                p.re, p.im, n, False, donate=True, scale=s)), x)
+        kp = _time_chain_fn(
+            lambda p: _pe.Planar(*_pe.core_fft_planar_v3(
+                p.re, p.im, n, False, donate=True, in_nonzero=n // 2,
+                scale=s)), x)
+        if min(rt_full, rt_pad, dt_mid, kf, kp) < 50e-6:
             ctx.log(f"  n={n}: below timing noise floor; see bench.py")
             continue
-        ctx.log(f"  n={n} batch {batch} fwd: full {dt_full*1e3:8.3f} ms  "
-                f"half-pad {dt_pad*1e3:8.3f} ms ({dt_full/dt_pad:.2f}x)  "
-                f"interior [n/4,3n/4) {dt_mid*1e3:8.3f} ms "
-                f"({dt_full/dt_mid:.2f}x, mode: {mid.zeropad_mode})")
+        ctx.log(f"  n={n} batch {batch}: rt full {rt_full*1e3:8.3f} ms  "
+                f"rt half-pad {rt_pad*1e3:8.3f} ms ({rt_full/rt_pad:.2f}x)  "
+                f"fwd-kernel {kf/kp:.2f}x  "
+                f"interior fwd {dt_mid*1e3:8.3f} ms "
+                f"(mode: {mid.zeropad_mode})")
 
 
 @sample(5, "benchmark no-reorder 4-step (disableReorderFourStep analog)")
@@ -791,9 +846,8 @@ def sample_1001(ctx):
     worst = 0.0
     count = 0
     if api.complex_supported():
-        sizes = [n for n in range(2, 4097)
-                 if n in (2, 3, 4, 5, 7, 8, 11, 13, 16, 17, 32, 64, 97, 128,
-                          256, 360, 512, 1000, 1024, 2048, 2310, 4096)]
+        # full breadth, like the reference's sample_1001 (every n 2..4096)
+        sizes = range(2, 4097)
         tol = 1e-12
         for n in sizes:
             x = _rand_complex((2, n), seed=n, dtype=np.complex128)

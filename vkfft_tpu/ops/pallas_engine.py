@@ -1288,7 +1288,7 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
 
 
 def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
-                   win, in_tl, out_tl, in_rows, qrows, *refs):
+                   win, in_tl, out_tl, in_rows, qrows, out_fill, *refs):
     if win is not None:
         # interior zero window [left, right): prefix + tail read as two
         # separately-DMA'd operands; the zero middle never leaves HBM
@@ -1310,10 +1310,13 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
             xr = xr_ref[0, :, i * sb:(i + 1) * sb].astype(jnp.float32)
             xi = xi_ref[0, :, i * sb:(i + 1) * sb].astype(jnp.float32)
         else:
+            # transpose at STORAGE width, then widen: for bf16/f16 tiers the
+            # lane<->sublane relayout moves half the bytes (round 4; no-op
+            # for f32)
             xr = jnp.swapaxes(
-                xr_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+                xr_ref[0, i * sb:(i + 1) * sb], 0, 1).astype(jnp.float32)
             xi = jnp.swapaxes(
-                xi_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
+                xi_ref[0, i * sb:(i + 1) * sb], 0, 1).astype(jnp.float32)
         if win is not None:
             left, right = win
             z = jnp.zeros((right - left, sb), jnp.float32)
@@ -1338,11 +1341,18 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
             or_ref[0, :, i * sb:(i + 1) * sb] = xr.reshape(n, sb).astype(out_dtype)
             oi_ref[0, :, i * sb:(i + 1) * sb] = xi.reshape(n, sb).astype(out_dtype)
             continue
-        keep = or_ref.shape[2]   # < n: discarded-tail writes are elided
+        keep = out_fill or or_ref.shape[2]  # < n: discarded tail elided
         xr = xr.reshape(n, sb)[:keep]
         xi = xi.reshape(n, sb)[:keep]
-        or_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(xr, 0, 1).astype(out_dtype)
-        oi_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(xi, 0, 1).astype(out_dtype)
+        if out_fill and keep < or_ref.shape[2]:
+            # declared-zero tail restored IN-KERNEL (literal zeros written
+            # with the same store) — no separate XLA pad pass
+            zp = ((0, or_ref.shape[2] - keep), (0, 0))
+            xr = jnp.pad(xr, zp)
+            xi = jnp.pad(xi, zp)
+        # narrow BEFORE the exit transpose (same bytes saving on the write)
+        or_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(xr.astype(out_dtype), 0, 1)
+        oi_ref[0, i * sb:(i + 1) * sb] = jnp.swapaxes(xi.astype(out_dtype), 0, 1)
 
 
 @functools.lru_cache(maxsize=512)
@@ -1351,7 +1361,7 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
                        in_keep: int = 0, out_keep: int = 0,
                        scale: float = 1.0, in_window=None,
                        in_tl: bool = False, out_tl: bool = False,
-                       force_il: int = 0):
+                       force_il: int = 0, out_fill: bool = False):
     """``in_keep`` (forward): read only the first in_keep entries of each
     line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
     write only the first out_keep entries (the returned planes have that
@@ -1395,7 +1405,9 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         # strict <: n=1024 reaches il=8 (8MB blocks, 547 GB/s), n=4096
         # stops at il=2 (il=4 measured a 10% regression, e26/bench_r3a)
         il = 1
-        while (il < 8 and n * (2 * il) * sb * 4 < (8 << 20)
+        # block-byte budget counts the STORAGE width — bf16/f16 tiers fit
+        # twice the interleave depth in the same 8MB (round 4)
+        while (il < 8 and n * (2 * il) * sb * dtype.itemsize < (8 << 20)
                and batch >= 4 * il * sb):
             il *= 2
     gb = sb * il
@@ -1408,7 +1420,11 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     # of each output line actually written (forward: frequencyZeroPadding
     # write elision, vkFFT_Structs.h:264; inverse: discarded-tail writes)
     in_len = in_keep or n
-    out_len = out_keep or n
+    # out_fill: the discarded [out_keep, n) tail is not computed but IS
+    # written as literal zeros by the same store (full-width output, no
+    # separate XLA zero-restore pass — the declared-zero contract satisfied
+    # in-kernel)
+    out_len = n if out_fill else (out_keep or n)
 
     assert not (in_tl and (in_keep or in_window is not None)), \
         "tl input layout cannot combine with read-elision windows"
@@ -1420,7 +1436,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         in_len = win[0]
     kernel = functools.partial(_fft_kernel_v3, n, sb, il, inverse, dtype,
                                prec, vpu_tabs, mxu_tabs, win, in_tl, out_tl,
-                               in_rows_eff, qrows)
+                               in_rows_eff, qrows,
+                               out_keep if out_fill else 0)
     if in_tl:
         spec = pl.BlockSpec((1, n, gb), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1464,7 +1481,12 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
             transcendentals=0,
             bytes_accessed=dtype.itemsize * 2 * padded * (read_len + out_len)),
     }
-    if donate and not interpret and in_len == n and out_len == n:
+    # aliasing is legal whenever operand and output ARRAYS share the full
+    # (gb, n) shape — a windowed read (in_keep) still reads block i before
+    # writing block i, so in-place remains safe (round 4: kills the XLA
+    # loop-carry copies that single-kernel chains otherwise pay, e35)
+    if donate and not interpret and out_len == n and win is None \
+            and not (in_tl or out_tl):
         kw["input_output_aliases"] = {0: 0, 1: 1}
     out_block = (padded // gb, n, gb) if out_tl else (padded // gb, gb,
                                                       out_len)
@@ -1534,7 +1556,8 @@ def v3_interior_window_ok(n: int, left: int, right: int) -> bool:
 
 def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
                        in_nonzero: int = 0, out_keep: int = 0,
-                       scale: float = 1.0, in_window=None):
+                       scale: float = 1.0, in_window=None,
+                       out_fill: bool = False):
     """v3 core: natural order in, natural order out, both directions.
 
     ``in_nonzero``: the tail [in_nonzero, n) of each input line is declared
@@ -1555,9 +1578,10 @@ def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
         return run(xr, xi)
     run = _build_fft_call_v3(n, inverse, xr.shape[0], _INTERPRET,
                              str(xr.dtype),
-                             donate and not (in_nonzero or out_keep),
+                             donate and (out_fill or not out_keep)
+                             and xr.shape[-1] == n,
                              in_keep=in_nonzero, out_keep=out_keep,
-                             scale=scale)
+                             scale=scale, out_fill=out_fill)
     # full-width planes welcome; the BlockSpec window DMAs only the prefix
     return run(xr, xi)
 
@@ -1595,31 +1619,51 @@ def _pair_pad_in(xr, xi, ny, nz):
 
 
 def _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y, mxu_y,
-                   vpu_z, mxu_z, prec, inverse):
+                   vpu_z, mxu_z, prec, inverse, iy=0, izp=0, oyp=0):
     """Full 2-D DFT of one (ny, nz) plane inside a kernel: Y stages in the
-    natural layout, in-tile transpose, Z stages, transpose back."""
-    xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
-                              prec, inverse)
-    xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)            # (nz, ny)
-    xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
-    xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
-                              prec, inverse)
-    return (jnp.swapaxes(xr.reshape(nz, ny), 0, 1),
-            jnp.swapaxes(xi.reshape(nz, ny), 0, 1))        # (ny, nz)
+    natural layout, in-tile transpose, Z stages, transpose back.
+
+    In-kernel zero-pad COMPUTE pruning (round 4):
+      ``iy``   — nonzero y-prefix: Y stage-1 prunes (`_v3_apply_stages`)
+      ``izp``  — nonzero z-prefix (lane-padded): the Y stages run on the
+                 NARROWED (*, izp) state (all Y work scales by izp/nz — the
+                 zero z-columns stay zero through the Y transform), and the
+                 Z stage-1 prune expands izp -> nz after the transpose
+      ``oyp``  — inverse write window: only y < oyp rows survive, so the Z
+                 stages run on the narrowed (*, oyp) state after the Y
+                 stages (mirror saving)."""
+    Sy = izp or nz
+    xr, xi = _v3_apply_stages(xr, xi, Sy, tabs[:n_y_refs], vpu_y, mxu_y,
+                              prec, inverse, in_rows=iy)
+    xr = xr.reshape(ny, Sy)
+    xi = xi.reshape(ny, Sy)
+    if oyp and oyp < ny:
+        xr = xr[:oyp]
+        xi = xi[:oyp]
+    yn = oyp or ny
+    xr = jnp.swapaxes(xr, 0, 1)                            # (Sy, yn)
+    xi = jnp.swapaxes(xi, 0, 1)
+    xr, xi = _v3_apply_stages(xr, xi, yn, tabs[n_y_refs:], vpu_z, mxu_z,
+                              prec, inverse, in_rows=izp)
+    return (jnp.swapaxes(xr.reshape(nz, yn), 0, 1),
+            jnp.swapaxes(xi.reshape(nz, yn), 0, 1))        # (yn, nz)
 
 
 def _pair_kernel(ny, nz, il, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
-                 mxu_z, n_y_refs, xr_ref, xi_ref, *refs):
+                 mxu_z, n_y_refs, qy, izp, oyp, xr_ref, xi_ref, *refs):
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
     # ``il`` independent plane pipelines per grid step (round 3): Mosaic
     # overlaps one plane's VPU/transpose work with another's MXU stage —
     # same rationale as the v3 kernel's interleaving (E9/E10)
+    iy_rows = qy if 0 < qy < ny else 0
     for i in range(il):
         xr, xi = _pair_pad_in(xr_ref[i].astype(jnp.float32),
-                              xi_ref[i].astype(jnp.float32), ny, nz)
+                              xi_ref[i].astype(jnp.float32),
+                              qy or ny, izp or nz)
         xr, xi = _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y,
-                                mxu_y, vpu_z, mxu_z, prec, inverse)
+                                mxu_y, vpu_z, mxu_z, prec, inverse,
+                                iy=iy_rows, izp=izp, oyp=oyp)
         oy, oz = or_ref.shape[1:]  # < (ny, nz): discarded-tail writes elided
         or_ref[i] = xr[:oy, :oz].astype(out_dtype)
         oi_ref[i] = xi[:oy, :oz].astype(out_dtype)
@@ -1651,9 +1695,39 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
     have that shape).  0 = full extent."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
+    iy = in_keep[0] or ny
+    iz = in_keep[1] or nz
+    oy = out_keep[0] or ny
+    oz = out_keep[1] or nz
+    # in-kernel compute pruning (round 4, reference vkFFT_Zeropad.h compute
+    # guards): qy = Y stage-1 live-chunk rows; izp = z nonzero prefix
+    # rounded to a lane-tile multiple of Z's stage-1 chunk (Y stages run on
+    # the narrowed state, Z stage-1 expands); oyp = inverse write window
+    # rounded likewise (Z stages run on the surviving rows only)
+    qy = 0
+    iy_eff = 0
+    if not int8 and iy < ny:
+        q1y = _v3_prune_q(ny, iy)
+        r1y, mp1y = _v3_first_stage(ny)
+        if q1y < r1y:
+            qy, iy_eff = q1y * mp1y, iy
+
+    def _round_win(keep, dim):
+        if int8 or keep >= dim:
+            return 0
+        r1, mp1 = _v3_first_stage(dim)
+        step = mp1
+        while step % 128:
+            step += mp1
+        w = -(-keep // step) * step
+        return 0 if w >= dim else w
+
+    izp = _round_win(iz, nz)
+    oyp = _round_win(oy, ny)
     # scale folds into the Y stage set's first stage (applied exactly once)
-    vpu_y, mxu_y = _v3_tables(ny, inverse, scale=scale, int8=int8)
-    vpu_z, mxu_z = _v3_tables(nz, inverse, int8=int8)
+    vpu_y, mxu_y = _v3_tables(ny, inverse, scale=scale, int8=int8,
+                              in_rows=iy_eff)
+    vpu_z, mxu_z = _v3_tables(nz, inverse, int8=int8, in_rows=izp)
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda a: pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
@@ -1670,11 +1744,7 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
             il *= 2
     kernel = functools.partial(_pair_kernel, ny, nz, il, dtype, prec,
                                inverse, vpu_y, mxu_y, vpu_z, mxu_z,
-                               len(tabs_y))
-    iy = in_keep[0] or ny
-    iz = in_keep[1] or nz
-    oy = out_keep[0] or ny
-    oz = out_keep[1] or nz
+                               len(tabs_y), qy, izp, oyp)
     pad = (-b) % il
     padded = b + pad
     spec_in = pl.BlockSpec((il, iy, iz), lambda i: (i, 0, 0),
@@ -1711,9 +1781,11 @@ def fft_pair_planar(xr, xi, ny: int, nz: int, inverse: bool,
                     scale: float = 1.0, in_keep: tuple = (0, 0),
                     out_keep: tuple = (0, 0)):
     """Fused 2-D DFT over the two minor axes of (..., ny, nz) planes.
-    ``in_keep``/``out_keep``: zero-pad read/write elision windows — pass
-    full-size planes; only the leading window is DMA'd (forward), or the
-    returned planes have the ``out_keep`` shape (inverse)."""
+    ``in_keep``/``out_keep``: zero-pad read/write elision windows — operands
+    may be full-size planes (only the leading window is DMA'd) or
+    pre-sliced (iy, iz) corners (the N-D outer-first elision path hands the
+    corner straight through); the inverse's returned planes have the
+    ``out_keep`` shape."""
     lead = xr.shape[:-2]
     b = 1
     for d in lead:
@@ -1723,7 +1795,8 @@ def fft_pair_planar(xr, xi, ny: int, nz: int, inverse: bool,
                            out_keep=tuple(out_keep))
     oy = out_keep[0] or ny
     oz = out_keep[1] or nz
-    a, c = run(xr.reshape(b, ny, nz), xi.reshape(b, ny, nz))
+    ry, rz = xr.shape[-2:]   # full planes or the (iy, iz) corner
+    a, c = run(xr.reshape(b, ry, rz), xi.reshape(b, ry, rz))
     return a.reshape(*lead, oy, oz), c.reshape(*lead, oy, oz)
 
 
