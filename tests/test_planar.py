@@ -146,6 +146,37 @@ def test_tl_spectrum_no_shape_collision():
         pallas_engine.set_interpret(False)
 
 
+def test_tl_spectrum_pair_2d():
+    """keep_intermediate_order on the N-D pair path (round 4): the 2-D
+    forward returns the opaque (nz, ny) kernel-state TlSpectrum; the
+    inverse (of any app instance with the same config) restores natural
+    planes — one in-tile transpose saved per direction."""
+    from vkfft_tpu.ops import pallas_engine
+    from vkfft_tpu.pcomplex import TlSpectrum
+    pallas_engine.set_interpret(True)
+    try:
+        ny, nz = 128, 256
+        cfg = vt.FFTConfig(shape=(ny, nz), normalize=True,
+                           keep_intermediate_order=True)
+        app = vt.FFTApplication(cfg, engine="pallas")
+        rng = np.random.default_rng(3)
+        x = (rng.standard_normal((2, ny, nz))
+             + 1j * rng.standard_normal((2, ny, nz))).astype(np.complex64)
+        Y = app.forward(from_complex(x))
+        assert isinstance(Y, TlSpectrum) and Y.n2 == nz
+        assert Y.shape[-2:] == (nz, ny)
+        # contents are the natural 2-D spectrum, transposed
+        ref = np.fft.fft2(x.astype(np.complex128))
+        got = np.swapaxes(to_numpy(Y), -2, -1)
+        assert rel_err(got, ref) < 5e-6
+        # a fresh app instance inverts it (contract rides the value)
+        app2 = vt.FFTApplication(cfg, engine="pallas")
+        z = to_numpy(app2.inverse(Y))
+        assert rel_err(z, x) < 5e-6
+    finally:
+        pallas_engine.set_interpret(False)
+
+
 def test_tl_spectrum_survives_plan_reload():
     """Verdict item 9: a reloaded application (plan blob round trip) can
     invert a tl forward produced by the original app — the

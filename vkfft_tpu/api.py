@@ -319,6 +319,17 @@ class FFTApplication:
         # immune to the shape-collision hazard of side-state (round-3 advice).
         if inverse and isinstance(x, TlSpectrum):
             from vkfft_tpu.ops import pallas_engine as _pe
+            if x.n2:
+                # 2-D pair tl form: planes are (..., nz, ny) kernel state
+                ny, nz = x.n, x.n2
+                if ndim != 2 or cfg.shape != (ny, nz):
+                    raise InvalidConfigError(
+                        f"TlSpectrum carries pair ({x.n}, {x.n2}) but this "
+                        f"application is configured for shape {cfg.shape}")
+                s = (1.0 / (ny * nz)) if cfg.normalize else 1.0
+                rr, ii = _pe.fft_pair_tl_planar(x.re, x.im, ny, nz, True,
+                                                scale=s)
+                return Planar(rr, ii).reshape(*x.lead, ny, nz)
             n = cfg.shape[0] if ndim == 1 else None
             if n is None or x.n != n:
                 raise InvalidConfigError(
@@ -373,6 +384,23 @@ class FFTApplication:
         # restoration — the spectrum is returned in the kernel's swapped
         # layout and the inverse consumes it, saving the reorder pass in
         # round trips and convolutions.
+        if (planar and cfg.keep_intermediate_order and not inverse
+                and self.engine_name == "pallas" and ndim == 2
+                and len(cfg.axes) == 2
+                and cfg.zeropad_input is None and cfg.zeropad_output is None):
+            # 2-D pair tl form (round 4): the opaque (nz, ny) kernel-state
+            # intermediate skips one in-tile transpose per direction
+            from vkfft_tpu.ops import pallas_engine as _pe
+            from vkfft_tpu.planner.factorize import Algorithm as _Alg
+            ny, nz = cfg.shape
+            if (self.axis_plans[0].algorithm is _Alg.DIRECT
+                    and self.axis_plans[1].algorithm is _Alg.DIRECT
+                    and _pe.pair_available(ny, nz)):
+                lead = x.shape[:-2]
+                rr, ii = _pe.fft_pair_tl_planar(x.re, x.im, ny, nz, False)
+                return TlSpectrum(rr, ii, lead,
+                                  int(np.prod(lead, dtype=np.int64))
+                                  if lead else 1, ny, nz)
         if (planar and cfg.keep_intermediate_order and self.engine_name == "pallas"
                 and len(cfg.axes) == 1 and cfg.axes[0] == len(cfg.shape) - 1
                 and cfg.zeropad_input is None and cfg.zeropad_output is None):

@@ -1405,9 +1405,13 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
         # strict <: n=1024 reaches il=8 (8MB blocks, 547 GB/s), n=4096
         # stops at il=2 (il=4 measured a 10% regression, e26/bench_r3a)
         il = 1
-        # block-byte budget counts the STORAGE width — bf16/f16 tiers fit
-        # twice the interleave depth in the same 8MB (round 4)
-        while (il < 8 and n * (2 * il) * sb * dtype.itemsize < (8 << 20)
+        # block-byte budget counts the COMPUTE width (f32): e36 measured the
+        # storage-width budget REGRESSING bf16 n=4096 (il=4: 226 vs 253 at
+        # il=2) — the in-kernel f32 state is what the deeper interleave
+        # costs, not the narrow HBM blocks.  One measured exception: small-n
+        # 16-bit tiers gain from il=16 (e36: bf16 n=256 337 vs 304 GB/s).
+        il_cap = 16 if (n <= 256 and dtype.itemsize <= 2) else 8
+        while (il < il_cap and n * (2 * il) * sb * 4 < (8 << 20)
                and batch >= 4 * il * sb):
             il *= 2
     gb = sb * il
@@ -1619,7 +1623,8 @@ def _pair_pad_in(xr, xi, ny, nz):
 
 
 def _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y, mxu_y,
-                   vpu_z, mxu_z, prec, inverse, iy=0, izp=0, oyp=0):
+                   vpu_z, mxu_z, prec, inverse, iy=0, izp=0, oyp=0,
+                   tl_in=False, tl_out=False):
     """Full 2-D DFT of one (ny, nz) plane inside a kernel: Y stages in the
     natural layout, in-tile transpose, Z stages, transpose back.
 
@@ -1631,7 +1636,21 @@ def _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y, mxu_y,
                  Z stage-1 prune expands izp -> nz after the transpose
       ``oyp``  — inverse write window: only y < oyp rows survive, so the Z
                  stages run on the narrowed (*, oyp) state after the Y
-                 stages (mirror saving)."""
+                 stages (mirror saving).
+
+    ``tl_in``/``tl_out`` (keep_intermediate_order pair form): the opaque
+    intermediate is the (nz, ny) KERNEL-STATE orientation — a tl_out
+    forward stops before the exit transpose and a tl_in inverse starts with
+    the Z stages in that orientation, saving one in-tile transpose per
+    direction (the 2-D disableReorderFourStep economy)."""
+    if tl_in:
+        xr, xi = _v3_apply_stages(xr, xi, ny, tabs[n_y_refs:], vpu_z, mxu_z,
+                                  prec, inverse)
+        xr = jnp.swapaxes(xr.reshape(nz, ny), 0, 1)        # (ny, nz)
+        xi = jnp.swapaxes(xi.reshape(nz, ny), 0, 1)
+        xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:n_y_refs], vpu_y, mxu_y,
+                                  prec, inverse)
+        return xr.reshape(ny, nz), xi.reshape(ny, nz)
     Sy = izp or nz
     xr, xi = _v3_apply_stages(xr, xi, Sy, tabs[:n_y_refs], vpu_y, mxu_y,
                               prec, inverse, in_rows=iy)
@@ -1645,12 +1664,15 @@ def _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y, mxu_y,
     xi = jnp.swapaxes(xi, 0, 1)
     xr, xi = _v3_apply_stages(xr, xi, yn, tabs[n_y_refs:], vpu_z, mxu_z,
                               prec, inverse, in_rows=izp)
+    if tl_out:
+        return xr.reshape(nz, yn), xi.reshape(nz, yn)      # kernel state
     return (jnp.swapaxes(xr.reshape(nz, yn), 0, 1),
             jnp.swapaxes(xi.reshape(nz, yn), 0, 1))        # (yn, nz)
 
 
 def _pair_kernel(ny, nz, il, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
-                 mxu_z, n_y_refs, qy, izp, oyp, xr_ref, xi_ref, *refs):
+                 mxu_z, n_y_refs, qy, izp, oyp, tl_in, tl_out,
+                 xr_ref, xi_ref, *refs):
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
     # ``il`` independent plane pipelines per grid step (round 3): Mosaic
@@ -1658,12 +1680,13 @@ def _pair_kernel(ny, nz, il, out_dtype, prec, inverse, vpu_y, mxu_y, vpu_z,
     # same rationale as the v3 kernel's interleaving (E9/E10)
     iy_rows = qy if 0 < qy < ny else 0
     for i in range(il):
-        xr, xi = _pair_pad_in(xr_ref[i].astype(jnp.float32),
-                              xi_ref[i].astype(jnp.float32),
-                              qy or ny, izp or nz)
+        xr, xi = xr_ref[i].astype(jnp.float32), xi_ref[i].astype(jnp.float32)
+        if not tl_in:
+            xr, xi = _pair_pad_in(xr, xi, qy or ny, izp or nz)
         xr, xi = _pair_fft_body(xr, xi, ny, nz, tabs, n_y_refs, vpu_y,
                                 mxu_y, vpu_z, mxu_z, prec, inverse,
-                                iy=iy_rows, izp=izp, oyp=oyp)
+                                iy=iy_rows, izp=izp, oyp=oyp,
+                                tl_in=tl_in, tl_out=tl_out)
         oy, oz = or_ref.shape[1:]  # < (ny, nz): discarded-tail writes elided
         or_ref[i] = xr[:oy, :oz].astype(out_dtype)
         oi_ref[i] = xi[:oy, :oz].astype(out_dtype)
@@ -1688,11 +1711,17 @@ def _pair_operands(vpu_tabs, mxu_tabs, const):
 @functools.lru_cache(maxsize=256)
 def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
                      dtype_name: str = "float32", scale: float = 1.0,
-                     in_keep: tuple = (0, 0), out_keep: tuple = (0, 0)):
+                     in_keep: tuple = (0, 0), out_keep: tuple = (0, 0),
+                     tl_in: bool = False, tl_out: bool = False):
     """``in_keep`` (forward): read only the leading (iy, iz) window of each
     plane — the declared-zero remainder is never DMA'd.  ``out_keep``
     (inverse): write only the leading (oy, oz) window (the returned planes
-    have that shape).  0 = full extent."""
+    have that shape).  0 = full extent.
+
+    ``tl_in``/``tl_out``: opaque transposed-intermediate pair form — planes
+    are (nz, ny) kernel-state orientation; a tl round trip saves one
+    in-tile transpose per direction (keep_intermediate_order for the N-D
+    pair path)."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
     iy = in_keep[0] or ny
@@ -1742,14 +1771,19 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
         # VMEM limit (e23: il=4 beats il=2 at 256x256 — 2.165 vs 2.230 ms)
         while il < 8 and ny * nz * 16 * (il * 2) <= (4 << 20) and b >= il * 2:
             il *= 2
+    assert not ((tl_in or tl_out) and (in_keep != (0, 0)
+                                       or out_keep != (0, 0))), \
+        "tl pair layouts cannot combine with elision windows"
     kernel = functools.partial(_pair_kernel, ny, nz, il, dtype, prec,
                                inverse, vpu_y, mxu_y, vpu_z, mxu_z,
-                               len(tabs_y), qy, izp, oyp)
+                               len(tabs_y), qy, izp, oyp, tl_in, tl_out)
     pad = (-b) % il
     padded = b + pad
-    spec_in = pl.BlockSpec((il, iy, iz), lambda i: (i, 0, 0),
+    in_blk = (il, nz, ny) if tl_in else (il, iy, iz)
+    out_blk = (il, nz, ny) if tl_out else (il, oy, oz)
+    spec_in = pl.BlockSpec(in_blk, lambda i: (i, 0, 0),
                            memory_space=pltpu.VMEM)
-    spec_out = pl.BlockSpec((il, oy, oz), lambda i: (i, 0, 0),
+    spec_out = pl.BlockSpec(out_blk, lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     passes = _mxu_passes(prec)
     macs = (sum(r for *_, r, _, _ in mxu_y) * nz
@@ -1758,7 +1792,8 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
         kernel, grid=(padded // il,),
         in_specs=[spec_in, spec_in] + specs_y + specs_z,
         out_specs=[spec_out, spec_out],
-        out_shape=[jax.ShapeDtypeStruct((padded, oy, oz), dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct(
+            (padded,) + tuple(out_blk[1:]), dtype)] * 2,
         interpret=interpret,
         compiler_params=None if interpret else _vmem_params(),
         cost_estimate=pl.CostEstimate(
@@ -1775,6 +1810,29 @@ def _build_pair_call(ny: int, nz: int, inverse: bool, b: int, interpret: bool,
         return (a[:b], c[:b]) if pad else (a, c)
 
     return run
+
+
+def fft_pair_tl_planar(xr, xi, ny: int, nz: int, inverse: bool,
+                       scale: float = 1.0):
+    """keep_intermediate_order pair round-trip halves: the forward takes
+    natural (B, ny, nz) planes and returns the OPAQUE (B, nz, ny)
+    kernel-state intermediate (one in-tile transpose saved); the inverse
+    consumes that form and returns natural planes (the other transpose
+    saved) — the 2-D disableReorderFourStep economy
+    (``vkFFT_Structs.h:221``)."""
+    lead = xr.shape[:-2]
+    b = 1
+    for d in lead:
+        b *= d
+    if not inverse:
+        run = _build_pair_call(ny, nz, False, b, _INTERPRET, str(xr.dtype),
+                               scale=scale, tl_out=True)
+        a, c = run(xr.reshape(b, ny, nz), xi.reshape(b, ny, nz))
+        return a.reshape(*lead, nz, ny), c.reshape(*lead, nz, ny)
+    run = _build_pair_call(ny, nz, True, b, _INTERPRET, str(xr.dtype),
+                           scale=scale, tl_in=True)
+    a, c = run(xr.reshape(b, nz, ny), xi.reshape(b, nz, ny))
+    return a.reshape(*lead, ny, nz), c.reshape(*lead, ny, nz)
 
 
 def fft_pair_planar(xr, xi, ny: int, nz: int, inverse: bool,

@@ -88,28 +88,32 @@ class TlSpectrum(Planar):
     forward result for v3 sizes; reference ``disableReorderFourStep``,
     ``vkFFT_Structs.h:221``).
 
-    The planes hold the (steps, n, gb) kernel-state layout — natural spectrum
-    values with lines in lanes — and the round-trip contract (``lead``
-    original leading dims, ``batch`` flattened line count, ``n`` transform
-    length) rides the VALUE as static pytree metadata, so any application
-    instance (including one reloaded from a plan blob) can invert a forward
-    produced elsewhere.  Elementwise arithmetic with broadcastable operands
-    (e.g. a spectrum-domain convolution table in the same layout) preserves
-    the wrapper."""
+    The planes hold the kernel-state layout — 1-D: (steps, n, gb) with
+    lines in lanes; 2-D pair (``n2`` > 0): (..., n2, n) transposed planes —
+    and the round-trip contract (``lead`` original leading dims, ``batch``
+    flattened line/plane count, ``n``/``n2`` transform lengths) rides the
+    VALUE as static pytree metadata, so any application instance (including
+    one reloaded from a plan blob) can invert a forward produced elsewhere.
+    Elementwise arithmetic with broadcastable operands (e.g. a
+    spectrum-domain convolution table in the same layout) preserves the
+    wrapper."""
 
     lead: tuple = ()
     batch: int = 0
     n: int = 0
+    n2: int = 0
 
     def tree_flatten(self):
-        return (self.re, self.im), (tuple(self.lead), self.batch, self.n)
+        return (self.re, self.im), (tuple(self.lead), self.batch, self.n,
+                                    self.n2)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children, *aux)
 
     def _like(self, p: Planar) -> "TlSpectrum":
-        return TlSpectrum(p.re, p.im, self.lead, self.batch, self.n)
+        return TlSpectrum(p.re, p.im, self.lead, self.batch, self.n,
+                          self.n2)
 
     def __add__(self, other):
         return self._like(Planar.__add__(self, other))
