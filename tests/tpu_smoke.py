@@ -25,6 +25,12 @@ def main() -> int:
     import jax.numpy as jnp
     import vkfft_tpu as vk
     from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu import cache as _cache
+
+    try:  # amortize the tunneled runtime's slow cold compiles across runs
+        _cache.enable_persistent_cache()
+    except Exception:
+        pass
 
     plat = jax.devices()[0].platform
     print(f"platform: {plat} ({jax.devices()[0]})")

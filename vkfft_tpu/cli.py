@@ -409,26 +409,29 @@ def sample_52(ctx):
     ctx.log(f"  2D conv rel err: {err:.3e} ({'PASS' if err < 1e-4 else 'FAIL'})")
 
 
-@sample(100, "benchmark multidim DCT-2 FP32")
+@sample(100, "benchmark multidim DCT FP32 (types 2 and 4, odd sizes incl.)")
 def sample_100(ctx):
     import vkfft_tpu as vt
     import jax.numpy as jnp
-    for n in (256, 1024):
-        batch = max(1, 128 * 1024 * 1024 // (4 * n))
-        rng = np.random.default_rng(n)
-        x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
-        # the chained callable is self-normalizing: idct2 is the true
-        # inverse of dct2 here (measured growth factor 1.0), so iterated
-        # values stay bounded with no extra scale pass
-        f = lambda v: vt.idct(vt.dct(v, type=2, engine=ctx.engine), type=2,
-                              engine=ctx.engine)
-        dt = _time_chain_fn(f, x)
-        if dt < 50e-6:
-            ctx.log(f"  DCT-2 n={n}: below timing noise floor")
-            continue
-        moved = 2 * 2 * batch * n * 4
-        ctx.log(f"  DCT-2+inv n={n} batch {batch}: {dt * 1e3:8.3f} ms  "
-                f"est {moved / dt / 1e9:7.1f} GB/s")
+    # n=255 exercises the odd-length in-kernel forms (round-3 gates admit
+    # any n whose doubled length is v3-plannable); type 4 covers the
+    # rewritten per-line DCT-IV kernel (round-4 hardware number)
+    for t in (2, 4):
+        for n in (256, 1024, 255):
+            batch = max(1, 128 * 1024 * 1024 // (4 * n))
+            rng = np.random.default_rng(n)
+            x = jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32))
+            # chained callables are self-normalizing (idct inverts dct
+            # exactly here — measured growth factor 1.0)
+            f = lambda v, t=t: vt.idct(vt.dct(v, type=t, engine=ctx.engine),
+                                       type=t, engine=ctx.engine)
+            dt = _time_chain_fn(f, x)
+            if dt < 50e-6:
+                ctx.log(f"  DCT-{t} n={n}: below timing noise floor")
+                continue
+            moved = 2 * 2 * batch * n * 4
+            ctx.log(f"  DCT-{t}+inv n={n} batch {batch}: {dt * 1e3:8.3f} ms  "
+                    f"est {moved / dt / 1e9:7.1f} GB/s")
 
 
 @sample(1000, "sweep: EVERY system 2..4096 FP32 precision")
@@ -824,7 +827,9 @@ def sample_101(ctx):
     import vkfft_tpu as vt
     from vkfft_tpu import api
     dt_np = np.float64 if api.complex_supported() else np.float32
-    for shape in ((64, 64), (32, 32, 32)):
+    # 96x96 exercises non-pow2 (incl. the odd doubled-length mappings on
+    # the minor axis when swept); the cubes cover the strided R2R passes
+    for shape in ((64, 64), (96, 96), (32, 32, 32)):
         batch = max(1, 8 * 1024 * 1024 // (8 * int(np.prod(shape))))
         rng = np.random.default_rng(0)
         x = rng.standard_normal((batch,) + shape).astype(dt_np)
