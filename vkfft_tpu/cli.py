@@ -245,7 +245,13 @@ def sample_6(ctx):
 
 @sample(7, "benchmark Bluestein (primes) FP32")
 def sample_7(ctx):
-    _bench_systems(ctx, [(10007,), (7919,), (2 * 5003,)], target_mb=16)
+    """Primes vs the smooth neighbor: 10007 (Bluestein, structured m=20480
+    3-kernel long conv), 7919 (Rader, p-1 = 2*37*107), 10006 (SPLIT with a
+    5003 Bluestein factor), and 10240 = 2^11*5 (the smooth long-path
+    neighbor the prime rows are judged against — same nominal-bytes
+    formula, so the GB/s ratio IS the time-per-point ratio)."""
+    _bench_systems(ctx, [(10007,), (7919,), (2 * 5003,), (10240,)],
+                   target_mb=64)
 
 
 # ---------------------------------------------------------------------------

@@ -91,10 +91,10 @@ def _fft_rader(x, plan, tabs, inverse):
     A = apply_stages(a, plan, tabs["stages"])
     c = apply_stages(A * b_fft[None, :], plan, tabs["inv_stages"])
     c = c * x.dtype.type(1.0 / (plan.n - 1))
-    out = jnp.zeros_like(x)
-    out = out.at[:, 0:1].set(X0)
-    out = out.at[:, inv_perm].set(x0 + c)
-    return out
+    # gather + concat, never scatter: XLA scatters with arbitrary indices
+    # serialize on TPU (round 4, sample 7)
+    order = np.argsort(inv_perm)
+    return jnp.concatenate([X0, (x0 + c)[:, order]], axis=1)
 
 
 def _fft_split(x, plan, tabs, inverse):
@@ -262,9 +262,10 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
     c = apply_stages_p(A * b_fft[None, :], plan, tabs["inv_stages"])
     c = c * np.asarray(1.0 / (p - 1), dtype=x.dtype)
     val = x0 + c
-    out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0.re).at[:, inv_perm].set(val.re)
-    out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0.im).at[:, inv_perm].set(val.im)
-    return Planar(out_r, out_i)
+    # gather + concat, never scatter (see _fft_rader)
+    order = np.argsort(inv_perm)
+    return Planar(jnp.concatenate([X0.re, val.re[:, order]], axis=1),
+                  jnp.concatenate([X0.im, val.im[:, order]], axis=1))
 
 
 def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,

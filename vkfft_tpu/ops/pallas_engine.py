@@ -326,10 +326,9 @@ def fft_lines(x: jax.Array, plan: AxisPlan, inverse: bool = False) -> jax.Array:
     a = x[:, perm]
     A = _core_fft(a, p - 1, False)
     c = _core_fft(A * b_fft[None, :], p - 1, True) * x.dtype.type(1.0 / (p - 1))
-    out = jnp.zeros_like(x)
-    out = out.at[:, 0:1].set(X0)
-    out = out.at[:, inv_perm].set(x0 + c)
-    return out
+    # gather + concat, never scatter (see the planar branch below)
+    order = np.argsort(inv_perm)
+    return jnp.concatenate([X0, (x0 + c)[:, order]], axis=1)
 
 
 def fft_axis(x: jax.Array, axis: int, plan: AxisPlan, inverse: bool = False) -> jax.Array:
@@ -501,9 +500,14 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
     s = np.asarray(scale, x.dtype)
     val = (x0 * s if scale != 1.0 else x0) + c
     X0s = X0 * s if scale != 1.0 else X0
-    out_r = jnp.zeros_like(x.re).at[:, 0:1].set(X0s.re).at[:, inv_perm].set(val.re)
-    out_i = jnp.zeros_like(x.im).at[:, 0:1].set(X0s.im).at[:, inv_perm].set(val.im)
-    return Planar(out_r, out_i)
+    # output as GATHER + concat, never scatter: XLA scatters with arbitrary
+    # indices serialize on TPU (round 4: sample 7 measured the .at[].set
+    # form pathologically slow) — out[:, inv_perm[k]] = val[:, k] is
+    # out[:, 1:] = val[:, argsort(inv_perm)] since inv_perm hits every
+    # position 1..p-1 exactly once
+    order = np.argsort(inv_perm)
+    return Planar(jnp.concatenate([X0s.re, val.re[:, order]], axis=1),
+                  jnp.concatenate([X0s.im, val.im[:, order]], axis=1))
 
 
 def _mask_axis_tail(x: Planar, axis: int, h: int) -> Planar:

@@ -204,16 +204,15 @@ def _fft_rader_dd(x: DDComplex, p: int, inverse: bool) -> DDComplex:
     inv_m = _dd_scalar(complex(1.0 / (p - 1)))
     c = (c * inv_m) + _ddc_map(x0, lambda pl: jnp.broadcast_to(
         pl, pl.shape[:-1] + (p - 1,)))
-    scat = jnp.asarray(inv_perm)
-    out0 = lambda pl: jnp.concatenate(
-        [pl, jnp.zeros(pl.shape[:-1] + (p - 1,), pl.dtype)], axis=-1)
-    out = _ddc_map(X0, out0)
+    # gather + concat, never scatter (XLA scatters serialize on TPU):
+    # out[:, inv_perm[k]] = c[:, k]  <=>  out[:, 1:] = c[:, argsort(inv_perm)]
+    order = jnp.asarray(np.argsort(inv_perm))
 
-    def scatter(dst, src):
-        return dst.at[:, scat].set(src)
+    def place(head, tail):
+        return jnp.concatenate([head, jnp.take(tail, order, axis=1)], axis=1)
     return DDComplex(
-        DD(scatter(out.re.hi, c.re.hi), scatter(out.re.lo, c.re.lo)),
-        DD(scatter(out.im.hi, c.im.hi), scatter(out.im.lo, c.im.lo)))
+        DD(place(X0.re.hi, c.re.hi), place(X0.re.lo, c.re.lo)),
+        DD(place(X0.im.hi, c.im.hi), place(X0.im.lo, c.im.lo)))
 
 
 def _bcast_tab(t: DDComplex) -> DDComplex:

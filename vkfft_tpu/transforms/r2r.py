@@ -138,10 +138,14 @@ def _dct3(x, engine):
     v = _fft_p(V, inverse=True, engine=engine)  # normalized by 1/n
     vr = v.re * np.asarray(n, x.dtype)          # unnormalized inverse DFT
     half = (n + 1) // 2
-    out = jnp.zeros_like(x)
-    out = out.at[..., 0::2].set(vr[..., :half])
-    out = out.at[..., 1::2].set(vr[..., half:][..., ::-1])
-    return 2.0 * out
+    # even/odd interleave via stack+reshape, never a strided scatter
+    # (XLA scatters serialize on TPU — round 4)
+    a = vr[..., :half]
+    b = vr[..., half:][..., ::-1]
+    if n % 2:
+        b = jnp.concatenate([b, jnp.zeros_like(b[..., :1])], axis=-1)
+    out = jnp.stack([a, b], axis=-1).reshape(*vr.shape[:-1], 2 * half)
+    return 2.0 * out[..., :n]
 
 
 def _dct4(x, engine):
