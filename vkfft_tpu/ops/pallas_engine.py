@@ -441,6 +441,37 @@ def _conv_roundtrip_long_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
     return Planar(orr.reshape(B, m), oi.reshape(B, m))
 
 
+def _tiny_dft_p(x: Planar, n: int, inverse: bool, scale: float) -> Planar:
+    """n <= 4 DFT as inline VPU elementwise ops on (B, n) planes — a kernel
+    launch here would pad the 2-4 lane dim to a full 128-lane tile (64x
+    waste; round 4: the SPLIT path's fb=2 pass measured 118 ms at 64MB
+    through the kernel, ~4 ms inline).  XLA fuses these butterflies into
+    the neighboring passes."""
+    s = np.float32(scale)
+    cols = [x[:, i:i + 1] for i in range(n)]
+    if n == 2:
+        a, b = cols
+        out = [a + b, a - b]
+    elif n == 3:
+        a, b, c = cols
+        w = np.exp((2j if inverse else -2j) * np.pi / 3)
+        bc_s, bc_d = b + c, b - c
+        t1 = a + bc_s * np.float32(w.real)
+        # (b - c) * i*Im(w): planar multiply by a pure-imaginary constant
+        ti = np.float32(w.imag)
+        rot = Planar(-bc_d.im * ti, bc_d.re * ti)
+        out = [a + bc_s, t1 + rot, t1 - rot]
+    else:  # n == 4
+        a, b, c, d = cols
+        t0, t1 = a + c, a - c
+        t2, t3 = b + d, b - d
+        i3 = Planar(t3.im, -t3.re) if not inverse else Planar(-t3.im, t3.re)
+        out = [t0 + t2, t1 + i3, t0 - t2, t1 - i3]
+    rr = jnp.concatenate([o.re for o in out], axis=1)
+    ii = jnp.concatenate([o.im for o in out], axis=1)
+    return Planar(rr * s, ii * s) if scale != 1.0 else Planar(rr, ii)
+
+
 def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
                 donate: bool = False, scale: float = 1.0) -> Planar:
     """Planar DFT over (B, n) planes, Pallas-accelerated, scaled by
@@ -453,6 +484,8 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
     n = plan.n
     if n == 1:
         return x * np.asarray(scale, x.dtype) if scale != 1.0 else x
+    if n <= 4:
+        return _tiny_dft_p(x, n, inverse, scale)
     alg = plan.algorithm
     if alg is Algorithm.SPLIT:
         from vkfft_tpu.planner.plan import plan_axis as _plan_axis
