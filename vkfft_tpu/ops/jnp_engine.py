@@ -269,8 +269,10 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
 
 
 def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
-               scale: float = 1.0) -> Planar:
-    """Planar DFT along ``axis`` of N-D planes, scaled by ``scale``."""
+               scale: float = 1.0, donate: bool = False) -> Planar:
+    """Planar DFT along ``axis`` of N-D planes, scaled by ``scale``.
+    ``donate`` is accepted for engine-interface parity (XLA manages the
+    reference path's buffers; nothing to alias here)."""
     axis = axis % x.ndim
     if x.shape[axis] != plan.n:
         raise ValueError(f"axis {axis} has length {x.shape[axis]}, plan is for {plan.n}")
