@@ -575,7 +575,9 @@ def test_bluestein_long_conv():
     plan = plan_axis(n)
     assert plan.algorithm is Algorithm.BLUESTEIN
     m = plan.decomp.bluestein_size
-    assert m == 20480, m   # structured long-conv size 128 * 160
+    # pow-2 structured size (e40: all-K=128 conv stages beat the smaller
+    # 20480 = 2^12*5 whose conv drags a K=4 MXU tail, by 14% on v5e)
+    assert m == 32768, m
     nc, ns = pallas_engine.split_long(m)
     assert nc % 128 == 0 and pallas_engine._use_v3(ns)
     rng = np.random.default_rng(7)

@@ -172,6 +172,13 @@ int64_t vt_bluestein_size(int64_t n, int64_t max_direct_prime,
                 if (best < 0 || m < best) best = m;
             }
         }
+        // pow-2 M preferred within 1.7x (all-K=128-class conv stages;
+        // e40 measured it 14% faster at 1.6x the data) — mirrors
+        // _bluestein_padded_size bit-for-bit
+        int64_t p2 = 1;
+        while (p2 < lo) p2 <<= 1;
+        if (best > 0 && p2 <= (best * 17) / 10 && (p2 / 128) <= 8192)
+            return p2;
         if (best > 0) return best;
     }
     int64_t cands[8];

@@ -219,6 +219,14 @@ def _bluestein_padded_size(n: int) -> int:
                 m = nc * ns
                 if best is None or m < best:
                     best = m
+        # Power-of-two M has all-K=128-class conv stages; a 2^12*5-style
+        # smooth M drags a K=4 MXU tail.  e40 (round 4, real v5e): n=10007
+        # via M=32768 is 14% faster than via M=20480 despite 1.6x the
+        # data.  Prefer pow-2 when it costs at most ~1.7x the minimum.
+        p2 = 1 << (lo - 1).bit_length()
+        if best is not None and p2 <= (best * 17) // 10 \
+                and (p2 // 128) <= 8192:
+            return p2
         if best is not None:
             return best
     candidates = {next_smooth(lo)}
