@@ -533,25 +533,25 @@ def sample_200(ctx):
 
 @sample(2, "benchmark bf16/fp16 storage C2C (halfPrecisionMemoryOnly analog)")
 def sample_2(ctx):
-    import jax
     import jax.numpy as jnp
     from vkfft_tpu.config import Precision
     import vkfft_tpu as vt
     from vkfft_tpu.pcomplex import Planar
-    for n in (1024, 4096):
-        batch = max(1, 16 * 1024 * 1024 // (4 * n))
+    for n in (256, 1024, 4096):
+        batch = max(1, 128 * 1024 * 1024 // (4 * n))
         rng = np.random.default_rng(n)
-        cfg = vt.FFTConfig(shape=(n,), precision=Precision.BFLOAT16)
+        cfg = vt.FFTConfig(shape=(n,), precision=Precision.BFLOAT16,
+                           normalize=True)
         app = vt.get_application(cfg, ctx.engine)
         p = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
                    jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
-        y = app.forward(p)
-        jax.block_until_ready((y.re, y.im))
-        t0 = time.perf_counter()
-        for _ in range(10):
-            y = app.forward(p)
-        jax.block_until_ready((y.re, y.im))
-        ctx.log(f"  bf16 storage n={n} batch {batch}: {(time.perf_counter()-t0)/10*1e3:.3f} ms")
+        dt = _time_fwd_inv(app, p)
+        if dt < 50e-6:
+            ctx.log(f"  bf16 n={n}: below timing noise floor")
+            continue
+        moved = 2 * 2 * 2 * batch * n * 2   # bf16 planes, r+w, fwd+inv
+        ctx.log(f"  bf16 storage n={n} batch {batch}: {dt*1e3:8.3f} ms  "
+                f"est {moved/dt/1e9:7.1f} GB/s of bf16 bytes")
 
 
 @sample(9, "benchmark double-double (quad-class) C2C")
