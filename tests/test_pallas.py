@@ -407,10 +407,14 @@ def test_zeropad_output_elision_api():
     # kept spectrum prefix is exact; the declared-zero tail comes back zero
     assert rel_err(y[:, :oh], ref[:, :oh]) < 2e-6
     assert np.abs(y[:, oh:]).max() == 0.0
-    # inverse never reads the declared-zero tail: feed garbage there and the
-    # result must match the ifft of the windowed spectrum
+    # inverse never reads the declared-zero tail BEYOND the lane-rounded
+    # window (the DMA window rounds oh up to the next 128 multiple for
+    # Mosaic block legality; anything inside the rounded window is covered
+    # by the declared-zero contract): garbage past the rounded boundary
+    # must not affect the result
+    oh_dma = -(-oh // 128) * 128
     y_g = y.copy()
-    y_g[:, oh:] = 123.0
+    y_g[:, oh_dma:] = 123.0
     z = to_numpy(app.inverse(from_complex(y_g)))
     zref = np.fft.ifft(np.concatenate(
         [ref[:, :oh], np.zeros((3, n - oh))], axis=1))
@@ -886,8 +890,12 @@ def test_interior_zeropad_elision():
     pe.set_interpret(True)
     try:
         rng = np.random.default_rng(7)
-        for n, (l, r) in [(1024, (256, 768)), (512, (100, 256)),
-                          (1024, (100, 896))]:
+        # windows must be lane-tile-legal (round-4 hardware audit: block
+        # dims 128-divisible) — unaligned interior windows route to masking
+        assert not pe.v3_interior_window_ok(512, 100, 256)
+        assert not pe.v3_interior_window_ok(1024, 100, 896)
+        for n, (l, r) in [(1024, (256, 768)), (512, (128, 384)),
+                          (1024, (128, 896))]:
             assert pe.v3_interior_window_ok(n, l, r), (n, l, r)
             x = rng.standard_normal((130, n)).astype(np.float32)
             y = rng.standard_normal((130, n)).astype(np.float32)

@@ -185,6 +185,51 @@ def main() -> int:
           np.fft.ifft2(np.fft.fft2(xy, axes=(1, 2)) * Hk, axes=(1, 2)),
           tol=2e-4)
 
+    # --- window legality classes (round-4 hardware audit: Mosaic block
+    # dims must be (8, 128)-divisible or equal the array dims; these
+    # exercise the rounding / corner-slice / pruning machinery on real
+    # Mosaic, which interpret mode cannot)
+    print("elision windows (hardware block legality):")
+    xw = np.zeros((2, ny, nz), dtype=np.complex64)
+    xw[:, :100, :200] = (rng.standard_normal((2, 100, 200))
+                         + 1j * rng.standard_normal((2, 100, 200)))
+    wr, wi = pe.fft_pair_planar(
+        jnp.asarray(xw.real.astype(np.float32)),
+        jnp.asarray(xw.imag.astype(np.float32)), ny, nz, False,
+        in_keep=(100, 200))
+    check("pair window (100,200) of 256^2", np.asarray(wr) + 1j * np.asarray(wi),
+          np.fft.fft2(xw, axes=(1, 2)), tol=2e-4)
+    x1 = np.zeros((256, 1024), dtype=np.complex64)
+    x1[:, :600] = (rng.standard_normal((256, 600))
+                   + 1j * rng.standard_normal((256, 600)))
+    vr, vi = pe.core_fft_planar_v3(
+        jnp.asarray(x1.real.astype(np.float32)),
+        jnp.asarray(x1.imag.astype(np.float32)), 1024, False, in_nonzero=600)
+    check("v3 unaligned window n=1024 h=600",
+          np.asarray(vr) + 1j * np.asarray(vi), np.fft.fft(x1), tol=2e-4)
+    x2 = np.zeros((256, 512), dtype=np.complex64)
+    x2[:, :128] = (rng.standard_normal((256, 128))
+                   + 1j * rng.standard_normal((256, 128)))
+    x2[:, 384:] = (rng.standard_normal((256, 128))
+                   + 1j * rng.standard_normal((256, 128)))
+    ir2, ii2 = pe.core_fft_planar_v3(
+        jnp.asarray(x2.real.astype(np.float32)),
+        jnp.asarray(x2.imag.astype(np.float32)), 512, False,
+        in_window=(128, 384))
+    check("v3 interior window n=512 [128,384)",
+          np.asarray(ir2) + 1j * np.asarray(ii2), np.fft.fft(x2), tol=2e-4)
+    from vkfft_tpu.planner import plan_axis as _plan_axis
+    from vkfft_tpu.planner import Algorithm as _Alg
+    xb = (rng.standard_normal((2, 263)) + 1j * rng.standard_normal((2, 263)))
+    pb = _plan_axis(263)
+    assert pb.algorithm is _Alg.BLUESTEIN
+    yb = pe.fft_lines_p(Planar(jnp.asarray(xb.real.astype(np.float32)),
+                               jnp.asarray(xb.imag.astype(np.float32))),
+                        pb, False)
+    check("bluestein fused n=263 (odd io width)",
+          np.asarray(yb.re) + 1j * np.asarray(yb.im), np.fft.fft(xb),
+          tol=2e-4)
+
     # --- single-kernel 2-D real transform (r2c pair)
     print("r2c pair (single-kernel rfft2/irfft2):")
     xrr = rng.standard_normal((2, 256, 256)).astype(np.float32)

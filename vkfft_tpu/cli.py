@@ -543,8 +543,12 @@ def sample_2(ctx):
         cfg = vt.FFTConfig(shape=(n,), precision=Precision.BFLOAT16,
                            normalize=True)
         app = vt.get_application(cfg, ctx.engine)
-        p = Planar(jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)),
-                   jnp.asarray(rng.standard_normal((batch, n)).astype(np.float32)))
+        # feed bf16 planes so the fori_loop carry type is stable (the app
+        # narrows f32 input in-trace, which would flip the carry dtype)
+        p = Planar(jnp.asarray(rng.standard_normal((batch, n))
+                               .astype(np.float32)).astype(jnp.bfloat16),
+                   jnp.asarray(rng.standard_normal((batch, n))
+                               .astype(np.float32)).astype(jnp.bfloat16))
         dt = _time_fwd_inv(app, p)
         if dt < 50e-6:
             ctx.log(f"  bf16 n={n}: below timing noise floor")

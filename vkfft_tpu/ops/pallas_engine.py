@@ -1363,6 +1363,12 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
                 xit_ref[0, i * sb:(i + 1) * sb].astype(jnp.float32), 0, 1)
             xr = jnp.concatenate([xr, z, tr], axis=0)
             xi = jnp.concatenate([xi, z, ti], axis=0)
+        elif in_rows and xr.shape[0] > qrows:
+            # the DMA window was rounded up past the live chunks (lane-tile
+            # legality) — the extra rows are declared zeros; trim so the
+            # pruned first stage sees exactly its q chunks
+            xr = xr[:qrows]
+            xi = xi[:qrows]
         elif xr.shape[0] < qrows:
             # zero-pad elision: the declared-zero tail was never read from
             # HBM (``vkFFT_Zeropad.h`` analog).  With stage-1 pruning the
@@ -1459,8 +1465,14 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     # input line actually DMA'd (forward: zeropad_input; inverse: the
     # spectrum's declared-zero tail under zeropad_output), out_keep = prefix
     # of each output line actually written (forward: frequencyZeroPadding
-    # write elision, vkFFT_Structs.h:264; inverse: discarded-tail writes)
+    # write elision, vkFFT_Structs.h:264; inverse: discarded-tail writes).
+    # Mosaic block legality: the minor block dim must be 128-divisible or
+    # equal the array dim — unaligned read windows round UP to the next
+    # lane tile (the extra columns are declared zeros; pruning still uses
+    # the exact prefix).
     in_len = in_keep or n
+    if in_len < n and in_len % 128:
+        in_len = min(n, -(-in_len // 128) * 128)
     # out_fill: the discarded [out_keep, n) tail is not computed but IS
     # written as literal zeros by the same store (full-width output, no
     # separate XLA zero-restore pass — the declared-zero contract satisfied
@@ -1590,9 +1602,12 @@ def v3_interior_window_ok(n: int, left: int, right: int) -> bool:
     (data on both sides)?  The tail segment [right, n) must land on a
     BlockSpec block boundary: right % (n - right) == 0 — which covers the
     centered and power-of-two frequency-upsampling windows (e.g. keep n/4
-    head + n/4 tail)."""
+    head + n/4 tail).  Both window blocks must also be Mosaic-legal lane
+    tiles (128-divisible minor dims; round 4 hardware-legality audit)."""
+    tail = n - right
     return (_use_v3(n) and 0 < left < right < n
-            and right % (n - right) == 0)
+            and right % tail == 0
+            and left % 128 == 0 and tail % 128 == 0)
 
 
 def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
@@ -1885,12 +1900,24 @@ def fft_pair_planar(xr, xi, ny: int, nz: int, inverse: bool,
     b = 1
     for d in lead:
         b *= d
+    iy = in_keep[0] or ny
+    iz = in_keep[1] or nz
+    ry, rz = xr.shape[-2:]   # full planes or the (iy, iz) corner
+    if ((iy, iz) != (ny, nz) and (ry, rz) == (ny, nz)
+            and (iy % 8 or iz % 128)):
+        # Mosaic block legality: a windowed read block over FULL planes
+        # needs (8, 128)-divisible window dims — slice the corner first
+        # (one small XLA slice; block dims then equal the array dims).
+        # The production N-D elision path hands pre-sliced corners and
+        # never pays this.
+        xr = xr[..., :iy, :iz]
+        xi = xi[..., :iy, :iz]
+        ry, rz = iy, iz
     run = _build_pair_call(ny, nz, inverse, b, _INTERPRET, str(xr.dtype),
                            scale=scale, in_keep=tuple(in_keep),
                            out_keep=tuple(out_keep))
     oy = out_keep[0] or ny
     oz = out_keep[1] or nz
-    ry, rz = xr.shape[-2:]   # full planes or the (iy, iz) corner
     a, c = run(xr.reshape(b, ry, rz), xi.reshape(b, ry, rz))
     return a.reshape(*lead, oy, oz), c.reshape(*lead, oy, oz)
 
@@ -2053,6 +2080,14 @@ def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
         b *= d
     if hp > 1:
         assert b % hp == 0, (b, hp)
+    iy = in_keep[0] or ny
+    iz = in_keep[1] or nz
+    xr, xi = x.re.reshape(b, ny, nz), x.im.reshape(b, ny, nz)
+    if (iy, iz) != (ny, nz) and (iy % 8 or iz % 128):
+        # Mosaic block legality (round 4): windowed read blocks over full
+        # planes need (8, 128)-divisible dims — corner-slice first
+        xr = xr[:, :iy, :iz]
+        xi = xi[:, :iy, :iz]
     run = _build_conv_pair_call(ny, nz, b, hp, _INTERPRET, str(x.re.dtype),
                                 scale, conj_data, xpow,
                                 in_keep=tuple(in_keep),
@@ -2061,7 +2096,7 @@ def conv_fused_pair(x: Planar, ny: int, nz: int, Ht, scale: float,
     oz = out_keep[1] or nz
     hr = jnp.asarray(np.real(Ht).astype(np.float32))
     hi = jnp.asarray(np.imag(Ht).astype(np.float32))
-    rr, ii = run(x.re.reshape(b, ny, nz), x.im.reshape(b, ny, nz), hr, hi)
+    rr, ii = run(xr, xi, hr, hi)
     return Planar(rr.reshape(*lead, oy, oz), ii.reshape(*lead, oy, oz))
 
 
@@ -3135,7 +3170,11 @@ def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
         sl = slice(i * tile_s, (i + 1) * tile_s)
         xr = xr_ref[0, :, sl].astype(jnp.float32)            # (n, tile_s)
         xi = xi_ref[0, :, sl].astype(jnp.float32)
-        if xr.shape[0] < qrows:
+        if in_rows and xr.shape[0] > qrows:
+            # rounded DMA window past the live chunks: trim (declared zeros)
+            xr = xr[:qrows]
+            xi = xi[:qrows]
+        elif xr.shape[0] < qrows:
             # zero-pad elision: the declared-zero row tail was never DMA'd;
             # with stage-1 pruning only the q live chunks materialize
             pads = ((0, qrows - xr.shape[0]), (0, 0))
@@ -3270,7 +3309,11 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         raise NotImplementedError(
             "strided zero-pad elision requires the v3 path without fused "
             "factors")
+    # Mosaic legality: the second-minor block dim (the read window) must be
+    # 8-divisible or equal n — round up (extra rows are declared zeros)
     in_len = in_keep or n
+    if in_len < n and in_len % 8:
+        in_len = min(n, -(-in_len // 8) * 8)
     out_len = out_keep or n
     if use_v3:
         int8 = _V3_MXU_INT8 and dtype == jnp.float32
