@@ -738,6 +738,21 @@ def sample_5(ctx):
             continue
         ctx.log(f"  n={n} batch {batch}: natural {dt_nat*1e3:8.3f} ms  "
                 f"swapped {dt_swp*1e3:8.3f} ms  speedup {dt_nat/dt_swp:.2f}x")
+    # 2-D pair tl form (round 4): the opaque (nz, ny) intermediate skips
+    # one in-tile transpose per direction
+    ny = nz = 256
+    batch = max(1, 64 * 1024 * 1024 // (8 * ny * nz))
+    x2 = _rand_complex((batch, ny, nz), seed=ny)
+    nat2 = vt.get_application(vt.FFTConfig(shape=(ny, nz)), ctx.engine)
+    tl2 = vt.get_application(
+        vt.FFTConfig(shape=(ny, nz), keep_intermediate_order=True),
+        ctx.engine)
+    dt_nat2 = _time_fwd_inv(nat2, x2)
+    dt_tl2 = _time_fwd_inv(tl2, x2)
+    if min(dt_nat2, dt_tl2) >= 50e-6:
+        ctx.log(f"  2-D {ny}x{nz} batch {batch}: natural {dt_nat2*1e3:8.3f} "
+                f"ms  pair-tl {dt_tl2*1e3:8.3f} ms  "
+                f"speedup {dt_nat2/dt_tl2:.2f}x")
 
 
 @sample(8, "benchmark Bluestein FP64 (CPU) / double-double Bluestein (TPU)")
