@@ -584,6 +584,25 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
         y = jnp_engine.fft_axis_p(x, axis, plan, inverse, scale=scale)
         return _slice_axis(y, axis, out_keep) if out_keep else y
     ndim = x.ndim
+    if axis <= ndim - 3 and plan.algorithm is Algorithm.DIRECT:
+        # outer-axis kernel (round 5): consumes the natural rank-4
+        # (P, n, R, nz) layout directly — no XLA relayout either side,
+        # unlike the (P, n, S) strided view whose minor-dim merge re-tiles
+        # the whole array (fact 38: 0.21 ms/direction at 256^3).  Measured
+        # 0.83 ms vs 1.04 (strided kernel alone) vs 1.46 (reshape+strided)
+        # for the 256^3 x-axis round trip (e43b).
+        shape = x.shape
+        nz_ = shape[-1]
+        r_dim = int(np.prod(shape[axis + 1:-1], dtype=np.int64))
+        p_ = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
+        if r_dim >= 8 and outer_available(plan.n, r_dim, nz_, str(x.dtype)):
+            xr = x.re.reshape(p_, shape[axis], r_dim, nz_)
+            xi = x.im.reshape(p_, shape[axis], r_dim, nz_)
+            orr, oi = outer_fft_planar(xr, xi, plan.n, inverse,
+                                       donate=donate, scale=scale,
+                                       in_keep=in_keep, out_keep=out_keep)
+            out_shape = shape[:axis] + (orr.shape[1],) + shape[axis + 1:]
+            return Planar(orr.reshape(out_shape), oi.reshape(out_shape))
     if axis != ndim - 1 and plan.algorithm is Algorithm.DIRECT and _use_v2(plan.n):
         shape = x.shape
         p = int(np.prod(shape[:axis], dtype=np.int64)) if axis else 1
@@ -3436,6 +3455,271 @@ def strided_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False,
     run = _build_strided_call(n, inverse, p, s, _INTERPRET, str(xr.dtype),
                               donate=donate, scale=scale,
                               in_keep=in_keep, out_keep=out_keep)
+    return run(xr, xi)
+
+
+# ---------------------------------------------------------------------------
+# Outer-axis kernel (round 5): DFT over an axis that sits AHEAD of the two
+# minor dims, consuming the natural (P, n, R, nz) layout directly.
+#
+# Why: the strided kernel's (P, n, S) view of an outer axis merges the minor
+# dims into S — for a 3-D cube after the fused (y, z) pair pass that reshape
+# is a genuine XLA relayout of the whole array (fact 38: 0.21 ms per
+# direction at 256^3, re-tiling (nx, ny, nz) -> (nx, ny*nz)).  Here the
+# BlockSpec windows the natural rank-4 layout ((1, n, tr, nz) blocks, grid
+# over the R dim) and the transform runs over the LEADING dim of the
+# (n, tr, nz) state: butterfly slices and digit reshapes touch only OUTER
+# dims, so every vreg stays intact — no entry/exit transposes, no Mosaic
+# sublane-alignment constraints at ANY stage granularity (the (n, S) state's
+# Mp >= 64 rule does not apply), and no XLA relayout either side.
+#
+# The stage set is all-VPU (generic radix 2/3/4/5/7 butterflies as
+# elementwise tile ops over the leading digit dims) — on an (8, 128)-tiled
+# state each butterfly input is a whole vreg tile, the orientation the VPU
+# is built for.  The reference's strided kernels solve the same problem with
+# arbitrary shared-memory indexing (``appendRadixStageStrided``,
+# ``vkFFT_RadixStage.h:300``); lane-blocked VMEM tiles are the TPU shape of
+# that idea.
+# ---------------------------------------------------------------------------
+
+_OUTER_MAX_N = 4096   # leading-dim state rows; VMEM budget gates tr anyway
+
+
+@functools.lru_cache(maxsize=1024)
+def _outer_plan(n: int) -> Optional[tuple[int, ...]]:
+    """Radix list for the outer-axis VPU pipeline: 4s first (add-only
+    butterflies), one trailing 2, then generic 3/5/7 butterflies (r^2
+    tile-MACs each).  None when n has a prime factor > 7 or is out of
+    range — callers fall back to the strided path."""
+    if n < 2 or n > _OUTER_MAX_N:
+        return None
+    rad, m = [], n
+    while m % 4 == 0:
+        rad.append(4)
+        m //= 4
+    if m % 2 == 0:
+        rad.append(2)
+        m //= 2
+    for p_ in (3, 5, 7):
+        while m % p_ == 0:
+            rad.append(p_)
+            m //= p_
+    return tuple(rad) if m == 1 else None
+
+
+@functools.lru_cache(maxsize=512)
+def _outer_tables(n: int, inverse: bool, scale: float = 1.0):
+    """Per-stage (twr, twi, r, L0, Mp) Stockham twiddles for the outer-axis
+    VPU pipeline (same recurrence as ``_v3_tables``' VPU stages, any radix).
+    ``scale`` folds into stage 1 (stageNormalization analog)."""
+    rads = _outer_plan(n)
+    sign = 2.0j if inverse else -2.0j
+    tabs, L, M = [], 1, n
+    for r in rads:
+        Mp = M // r
+        tw = np.exp(sign * np.pi / M * np.outer(np.arange(r), np.arange(Mp)))
+        if scale != 1.0 and L == 1:
+            tw = tw * scale
+        tabs.append((np.real(tw).astype(np.float32),
+                     np.imag(tw).astype(np.float32), r, L, Mp))
+        L, M = L * r, Mp
+    return tabs
+
+
+def _generic_butterfly(zr, zi, r, inverse, q=None):
+    """Radix-r butterfly over dim 1 of (L0, r, Mp, ...) state, digits stacked
+    to the FRONT of the result: (r, L0, Mp, ...).  r=4/2 use the add-only
+    networks; other r run the r^2 constant-coefficient MAC network (exact
+    roots from numpy fp64).  ``q``: only the first q input digits are live
+    (declared-zero tail) — the sums simply have fewer terms."""
+    qr = q or r
+    if r == 4 and qr == 4:
+        t0r, t0i = zr[:, 0] + zr[:, 2], zi[:, 0] + zi[:, 2]
+        t1r, t1i = zr[:, 0] - zr[:, 2], zi[:, 0] - zi[:, 2]
+        t2r, t2i = zr[:, 1] + zr[:, 3], zi[:, 1] + zi[:, 3]
+        t3r, t3i = zr[:, 1] - zr[:, 3], zi[:, 1] - zi[:, 3]
+        if inverse:
+            y1r, y1i = t1r - t3i, t1i + t3r
+            y3r, y3i = t1r + t3i, t1i - t3r
+        else:
+            y1r, y1i = t1r + t3i, t1i - t3r
+            y3r, y3i = t1r - t3i, t1i + t3r
+        return (jnp.stack([t0r + t2r, y1r, t0r - t2r, y3r], axis=0),
+                jnp.stack([t0i + t2i, y1i, t0i - t2i, y3i], axis=0))
+    if r == 2 and qr == 2:
+        return (jnp.stack([zr[:, 0] + zr[:, 1], zr[:, 0] - zr[:, 1]], axis=0),
+                jnp.stack([zi[:, 0] + zi[:, 1], zi[:, 0] - zi[:, 1]], axis=0))
+    # generic / pruned: y_j = sum_i w_r^(i*j) z_i as constant-coefficient
+    # planar MACs (r*q tile ops; coefficients exact fp64 -> f32)
+    sign = 2.0j if inverse else -2.0j
+    w = np.exp(sign * np.pi / r * np.outer(np.arange(r), np.arange(qr)))
+    outr, outi = [], []
+    for j in range(r):
+        ar = ai = None
+        for i in range(qr):
+            cr, ci = np.float32(w[j, i].real), np.float32(w[j, i].imag)
+            tr_ = zr[:, i] * cr - zi[:, i] * ci
+            ti_ = zr[:, i] * ci + zi[:, i] * cr
+            ar = tr_ if ar is None else ar + tr_
+            ai = ti_ if ai is None else ai + ti_
+        outr.append(ar)
+        outi.append(ai)
+    return jnp.stack(outr, axis=0), jnp.stack(outi, axis=0)
+
+
+def _outer_apply_stages(xr, xi, tail, table_refs, tabs, inverse,
+                        in_rows: int = 0):
+    """Run the outer-axis Stockham pipeline on (rows, *tail) state: every
+    reshape/slice touches only leading dims (minor-2 vreg tiles ride along
+    untouched; rank-5 leading-dim ops are Mosaic-legal — e43b).  The twiddle
+    tables arrive HOST-shaped (r, 1, Mp, 1, 1): an in-kernel rank-2 -> rank-5
+    reshape crosses the minor-dim boundary and fails Mosaic layout inference
+    ("unsupported shape cast", e43).  ``in_rows``: declared-zero tail
+    [in_rows, n) — stage 1's butterfly drops the dead digit terms
+    (``vkFFT_Zeropad.h`` compute guards)."""
+    first = True
+    for ti, (_, _, r, L0, Mp) in enumerate(tabs):
+        q = r
+        if first and in_rows:
+            q = min(r, -(-in_rows // Mp))
+        first = False
+        zr = xr.reshape(L0, q, Mp, *tail)
+        zi = xi.reshape(L0, q, Mp, *tail)
+        ar, ai = _generic_butterfly(zr, zi, r, inverse,
+                                    q=q if q < r else None)
+        twr = table_refs[2 * ti][:]          # (r, 1, Mp, 1, 1) host-shaped
+        twi = table_refs[2 * ti + 1][:]
+        xr = (ar * twr - ai * twi).reshape(-1, *tail)
+        xi = (ar * twi + ai * twr).reshape(-1, *tail)
+    return xr, xi
+
+
+def _outer_kernel(n, tr, nz, out_dtype, tabs, inverse, in_rows, qrows,
+                  *refs):
+    xr_ref, xi_ref = refs[:2]
+    or_ref, oi_ref = refs[-2:]
+    table_refs = refs[2:-2]
+    xr = xr_ref[0].astype(jnp.float32)        # (n | in_len, tr, nz)
+    xi = xi_ref[0].astype(jnp.float32)
+    if in_rows and xr.shape[0] > qrows:
+        xr, xi = xr[:qrows], xi[:qrows]
+    elif xr.shape[0] < qrows:
+        pads = ((0, qrows - xr.shape[0]),) + ((0, 0),) * 2
+        xr = jnp.pad(xr, pads)
+        xi = jnp.pad(xi, pads)
+    xr, xi = _outer_apply_stages(xr, xi, (tr, nz), table_refs, tabs,
+                                 inverse, in_rows=in_rows)
+    keep = or_ref.shape[1]   # < n: discarded-row writes elided
+    or_ref[0] = xr.reshape(n, tr, nz)[:keep].astype(out_dtype)
+    oi_ref[0] = xi.reshape(n, tr, nz)[:keep].astype(out_dtype)
+
+
+def _outer_tr(n: int, r_dim: int, nz: int) -> int:
+    """Rows of the R dim per block: largest divisor of R with
+    n*tr*nz f32 state <= ~2MB per plane component, preferring sublane-tile
+    multiples (DMA-friendly (8, nz) tiles)."""
+    budget = max(1, (2 << 20) // (4 * n * nz))
+    cap = min(r_dim, budget)
+    # prefer the largest 8-multiple divisor; else the largest divisor
+    cands = [t for t in range(8, cap + 1, 8) if r_dim % t == 0]
+    if cands:
+        return cands[-1]
+    cands = [t for t in range(1, cap + 1) if r_dim % t == 0]
+    return cands[-1] if cands else 1
+
+
+def outer_available(n: int, r_dim: int, nz: int,
+                    dtype_name: str = "float32") -> bool:
+    """Can the outer-axis kernel transform dim 1 of (P, n, R, nz)?  Block
+    legality: the R-window (second-minor block dim) must be an 8-multiple or
+    the whole R; sublane efficiency wants tr >= 8 (a (tr < 8, nz) tile wastes
+    the sublane dim of every vreg)."""
+    if _outer_plan(n) is None or nz % 128 or dtype_name != "float32":
+        return False
+    tr = _outer_tr(n, r_dim, nz)
+    return tr % 8 == 0 or tr == r_dim
+
+
+@functools.lru_cache(maxsize=256)
+def _build_outer_call(n: int, inverse: bool, p: int, r_dim: int, nz: int,
+                      interpret: bool, dtype_name: str = "float32",
+                      donate: bool = False, scale: float = 1.0,
+                      in_keep: int = 0, out_keep: int = 0):
+    """Transform dim 1 of (P, n, R, nz) planes in the natural layout.
+    ``in_keep``/``out_keep``: row-prefix zero-pad elision on the transform
+    dim (the declared-zero tail is never DMA'd / the discarded tail never
+    written; stage 1 prunes its dead digit terms)."""
+    dtype = jnp.dtype(dtype_name)
+    rads = _outer_plan(n)
+    r1 = rads[0]
+    mp1 = n // r1
+    q1 = min(r1, -(-in_keep // mp1)) if in_keep else r1
+    prune = in_keep and q1 < r1
+    in_rows_eff = in_keep if prune else 0
+    qrows = q1 * mp1 if prune else n
+    tabs = _outer_tables(n, inverse, scale=scale)
+    tr = _outer_tr(n, r_dim, nz)
+    in_len = in_keep or n
+    # outer-dim windows need no lane-tile rounding, but keep sublane-tile
+    # multiples for clean DMA
+    if in_len < n and in_len % 8:
+        in_len = min(n, -(-in_len // 8) * 8)
+    out_len = out_keep or n
+    kernel = functools.partial(_outer_kernel, n, tr, nz, dtype, tabs,
+                               inverse, in_rows_eff, qrows)
+    spec_in = pl.BlockSpec((1, in_len, tr, nz), lambda b, t: (b, 0, t, 0),
+                           memory_space=pltpu.VMEM)
+    spec_out = pl.BlockSpec((1, out_len, tr, nz), lambda b, t: (b, 0, t, 0),
+                            memory_space=pltpu.VMEM)
+    const = lambda a: pl.BlockSpec(a.shape, lambda b, t: (0,) * a.ndim,
+                                   memory_space=pltpu.VMEM)
+    in_specs = [spec_in, spec_in]
+    np_tables = []
+    for twr, twi, r, L0, Mp in tabs:
+        # host-shaped rank-5 (r, 1, Mp, 1, 1): in-kernel minor-crossing
+        # reshapes are Mosaic-illegal (e43); leading-dim rank-5 broadcasts
+        # are fine (e43b)
+        t5r = twr.reshape(r, 1, Mp, 1, 1)
+        t5i = twi.reshape(r, 1, Mp, 1, 1)
+        in_specs += [const(t5r), const(t5i)]
+        np_tables += [t5r, t5i]
+    # VPU flop estimate: radix-4/2 ~12 ops/pt/stage, generic r ~6r
+    vpu_ops = sum(12 if r in (2, 4) else 6 * r for r in rads)
+    kw = {
+        "cost_estimate": pl.CostEstimate(
+            flops=2 * p * r_dim * nz * n * vpu_ops,
+            transcendentals=0,
+            bytes_accessed=dtype.itemsize * 2 * p * r_dim * nz
+            * (in_len + out_len)),
+    }
+    if donate and not interpret and in_len == n and out_len == n:
+        kw["input_output_aliases"] = {0: 0, 1: 1}
+    call = pl.pallas_call(
+        kernel, grid=(p, r_dim // tr),
+        in_specs=in_specs, out_specs=[spec_out, spec_out],
+        out_shape=[jax.ShapeDtypeStruct((p, out_len, r_dim, nz), dtype)] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else _vmem_params(2),
+        **kw)
+
+    def run(xr, xi):
+        a, b = call(xr, xi, *(jnp.asarray(t) for t in np_tables))
+        return a, b
+
+    return run
+
+
+def outer_fft_planar(xr, xi, n: int, inverse: bool, donate: bool = False,
+                     scale: float = 1.0, in_keep: int = 0,
+                     out_keep: int = 0):
+    """Natural-layout DFT over dim 1 of (P, n, R, nz) planes — the outer-axis
+    kernel (no XLA relayout either side, unlike the (P, n, S) strided view).
+    ``in_keep``/``out_keep``: row-prefix elision; with ``out_keep`` the
+    returned dim-1 extent is out_keep."""
+    p, rows, r_dim, nz = xr.shape
+    run = _build_outer_call(n, inverse, p, r_dim, nz, _INTERPRET,
+                            str(xr.dtype), donate=donate, scale=scale,
+                            in_keep=in_keep, out_keep=out_keep)
     return run(xr, xi)
 
 
