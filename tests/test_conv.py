@@ -321,3 +321,32 @@ def test_fusion_mode_observable():
         assert "none" in debug.describe(unfused)
     finally:
         pe.set_interpret(False)
+
+
+def test_conv_pair_zeropad_compute_pruning():
+    """Round 5 (verdict item 6): conv_fused_pair prunes the forward stage
+    sets for declared-zero input corners (the reference's zero-padded conv
+    benchmark geometry, sample_51_..._zeropadding_r2c.cpp)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar
+    pe.set_interpret(True)
+    try:
+        rng = np.random.default_rng(51)
+        ny = nz = 128
+        x = np.zeros((2, ny, nz), np.complex128)
+        x[:, :64, :64] = (rng.standard_normal((2, 64, 64))
+                          + 1j * rng.standard_normal((2, 64, 64)))
+        h = rng.standard_normal((ny, nz)) + 1j * rng.standard_normal((ny, nz))
+        H = np.fft.fft2(h)
+        ref = np.fft.ifft2(np.fft.fft2(x, axes=(1, 2)) * H[None], axes=(1, 2))
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        Ht = np.ascontiguousarray(np.swapaxes(H, 0, 1))
+        y = pe.conv_fused_pair(p, ny, nz, Ht, scale=1.0 / (ny * nz),
+                               in_keep=(64, 64))
+        got = np.asarray(y.re) + 1j * np.asarray(y.im)
+        assert np.max(np.abs(got - ref)) / np.max(np.abs(ref)) < 5e-6
+    finally:
+        pe.set_interpret(False)

@@ -955,3 +955,131 @@ def test_strided_unaligned_trailing_batch():
         assert np.abs(got - ref).max() / np.abs(ref).max() < 2e-6
     finally:
         pallas_engine.set_interpret(False)
+
+
+# ---------------------------------------------------------------------------
+# Round 5: outer-axis kernel, fused long-tier Bluestein, conv interleaving
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("n", [64, 256, 60, 7, 512])
+def test_outer_kernel_vs_numpy(n):
+    """Outer-axis kernel: natural rank-4 layout, leading-dim all-VPU stages
+    (round 5; kills the XLA relayout the (P, n, S) strided view pays for
+    axes ahead of the minor dims — BENCH fact 38)."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(n)
+    x = rng.standard_normal((1, n, 16, 128)) + 1j * rng.standard_normal((1, n, 16, 128))
+    xr = jnp.asarray(x.real.astype(np.float32))
+    xi = jnp.asarray(x.imag.astype(np.float32))
+    fr, fi = pallas_engine.outer_fft_planar(xr, xi, n, False)
+    ref = np.fft.fft(x, axis=1)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+    ir, ii = pallas_engine.outer_fft_planar(fr, fi, n, True, scale=1.0 / n)
+    assert rel_err(np.asarray(ir) + 1j * np.asarray(ii), x) < 5e-6
+
+
+def test_outer_kernel_elision_windows():
+    """in_keep/out_keep row-prefix elision incl. pruned stage-1 terms."""
+    import jax.numpy as jnp
+    n, keep = 256, 96
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((1, n, 8, 128)) + 1j * rng.standard_normal((1, n, 8, 128))
+    x[:, keep:] = 0
+    xr = jnp.asarray(x.real.astype(np.float32))
+    xi = jnp.asarray(x.imag.astype(np.float32))
+    fr, fi = pallas_engine.outer_fft_planar(xr, xi, n, False, in_keep=keep)
+    ref = np.fft.fft(x, axis=1)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+    orr, oi = pallas_engine.outer_fft_planar(xr, xi, n, False, out_keep=128)
+    assert orr.shape[1] == 128
+    assert rel_err(np.asarray(orr) + 1j * np.asarray(oi), ref[:, :128]) < 5e-6
+
+
+def test_outer_kernel_routing_3d():
+    """fft_axis_p routes outer axes through the outer kernel when the
+    natural rank-4 view qualifies (axis <= ndim-3, nz lane-aligned)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    from vkfft_tpu.planner import plan_axis
+    rng = np.random.default_rng(9)
+    x = rng.standard_normal((64, 16, 128)) + 1j * rng.standard_normal((64, 16, 128))
+    p = Planar(jnp.asarray(x.real.astype(np.float32)),
+               jnp.asarray(x.imag.astype(np.float32)))
+    assert pallas_engine.outer_available(64, 16, 128)
+    q = pallas_engine.fft_axis_p(p, 0, plan_axis(64), False)
+    ref = np.fft.fft(x, axis=0)
+    assert rel_err(np.asarray(q.re) + 1j * np.asarray(q.im), ref) < 5e-6
+
+
+def test_outer_plan_gate():
+    assert pallas_engine._outer_plan(256) == (4, 4, 4, 4)
+    assert pallas_engine._outer_plan(512) == (4, 4, 4, 4, 2)
+    assert pallas_engine._outer_plan(60) == (4, 3, 5)
+    assert pallas_engine._outer_plan(11) is None      # prime > 7
+    assert pallas_engine._outer_plan(1 << 13) is None  # beyond cap
+    assert not pallas_engine.outer_available(256, 16, 120)  # nz not 128-mult
+
+
+def test_bluestein_long_fused_chirp():
+    """Round-5 chirp fusion: the long tier's chirp pre/post multiplies ride
+    the strided kernels as full rows-kind tables (no m-sized XLA passes —
+    reference fuses the chirp at every size, vkFFT_Bluestein.h:32)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    for (n, m) in ((460, 16384), (700, 32768)):
+        assert pallas_engine._long_conv_ok(m)
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        f = pallas_engine._bluestein_long_fused_p(p, n, m, False)
+        ref = np.fft.fft(x, axis=1)
+        assert rel_err(np.asarray(f.re) + 1j * np.asarray(f.im), ref) < 5e-5
+        z = pallas_engine._bluestein_long_fused_p(f, n, m, True, scale=1.0 / n)
+        assert rel_err(np.asarray(z.re) + 1j * np.asarray(z.im), x) < 5e-5
+
+
+def test_conv_v3_interleave_slabs():
+    """The fused conv kernel's il slab loop (round 5) keeps per-slab table
+    columns correct for rows-mode tables (N-D last-axis convolution)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    n, rows, B = 256, 128, 512
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((B, n)) + 1j * rng.standard_normal((B, n))
+    tab = rng.standard_normal((n, rows)) + 1j * rng.standard_normal((n, rows))
+    p = Planar(jnp.asarray(x.real.astype(np.float32)),
+               jnp.asarray(x.imag.astype(np.float32)))
+    ref = np.fft.ifft(np.fft.fft(x, axis=1)
+                      * tab.T[np.arange(B) % rows], axis=1) * n
+    old = pallas_engine._V3_IL_OVERRIDE
+    try:
+        pallas_engine._V3_IL_OVERRIDE = 2
+        y = pallas_engine.conv_fused_v3_rows(
+            p, n, rows, np.ascontiguousarray(tab * (1.0 / n)))
+    finally:
+        pallas_engine._V3_IL_OVERRIDE = old
+    got = np.asarray(y.re) + 1j * np.asarray(y.im)
+    assert rel_err(got, ref * (1.0 / n)) < 5e-5
+
+
+def test_strided_ilp_interleave():
+    """Leading-dim (P-line) interleave in the v3 strided kernel (round 5):
+    small-S workloads can't interleave lane chunks; il_p lines per grid
+    step supply the independent pipelines instead."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(21)
+    x = rng.standard_normal((4, 256, 256)) + 1j * rng.standard_normal((4, 256, 256))
+    xr = jnp.asarray(x.real.astype(np.float32))
+    xi = jnp.asarray(x.imag.astype(np.float32))
+    old = pallas_engine._STRIDED_ILP_OVERRIDE
+    try:
+        pallas_engine._STRIDED_ILP_OVERRIDE = 2
+        pallas_engine._build_strided_call.cache_clear()
+        fr, fi = pallas_engine.strided_fft_planar(xr, xi, 256, False)
+    finally:
+        pallas_engine._STRIDED_ILP_OVERRIDE = old
+        pallas_engine._build_strided_call.cache_clear()
+    ref = np.fft.fft(x, axis=1)
+    assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6

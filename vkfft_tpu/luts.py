@@ -76,6 +76,68 @@ def bluestein_chirp(n: int, m: int, inverse: bool = False):
 
 
 @functools.lru_cache(maxsize=256)
+def bluestein_chirp_factors(n: int, ns: int, d1: int, d2: int, stride: int,
+                            inverse: bool = False):
+    """Separable factorization of the Bluestein chirp over the four-step
+    digits of the padded index (round 5; reference fuses the chirp mult into
+    every kernel's read/write — ``appendBluesteinMultiplication``,
+    ``vkFFT_Bluestein.h:32`` — this is the TPU rendition for the 3-kernel
+    long tier: the chirp rides the strided kernel's fused-factor machinery).
+
+    Index algebra: padded index k = kc*ns + ks with kc = q1*stride + q2
+    (q1 < d1, q2 < d2).  With A = q1*stride*ns, B = q2*ns, C = ks:
+    k^2 = A^2 + 2AC  +  B^2 + 2BC + C^2  +  2AB — three exactly-separable
+    groups.  Returns (T1 (d1, ns), T2 (d2, ns), T12 (d1, d2)) complex128
+    with E(t) = exp(+-i*pi*(t mod 2n)/n); all phase integers reduced mod 2n
+    in int64 before the exponential (same fp64-accuracy discipline as
+    ``bluestein_chirp``)."""
+    sign = 1.0j if inverse else -1.0j
+    two_n = 2 * n
+
+    def E(t):
+        return np.exp(sign * np.pi / n * (t % two_n))
+
+    q1 = np.arange(d1, dtype=np.int64)[:, None]
+    q2 = np.arange(d2, dtype=np.int64)[:, None]
+    ks = np.arange(ns, dtype=np.int64)[None, :]
+    A = (q1 * stride * ns) % two_n
+    B = (q2 * ns) % two_n
+    C = ks % two_n
+    T1 = E(A * A + 2 * A * C)                    # (d1, ns)
+    T2 = E(B * B + 2 * B * C + C * C)            # (d2, ns)
+    T12 = E(2 * A * B.T)                         # (d1, d2)
+    return T1, T2, T12
+
+
+@functools.lru_cache(maxsize=128)
+def bluestein_chirp_rows(n: int, rows: int, ns: int, inverse: bool = False,
+                         scale: float = 1.0):
+    """FULL (rows, ns) chirp table over the four-step view k = kc*ns + ks —
+    multiplied directly onto the strided kernel's (rows, S) state (round 5:
+    at the long tier's small S the full table is KBs and beats the separable
+    broadcast form, e44b).  Same mod-2n fp64 phase discipline as
+    ``bluestein_chirp``; values at k >= n ride declared-zero/cropped rows."""
+    sign = 1.0j if inverse else -1.0j
+    two_n = 2 * n
+    k = (np.arange(rows, dtype=np.int64)[:, None] * ns
+         + np.arange(ns, dtype=np.int64)[None, :])
+    t = (k % two_n) * (k % two_n) % two_n
+    return np.exp(sign * np.pi / n * t) * scale
+
+
+@functools.lru_cache(maxsize=128)
+def fourstep_twiddle_full(nc: int, ns: int, inverse: bool = False):
+    """FULL (nc, ns) four-step inter-pass twiddle w_m^(kc*ks), m = nc*ns
+    (reference LUT_4step, ``vkFFT_ManageLUT.h`` — the reference also stores
+    the full table)."""
+    m = nc * ns
+    sign = 2.0j if inverse else -2.0j
+    kc = np.arange(nc, dtype=np.int64)[:, None]
+    ks = np.arange(ns, dtype=np.int64)[None, :]
+    return np.exp(sign * np.pi / m * ((kc * ks) % m))
+
+
+@functools.lru_cache(maxsize=256)
 def rader_tables(p: int):
     """Rader index/kernel tables for prime p (reference: generator search in
     ``VkFFTConstructRaderTree``, ``vkFFT_Scheduler.h:1733``; ``g^k mod p``

@@ -441,6 +441,75 @@ def _conv_roundtrip_long_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
     return Planar(orr.reshape(B, m), oi.reshape(B, m))
 
 
+def _long_conv_ok(m: int) -> bool:
+    """Can the 3-kernel fused long tier run a circular convolution at m?"""
+    lk = split_long(m)
+    return (lk is not None and lk[0] % _V3_SB == 0 and _use_v3(lk[1])
+            and _use_v3(lk[0]))
+
+
+def _bluestein_long_fused_p(x: Planar, n: int, m: int, inverse: bool,
+                            scale: float = 1.0) -> Planar:
+    """Long-tier Bluestein with the chirp pre/post multiplies FUSED into the
+    strided kernels as separable factor tables (round 5; the reference fuses
+    them into every kernel's read/write — ``appendBluesteinMultiplication``,
+    ``vkFFT_Bluestein.h:32`` — the round-4 form paid 2 XLA passes of m-sized
+    data per direction instead).
+
+    Pipeline per direction (3 kernels, m never materializes unstaged):
+      pad x to rows*ns (a ~few-%% XLA pad, NOT the m pad)
+      -> strided(nc) [PRE: chirp factors + read-elided zero rows,
+                      POST: 4-step twiddle]
+      -> fused conv kernel (ns fwd stages, spectrum multiply, ns inv)
+      -> strided(nc) [PRE: conj twiddle, POST: chirp factors * scale,
+                      out_keep: only live rows written]
+      -> crop to n."""
+    nc, ns = split_long(m)
+    B = x.shape[0]
+    rows = -(-n // ns)            # live kc rows of the (nc, ns) view
+    # the input buffer carries an 8-multiple of rows (Mosaic second-minor
+    # window legality; the extra declared-zero rows are never live)
+    rows_buf = min(nc, -(-rows // 8) * 8)
+    padded = rows_buf * ns
+    _, b_fft = luts.bluestein_chirp(n, m, inverse)
+    y = _pad_tail_p(x, padded - n) if padded > n else x
+
+    def planes(t):
+        return (jnp.asarray(np.ascontiguousarray(np.real(t), np.float32)),
+                jnp.asarray(np.ascontiguousarray(np.imag(t), np.float32)))
+
+    # forward strided pass: chirp on the read, four-step twiddle on the
+    # write — both as FULL (nc, ns) rows-kind tables (KBs at the long
+    # tier's small S; the separable broadcast form relayouts per block,
+    # e44b measured it 3x the plain kernel)
+    ch = planes(luts.bluestein_chirp_rows(n, nc, ns, inverse))
+    tw = planes(luts.fourstep_twiddle_full(nc, ns, False))
+    run = _build_strided_call(
+        nc, False, B, ns, _INTERPRET, str(x.dtype),
+        factors_pre=(("rows", nc),), factors_post=(("rows", nc),),
+        in_keep=rows)
+    tr, ti = run(y.re.reshape(B, rows_buf, ns), y.im.reshape(B, rows_buf, ns),
+                 ch[0], ch[1], tw[0], tw[1])               # (B, nc, ns)
+
+    # middle: fused per-line conv in the swapped (kc-major) layout
+    mid = conv_fused_v3_rows(
+        Planar(tr.reshape(B * nc, ns), ti.reshape(B * nc, ns)),
+        ns, nc, np.ascontiguousarray((b_fft * (1.0 / m)).reshape(ns, nc)))
+
+    # inverse strided pass: conj twiddle on the read, chirp (and the caller's
+    # scale) on the write; only the live rows are written
+    ch = planes(luts.bluestein_chirp_rows(n, nc, ns, inverse, scale=scale))
+    tw = planes(luts.fourstep_twiddle_full(nc, ns, True))
+    run = _build_strided_call(
+        nc, True, B, ns, _INTERPRET, str(x.dtype),
+        factors_pre=(("rows", nc),), factors_post=(("rows", nc),),
+        out_keep=rows)
+    orr, oi = run(mid.re.reshape(B, nc, ns), mid.im.reshape(B, nc, ns),
+                  tw[0], tw[1], ch[0], ch[1])
+    return Planar(orr.reshape(B, rows * ns)[:, :n],
+                  oi.reshape(B, rows * ns)[:, :n])
+
+
 def _tiny_dft_p(x: Planar, n: int, inverse: bool, scale: float) -> Planar:
     """n <= 4 DFT as inline VPU elementwise ops on (B, n) planes — a kernel
     launch here would pad the 2-4 lane dim to a full 128-lane tile (64x
@@ -512,6 +581,10 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
         if _use_v3(m):
             # single fused kernel: chirp mults + pad + crop all in-kernel
             return bluestein_fused_v3(x, n, m, inverse, scale=scale)
+        if _long_conv_ok(m):
+            # 3-kernel long tier with the chirp mults fused into the strided
+            # kernels (round 5) — no m-sized XLA passes
+            return _bluestein_long_fused_p(x, n, m, inverse, scale=scale)
         a_t, b_t = luts.bluestein_chirp(n, m, inverse)
         a = planar_table(a_t, x.dtype)
         y = _pad_tail_p(x * a[None, :], m - n)
@@ -992,6 +1065,7 @@ _V3_MAX_N = 8192  # single-kernel ceiling: (1, il*128, n) f32 blocks up to
                   # was the default VMEM budget, not a layout hazard)
 _V3_SB = 128      # lines per block = one full lane tile
 _V3_IL_OVERRIDE = None  # experiments only: force the interleave depth
+_STRIDED_ILP_OVERRIDE = None  # experiments/tests: force strided il_p
 _V3_MXU_SPLIT3 = False  # experiments only: 3-pass bf16 MXU emulation
 # 6-pass int8 MXU emulation for the fp32 tier (see set_mxu_int8); the env
 # var lets the test suite / driver sweep the whole surface in either mode.
@@ -1965,7 +2039,8 @@ def use_conv_pair(ny: int, nz: int) -> bool:
 
 
 def _conv_pair_kernel(ny, nz, il, out_dtype, prec, conj_data, xpow, counts,
-                      stage_sets, xr_ref, xi_ref, hr_ref, hi_ref, *refs):
+                      stage_sets, qy, izp, xr_ref, xi_ref, hr_ref, hi_ref,
+                      *refs):
     (vy_f, my_f), (vz_f, mz_f), (vz_i, mz_i), (vy_i, my_i) = stage_sets
     or_ref, oi_ref = refs[-2:]
     tabs = refs[:-2]
@@ -1973,15 +2048,24 @@ def _conv_pair_kernel(ny, nz, il, out_dtype, prec, conj_data, xpow, counts,
     # il interleaved plane pipelines per grid step (round 3 — the same
     # Mosaic-overlap rationale as the pair kernel; il=1 when per-slice
     # spectra (hp > 1) pin one h block per step)
+    iy_rows = qy if 0 < qy < ny else 0
     for i in range(il):
+        # in-kernel zero-pad COMPUTE pruning on the forward half (round 5,
+        # the round-4 pair machinery wired through the conv form — verdict
+        # item 6; reference: the zero-padded conv sample
+        # ``sample_51_convolution_..._zeropadding_r2c.cpp``): the Y stages
+        # run on the narrowed (*, izp) state with a pruned stage 1 (iy),
+        # and the Z stage-1 prune expands izp -> nz after the transpose.
         xr, xi = _pair_pad_in(xr_ref[i].astype(jnp.float32),
-                              xi_ref[i].astype(jnp.float32), ny, nz)
-        xr, xi = _v3_apply_stages(xr, xi, nz, tabs[:c1], vy_f, my_f,
-                                  prec, False)
-        xr = jnp.swapaxes(xr.reshape(ny, nz), 0, 1)
-        xi = jnp.swapaxes(xi.reshape(ny, nz), 0, 1)
+                              xi_ref[i].astype(jnp.float32),
+                              qy or ny, izp or nz)
+        Sy = izp or nz
+        xr, xi = _v3_apply_stages(xr, xi, Sy, tabs[:c1], vy_f, my_f,
+                                  prec, False, in_rows=iy_rows)
+        xr = jnp.swapaxes(xr.reshape(ny, Sy), 0, 1)
+        xi = jnp.swapaxes(xi.reshape(ny, Sy), 0, 1)
         xr, xi = _v3_apply_stages(xr, xi, ny, tabs[c1:c2], vz_f, mz_f,
-                                  prec, False)
+                                  prec, False, in_rows=izp)
         xr = xr.reshape(nz, ny)
         xi = xi.reshape(nz, ny)
         if conj_data:
@@ -2018,8 +2102,32 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
     the reference's conv+zeropad composition, README.md:15-16)."""
     dtype = jnp.dtype(dtype_name)
     int8 = _V3_MXU_INT8 and dtype == jnp.float32
-    sets = [_v3_tables(ny, False, int8=int8),
-            _v3_tables(nz, False, int8=int8),
+    iy = in_keep[0] or ny
+    iz = in_keep[1] or nz
+    # forward-side compute pruning (round 5 — same derivation as
+    # `_build_pair_call`): qy = Y stage-1 live-chunk rows, izp = z nonzero
+    # prefix rounded to a lane-tile multiple of Z's stage-1 chunk
+    qy = 0
+    iy_eff = 0
+    if not int8 and iy < ny:
+        q1y = _v3_prune_q(ny, iy)
+        r1y, mp1y = _v3_first_stage(ny)
+        if q1y < r1y:
+            qy, iy_eff = q1y * mp1y, iy
+
+    def _round_win(keep, dim):
+        if int8 or keep >= dim:
+            return 0
+        r1, mp1 = _v3_first_stage(dim)
+        step = mp1
+        while step % 128:
+            step += mp1
+        w = -(-keep // step) * step
+        return 0 if w >= dim else w
+
+    izp = _round_win(iz, nz)
+    sets = [_v3_tables(ny, False, int8=int8, in_rows=iy_eff),
+            _v3_tables(nz, False, int8=int8, in_rows=izp),
             _v3_tables(nz, True, int8=int8),
             _v3_tables(ny, True, scale=scale, int8=int8)]
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
@@ -2037,9 +2145,7 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
     il = 1
     kernel = functools.partial(
         _conv_pair_kernel, ny, nz, il, dtype, prec, conj_data, xpow,
-        tuple(counts[:3]), tuple(sets))
-    iy = in_keep[0] or ny
-    iz = in_keep[1] or nz
+        tuple(counts[:3]), tuple(sets), qy, izp)
     oy = out_keep[0] or ny
     oz = out_keep[1] or nz
     pad = (-b) % il
@@ -3125,21 +3231,27 @@ def _fused_product(factor_refs):
     return fr, fi
 
 
-def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused, n_factors,
+def _strided_kernel(n1, n2, tile_s, out_dtype, prec, n_pre, n_post,
                     *refs):
     """Optional fused inter-pass twiddles for the long-sequence four-step:
-    'pre' multiplies the input block, 'post' the output block, by the
-    complex product of ``n_factors`` separable twiddle-factor tables
-    (reference LUT_4step fused instead of a separate elementwise pass)."""
+    ``n_pre`` factor tables multiply the input block, ``n_post`` the output
+    block, as complex products of separable twiddle-factor tables
+    (reference LUT_4step fused instead of a separate elementwise pass;
+    round 5: both sides at once, so the Bluestein chirp pre-mult and the
+    four-step twiddle ride ONE kernel — ``vkFFT_Bluestein.h:32`` fuses the
+    chirp into read/write at every size)."""
     base = 6
     (xr_ref, xi_ref, r2_ref, r1_ref, twr_ref, twi_ref) = refs[:base]
+    nf = n_pre + n_post
     factor_refs = [(refs[base + 2 * i], refs[base + 2 * i + 1])
-                   for i in range(n_factors)]
-    or_ref, oi_ref = refs[base + 2 * n_factors:]
+                   for i in range(nf)]
+    pre_refs = factor_refs[:n_pre]
+    post_refs = factor_refs[n_pre:]
+    or_ref, oi_ref = refs[base + 2 * nf:]
     xr = xr_ref[0].astype(jnp.float32)        # (N2, N1, S)
     xi = xi_ref[0].astype(jnp.float32)
-    if fused == "pre":
-        fr, fi = _fused_product(factor_refs)
+    if pre_refs:
+        fr, fi = _fused_product(pre_refs)
         xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
     if n2 > 1:
         z = jnp.concatenate([xr, xi], axis=0)              # (2N2, N1, S)
@@ -3162,16 +3274,16 @@ def _strided_kernel(n1, n2, tile_s, out_dtype, prec, fused, n_factors,
     else:
         outr = jnp.swapaxes(tr, 0, 1)
         outi = jnp.swapaxes(ti, 0, 1)
-    if fused == "post":
-        fr, fi = _fused_product(factor_refs)
+    if post_refs:
+        fr, fi = _fused_product(post_refs)
         outr, outi = outr * fr - outi * fi, outr * fi + outi * fr
     or_ref[0] = outr.astype(out_dtype)
     oi_ref[0] = outi.astype(out_dtype)
 
 
-def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
-                       n_factors, inverse, vpu_tabs, mxu_tabs, n_v3,
-                       in_rows, qrows, *refs):
+def _strided_kernel_v3(n, n1, n2, tile_s, il, il_p, out_dtype, prec, n_pre,
+                       n_post, pre_rows_kind, post_rows_kind, inverse,
+                       vpu_tabs, mxu_tabs, n_v3, in_rows, qrows, *refs):
     """v3-stage strided kernel: the (1, n, il*tile_s) block already has the
     transform axis in sublane/outer dims and the batch in lanes — the v3
     pipeline's native layout with no transpose at all.  One full-efficiency
@@ -3182,40 +3294,71 @@ def _strided_kernel_v3(n, n1, n2, tile_s, il, out_dtype, prec, fused,
     twiddle factors are present)."""
     xr_ref, xi_ref = refs[0], refs[1]
     v3_refs = refs[2:2 + n_v3]
+    nf = n_pre + n_post
     factor_refs = [(refs[2 + n_v3 + 2 * i], refs[2 + n_v3 + 2 * i + 1])
-                   for i in range(n_factors)]
+                   for i in range(nf)]
+    pre_refs = factor_refs[:n_pre]
+    post_refs = factor_refs[n_pre:]
     or_ref, oi_ref = refs[-2:]
-    for i in range(il):
+    # ``il_p`` leading-dim (P-line) interleave (round 5): when the trailing
+    # batch S is too small for lane-chunk interleaving (e.g. the long
+    # tiers' S = Ns), independent pipelines come from processing il_p lines
+    # per grid step — same MXU/VPU-overlap rationale as ``il``
+    for j, i in [(j_, i_) for j_ in range(il_p) for i_ in range(il)]:
         sl = slice(i * tile_s, (i + 1) * tile_s)
-        xr = xr_ref[0, :, sl].astype(jnp.float32)            # (n, tile_s)
-        xi = xi_ref[0, :, sl].astype(jnp.float32)
+        xr = xr_ref[j, :, sl].astype(jnp.float32)            # (n, tile_s)
+        xi = xi_ref[j, :, sl].astype(jnp.float32)
         if in_rows and xr.shape[0] > qrows:
             # rounded DMA window past the live chunks: trim (declared zeros)
             xr = xr[:qrows]
             xi = xi[:qrows]
-        elif xr.shape[0] < qrows:
+        if pre_refs:
+            if pre_rows_kind:
+                # FULL (n, S) table, multiplied directly — no digit
+                # broadcast, no minor-crossing reshape (e44b: the broadcast
+                # form relayouts per block; at small S the full table is KBs)
+                rr_, ri_ = pre_refs[0]
+                fr = rr_[0, 0, :, sl]
+                fi = ri_[0, 0, :, sl]
+            else:
+                fr, fi = _fused_product(pre_refs)            # (n2, n1, S)
+                fr = jnp.broadcast_to(fr, (n2, n1, tile_s)).reshape(n, tile_s)
+                fi = jnp.broadcast_to(fi, (n2, n1, tile_s)).reshape(n, tile_s)
+            # a read-elided state carries only the live row prefix — the
+            # factor tables trim to match (declared-zero rows need no mult)
+            rows = xr.shape[0]
+            if rows < fr.shape[0]:
+                fr = fr[:rows]
+                fi = fi[:rows]
+            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+        if xr.shape[0] < qrows:
             # zero-pad elision: the declared-zero row tail was never DMA'd;
             # with stage-1 pruning only the q live chunks materialize
             pads = ((0, qrows - xr.shape[0]), (0, 0))
             xr = jnp.pad(xr, pads)
             xi = jnp.pad(xi, pads)
-        if fused == "pre":
-            fr, fi = _fused_product(factor_refs)             # (n2, n1, S)
-            fr = jnp.broadcast_to(fr, (n2, n1, tile_s)).reshape(n, tile_s)
-            fi = jnp.broadcast_to(fi, (n2, n1, tile_s)).reshape(n, tile_s)
-            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
         xr, xi = _v3_apply_stages(xr, xi, tile_s, v3_refs, vpu_tabs,
                                   mxu_tabs, prec, inverse, in_rows=in_rows)
         xr = xr.reshape(n, tile_s)
         xi = xi.reshape(n, tile_s)
-        if fused == "post":
-            fr, fi = _fused_product(factor_refs)             # (n1, n2, S)
-            fr = jnp.broadcast_to(fr, (n1, n2, tile_s)).reshape(n, tile_s)
-            fi = jnp.broadcast_to(fi, (n1, n2, tile_s)).reshape(n, tile_s)
-            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
         keep = or_ref.shape[1]   # < n: discarded-row writes are elided
-        or_ref[0, :, sl] = xr[:keep].astype(out_dtype)
-        oi_ref[0, :, sl] = xi[:keep].astype(out_dtype)
+        xr = xr[:keep]
+        xi = xi[:keep]
+        if post_refs:
+            if post_rows_kind:
+                rr_, ri_ = post_refs[0]
+                fr = rr_[0, 0, :, sl]
+                fi = ri_[0, 0, :, sl]
+            else:
+                fr, fi = _fused_product(post_refs)           # (n1, n2, S)
+                fr = jnp.broadcast_to(fr, (n1, n2, tile_s)).reshape(n, tile_s)
+                fi = jnp.broadcast_to(fi, (n1, n2, tile_s)).reshape(n, tile_s)
+            if keep < fr.shape[0]:
+                fr = fr[:keep]
+                fi = fi[:keep]
+            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+        or_ref[j, :, sl] = xr.astype(out_dtype)
+        oi_ref[j, :, sl] = xi.astype(out_dtype)
 
 
 def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
@@ -3232,9 +3375,30 @@ def _factor_spec(desc, n1: int, n2: int, fused: str, s: int, tile_s: int):
       ("dim1_col", rows, nc)  table (rows, nc): column selected by the S
                               block's position, j = s_offset // (S // nc)
       ("dim2_col", rows, nc)  same along block dim 2
+      ("dim12",)              table (d1, d2): bilinear in the two row
+                              digits, constant over S (the chirp's
+                              quadratic cross term — round 5)
+      ("rows", n)             FULL (n, S) table multiplied directly onto
+                              the (n, tile_s) state — no digit broadcast,
+                              no minor-crossing reshape (round 5: when S is
+                              small — the Bluestein long tier, S = ns — the
+                              full table is KBs and the separable economy
+                              costs a Mosaic relayout per block, e44b)
     """
     d1, d2 = (n2, n1) if fused == "pre" else (n1, n2)
     kind = desc[0]
+    if kind == "rows":
+        nrows = desc[1]
+        shape = (1, 1, nrows, s)
+        block = (1, 1, nrows, tile_s)
+        spec = pl.BlockSpec(block, lambda b, t: (0, 0, 0, t),
+                            memory_space=pltpu.VMEM)
+        return spec, shape, True
+    if kind == "dim12":
+        shape = (1, d1, d2, 1)
+        spec = pl.BlockSpec(shape, lambda b, t: (0, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+        return spec, shape, False
     if kind in ("dim1", "dim2"):
         rows = desc[1]
         assert rows == (d1 if kind == "dim1" else d2), (desc, d1, d2)
@@ -3278,23 +3442,33 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
                         dtype_name: str = "float32", fused: str = "",
                         factors: tuple = (), donate: bool = False,
                         scale: float = 1.0, in_keep: int = 0,
-                        out_keep: int = 0):
+                        out_keep: int = 0, factors_pre: tuple = (),
+                        factors_post: tuple = ()):
     """(P, n, S) planar transform over the middle axis, natural order.
-    ``fused`` = 'pre'/'post' multiplies the input/output block by the complex
-    product of the separable twiddle factors described by ``factors`` (the
-    long-sequence inter-pass twiddle, reference LUT_4step).  ``scale``:
+    ``factors_pre``/``factors_post`` multiply the input/output block by the
+    complex product of the separable twiddle factors they describe (the
+    long-sequence inter-pass twiddle, reference LUT_4step; round 5: both
+    sides at once so the Bluestein chirp mults fuse into the SAME kernel as
+    the four-step twiddle, ``vkFFT_Bluestein.h:32``).  The legacy
+    ``fused``='pre'/'post' + ``factors`` form maps onto them.  ``scale``:
     in-kernel normalization folded into the stage tables.  ``in_keep`` /
     ``out_keep`` (v3 path only): zero-pad elision — read only the first
     in_keep rows of the transform dim / write only the first out_keep rows
     (the returned planes have that extent)."""
+    if fused == "pre":
+        factors_pre, factors = factors, ()
+    elif fused == "post":
+        factors_post, factors = factors, ()
+    assert not factors
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     r2, r1, twr, twi = _strided_tables(n, inverse, scale)
     tile_s = _strided_tile_s(n, s)
+    all_factors = tuple(factors_pre) + tuple(factors_post)
     # v3-stage path: block (1, n, tile_s) must stay within the tested
     # Mosaic budget (~4MB with the raised VMEM limit, E13)
     use_v3 = _use_v3(n) and n * tile_s * 4 <= (4 << 20)
-    col_ncs = {d[2] for d in factors if d[0] in ("dim1_col", "dim2_col")}
+    col_ncs = {d[2] for d in all_factors if d[0] in ("dim1_col", "dim2_col")}
     if col_ncs:
         # column-selected factors address the table by S-block position:
         # tile_s must divide the per-column run s // nc, and S cannot be
@@ -3310,7 +3484,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
     # free) v3 path — same Mosaic-overlap rationale and 8MB block budget
     # as the contiguous kernel (e26/e27)
     il = 1
-    if _use_v3(n) and not factors and not fused:
+    if _use_v3(n) and not all_factors:
         want = _V3_IL_OVERRIDE
         if want:
             il = want
@@ -3318,16 +3492,32 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
             while (il < 8 and n * tile_s * (2 * il) * 4 < (8 << 20)
                    and s >= 2 * il * tile_s):
                 il *= 2
+    # leading-dim interleave: small-S workloads (long tiers, dd four-step)
+    # cannot interleave lane chunks — overlap comes from il_p lines per
+    # step instead (round 5; e44 measured the factor-bearing strided passes
+    # at ~3x their il'd flat-batch sibling)
+    il_p = 1
+    if (use_v3 and il == 1
+            and not any(d[0] == "grid_mod" for d in all_factors)):
+        # grid_mod tables select rows by the per-LINE grid index — il_p
+        # blocks would mix digit rows
+        if _STRIDED_ILP_OVERRIDE and p % _STRIDED_ILP_OVERRIDE == 0:
+            il_p = _STRIDED_ILP_OVERRIDE   # tests/experiments
+        elif not interpret:
+            for cand in (8, 4, 2):
+                if (p % cand == 0
+                        and n * tile_s * (2 * cand) * 4 < (8 << 20)):
+                    il_p = cand
+                    break
     pad_s = (-s) % (tile_s * il)
     s_pad = s + pad_s
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
     const = lambda shape: pl.BlockSpec(shape, lambda b, t: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
-    if (in_keep or out_keep) and (not use_v3 or factors):
+    if (in_keep or out_keep) and not use_v3:
         raise NotImplementedError(
-            "strided zero-pad elision requires the v3 path without fused "
-            "factors")
+            "strided zero-pad elision requires the v3 path")
     # Mosaic legality: the second-minor block dim (the read window) must be
     # 8-divisible or equal n — round up (extra rows are declared zeros)
     in_len = in_keep or n
@@ -3350,14 +3540,20 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
             v3_np += _mxu_const_arrays(Dp)
             if Mp > 1:
                 v3_np += [tr_, ti_]
+        pre_rows_kind = any(d[0] == "rows" for d in factors_pre)
+        post_rows_kind = any(d[0] == "rows" for d in factors_post)
+        assert not (pre_rows_kind and len(factors_pre) > 1)
+        assert not (post_rows_kind and len(factors_post) > 1)
         kernel = functools.partial(_strided_kernel_v3, n, n1, n2, tile_s,
-                                   il, dtype, prec, fused, len(factors),
+                                   il, il_p, dtype, prec, len(factors_pre),
+                                   len(factors_post), pre_rows_kind,
+                                   post_rows_kind,
                                    inverse, vpu_tabs, mxu_tabs, len(v3_np),
                                    in_rows_eff, qrows)
-        spec_in = pl.BlockSpec((1, in_len, tile_s * il),
+        spec_in = pl.BlockSpec((il_p, in_len, tile_s * il),
                                lambda b, t: (b, 0, t),
                                memory_space=pltpu.VMEM)
-        spec_out = pl.BlockSpec((1, out_len, tile_s * il),
+        spec_out = pl.BlockSpec((il_p, out_len, tile_s * il),
                                 lambda b, t: (b, 0, t),
                                 memory_space=pltpu.VMEM)
         in_specs = [spec_in, spec_in] + [const(t.shape) for t in v3_np]
@@ -3367,7 +3563,8 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         alias_ok = in_len == n and out_len == n
     else:
         kernel = functools.partial(_strided_kernel, n1, n2, tile_s, dtype,
-                                   prec, fused, len(factors))
+                                   prec, len(factors_pre),
+                                   len(factors_post))
         spec_in = pl.BlockSpec((1, n2, n1, tile_s), lambda b, t: (b, 0, 0, t),
                                memory_space=pltpu.VMEM)
         spec_out = pl.BlockSpec((1, n1, n2, tile_s), lambda b, t: (b, 0, 0, t),
@@ -3382,12 +3579,13 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         alias_ok = n1 == n2
     f_shapes = []
     f_pads = []
-    for desc in factors:
-        spec, shape, pad_trailing = _factor_spec(desc, n1, n2, fused,
-                                                 s_pad, tile_s)
-        in_specs += [spec, spec]
-        f_shapes.append(shape)
-        f_pads.append(pad_trailing)
+    for side, descs in (("pre", factors_pre), ("post", factors_post)):
+        for desc in descs:
+            spec, shape, pad_trailing = _factor_spec(desc, n1, n2, side,
+                                                     s_pad, tile_s)
+            in_specs += [spec, spec]
+            f_shapes.append(shape)
+            f_pads.append(pad_trailing)
     passes = _mxu_passes(prec)
     kw = {
         # accurate cost hints improve Mosaic's pipeline scheduling
@@ -3402,7 +3600,7 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel,
-        grid=(p, s_pad // (tile_s * il)),
+        grid=(p // il_p, s_pad // (tile_s * il)),
         in_specs=in_specs,
         out_specs=[spec_out, spec_out],
         out_shape=[out_struct] * 2,
@@ -3424,8 +3622,9 @@ def _build_strided_call(n: int, inverse: bool, p: int, s: int, interpret: bool,
             xr = jnp.pad(xr, pads)
             xi = jnp.pad(xi, pads)
         args = [xr, xi] + [jnp.asarray(t) for t in base_tabs]
-        assert len(tables) == 2 * len(factors), (len(tables), factors)
-        for i in range(len(factors)):
+        nf_ = len(factors_pre) + len(factors_post)
+        assert len(tables) == 2 * nf_, (len(tables), nf_)
+        for i in range(nf_):
             fr, fi = tables[2 * i], tables[2 * i + 1]
             fr = fr.reshape(f_shapes[i][:-1] + (-1,))
             fi = fi.reshape(f_shapes[i][:-1] + (-1,))
@@ -4151,8 +4350,9 @@ def conv_fused_planar(x: Planar, n: int, table: np.ndarray,
 # ---------------------------------------------------------------------------
 
 
-def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
-                    fwd_tabs, inv_tabs, n_fwd, n_inv, blu, qrows, *refs):
+def _conv_v3_kernel(n, sb, m, il, rows, out_dtype, prec, conj_data, xpow,
+                    post_scale, fwd_tabs, inv_tabs, n_fwd, n_inv, blu,
+                    qrows, *refs):
     xr_ref, xi_ref = refs[0], refs[1]
     fwd_refs = refs[2:2 + n_fwd]
     inv_refs = refs[2 + n_fwd:2 + n_fwd + n_inv]
@@ -4163,74 +4363,94 @@ def _conv_v3_kernel(n, sb, m, out_dtype, prec, conj_data, xpow, post_scale,
     fwd_vpu, fwd_mxu = fwd_tabs
     inv_vpu, inv_mxu = inv_tabs
 
-    spectra = []
-    for i in range(m):
-        # scalar modes: (1, sb, n) blocks; matrix mode: (sb, m, n) blocks
-        # sliced per coordinate plane (no XLA-level transpose of the
-        # caller's (..., m, n) layout is needed)
-        if m == 1:
-            xr0, xi0 = xr_ref[0], xi_ref[0]
-        else:
-            xr0, xi0 = xr_ref[:, i, :], xi_ref[:, i, :]
-        xr = jnp.swapaxes(xr0.astype(jnp.float32), 0, 1)    # (n|blu, sb)
-        xi = jnp.swapaxes(xi0.astype(jnp.float32), 0, 1)
-        if blu:
-            # fused Bluestein (reference appendBluesteinMultiplication,
-            # vkFFT_Bluestein.h:32): chirp pre-multiply on the read path;
-            # the chirp-pad region [blu, n) never leaves HBM and only the
-            # q live stage-1 chunks materialize (pruned first stage)
-            ar = ar_ref[...].astype(jnp.float32)            # (blu, 1)
-            ai = ai_ref[...].astype(jnp.float32)
-            xr, xi = xr * ar - xi * ai, xr * ai + xi * ar
-            if qrows > blu:
-                pads = ((0, qrows - blu), (0, 0))
-                xr = jnp.pad(xr, pads)
-                xi = jnp.pad(xi, pads)
-        fr, fi = _v3_apply_stages(xr, xi, sb, fwd_refs, fwd_vpu, fwd_mxu,
-                                  prec, False, in_rows=blu)
-        fr = fr.reshape(n, sb)
-        fi = fi.reshape(n, sb)
-        if conj_data:
-            fi = -fi
-        spectra.append((fr, fi))
-
-    for o in range(m):
-        yr = yi = None
+    # ``il`` independent sb-line pipelines per grid step (round 5 — the
+    # same Mosaic MXU/VPU-overlap economics as the v3 FFT kernel, E9/E10;
+    # the conv kernel ran single-chain through round 4)
+    for slab in range(il):
+        ssl = slice(slab * sb, (slab + 1) * sb)
+        spectra = []
         for i in range(m):
+            # scalar modes: (1, il*sb, n) blocks; matrix mode: (sb, m, n)
+            # blocks sliced per coordinate plane (no XLA-level transpose of
+            # the caller's (..., m, n) layout is needed)
             if m == 1:
-                kr = cr_ref[...].astype(jnp.float32)             # (n, cols)
-                ki = ci_ref[...].astype(jnp.float32)
+                xr0, xi0 = xr_ref[0, ssl], xi_ref[0, ssl]
             else:
-                kr = cr_ref[:, o * m + i:o * m + i + 1].astype(jnp.float32)
-                ki = ci_ref[:, o * m + i:o * m + i + 1].astype(jnp.float32)
-            fr, fi = spectra[i]
-            tr = fr * kr - fi * ki
-            ti = fr * ki + fi * kr
-            yr = tr if yr is None else yr + tr
-            yi = ti if yi is None else yi + ti
-        if xpow:
-            mag = jax.lax.rsqrt(yr * yr + yi * yi + 1e-30)
-            yr = yr * mag
-            yi = yi * mag
-        br, bi = _v3_apply_stages(yr, yi, sb, inv_refs, inv_vpu, inv_mxu,
-                                  prec, True)
-        br = br.reshape(n, sb)
-        bi = bi.reshape(n, sb)
-        if blu:
-            # fused Bluestein write path: crop to the live prefix (the
-            # padded tail is never written) + chirp post-multiply
-            br, bi = br[:blu], bi[:blu]
-            br, bi = br * ar - bi * ai, br * ai + bi * ar
-        if post_scale != 1.0:
-            s = jnp.float32(post_scale)
-            br = br * s
-            bi = bi * s
-        if m == 1:
-            or_ref[0] = jnp.swapaxes(br, 0, 1).astype(out_dtype)
-            oi_ref[0] = jnp.swapaxes(bi, 0, 1).astype(out_dtype)
-        else:
-            or_ref[:, o, :] = jnp.swapaxes(br, 0, 1).astype(out_dtype)
-            oi_ref[:, o, :] = jnp.swapaxes(bi, 0, 1).astype(out_dtype)
+                xr0, xi0 = xr_ref[:, i, :], xi_ref[:, i, :]
+            xr = jnp.swapaxes(xr0.astype(jnp.float32), 0, 1)  # (n|blu, sb)
+            xi = jnp.swapaxes(xi0.astype(jnp.float32), 0, 1)
+            if blu:
+                # fused Bluestein (reference appendBluesteinMultiplication,
+                # vkFFT_Bluestein.h:32): chirp pre-multiply on the read
+                # path; the chirp-pad region [blu, n) never leaves HBM and
+                # only the q live stage-1 chunks materialize (pruned first
+                # stage)
+                ar = ar_ref[...].astype(jnp.float32)          # (blu, 1)
+                ai = ai_ref[...].astype(jnp.float32)
+                xr, xi = xr * ar - xi * ai, xr * ai + xi * ar
+                if qrows > blu:
+                    pads = ((0, qrows - blu), (0, 0))
+                    xr = jnp.pad(xr, pads)
+                    xi = jnp.pad(xi, pads)
+            fr, fi = _v3_apply_stages(xr, xi, sb, fwd_refs, fwd_vpu,
+                                      fwd_mxu, prec, False, in_rows=blu)
+            fr = fr.reshape(n, sb)
+            fi = fi.reshape(n, sb)
+            if conj_data:
+                fi = -fi
+            spectra.append((fr, fi))
+
+        for o in range(m):
+            yr = yi = None
+            for i in range(m):
+                if m > 1:
+                    kr = cr_ref[:, o * m + i:o * m + i + 1]
+                    ki = ci_ref[:, o * m + i:o * m + i + 1]
+                elif rows > 1:
+                    # per-slab table columns: the block carries either a
+                    # window of the (n, rows) table (rows % (sb*il) == 0)
+                    # or the whole table ((sb*il) % rows == 0; the slab
+                    # offset is then static)
+                    if cr_ref.shape[1] > sb:
+                        c0 = (slab * sb) % cr_ref.shape[1]
+                        kr = cr_ref[:, c0:c0 + sb]
+                        ki = ci_ref[:, c0:c0 + sb]
+                    else:
+                        kr = cr_ref[...]
+                        ki = ci_ref[...]
+                else:
+                    kr = cr_ref[...]                          # (n, 1)
+                    ki = ci_ref[...]
+                kr = kr.astype(jnp.float32)
+                ki = ki.astype(jnp.float32)
+                fr, fi = spectra[i]
+                tr = fr * kr - fi * ki
+                ti = fr * ki + fi * kr
+                yr = tr if yr is None else yr + tr
+                yi = ti if yi is None else yi + ti
+            if xpow:
+                mag = jax.lax.rsqrt(yr * yr + yi * yi + 1e-30)
+                yr = yr * mag
+                yi = yi * mag
+            br, bi = _v3_apply_stages(yr, yi, sb, inv_refs, inv_vpu,
+                                      inv_mxu, prec, True)
+            br = br.reshape(n, sb)
+            bi = bi.reshape(n, sb)
+            if blu:
+                # fused Bluestein write path: crop to the live prefix (the
+                # padded tail is never written) + chirp post-multiply
+                br, bi = br[:blu], bi[:blu]
+                br, bi = br * ar - bi * ai, br * ai + bi * ar
+            if post_scale != 1.0:
+                s = jnp.float32(post_scale)
+                br = br * s
+                bi = bi * s
+            if m == 1:
+                or_ref[0, ssl] = jnp.swapaxes(br, 0, 1).astype(out_dtype)
+                oi_ref[0, ssl] = jnp.swapaxes(bi, 0, 1).astype(out_dtype)
+            else:
+                or_ref[:, o, :] = jnp.swapaxes(br, 0, 1).astype(out_dtype)
+                oi_ref[:, o, :] = jnp.swapaxes(bi, 0, 1).astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=256)
@@ -4269,11 +4489,25 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     fwd_tabs = _v3_tables(n, False, int8=_i8, in_rows=in_rows)
     inv_tabs = _v3_tables(n, True, int8=_i8)
     sb = _V3_SB
-    pad = (-batch) % sb
+    # il interleaved sb-line pipelines per step (round 5 — the v3 kernel's
+    # MXU/VPU-overlap rule; 8MB in-kernel f32 state budget).  rows > 1
+    # constrains il so each slab's table columns stay block-static.
+    il = 1
+    io_len_ = blu or n
+    if m == 1 and _V3_IL_OVERRIDE:
+        il = _V3_IL_OVERRIDE   # tests / experiments (works under interpret)
+    elif m == 1 and not interpret:
+        while (il < 8 and io_len_ * (2 * il) * sb * 4 < (8 << 20)
+               and batch >= 2 * il * sb
+               and (rows == 1 or rows % (sb * il * 2) == 0
+                    or (sb * il * 2) % rows == 0)):
+            il *= 2
+    gb = sb * il
+    pad = (-batch) % gb
     padded = batch + pad
     if rows > 1:
-        assert m == 1 and rows % sb == 0 and padded % rows == 0, \
-            (rows, sb, batch)
+        assert m == 1 and rows % sb == 0, (rows, sb, batch)
+        assert rows % gb == 0 or gb % rows == 0, (rows, gb)
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
 
     def np_tables(tabs):
@@ -4288,14 +4522,14 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
 
     fwd_np = np_tables(fwd_tabs)
     inv_np = np_tables(inv_tabs)
-    kernel = functools.partial(_conv_v3_kernel, n, sb, m, dtype, prec,
-                               conj_data, xpow, post_scale,
+    kernel = functools.partial(_conv_v3_kernel, n, sb, m, il, rows, dtype,
+                               prec, conj_data, xpow, post_scale,
                                fwd_tabs, inv_tabs, len(fwd_np), len(inv_np),
                                blu if in_rows or blu else 0, qrows)
 
     io_len = blu or n
     if m == 1:
-        spec = pl.BlockSpec((1, sb, io_len), lambda b: (0, b, 0),
+        spec = pl.BlockSpec((1, gb, io_len), lambda b: (0, b, 0),
                             memory_space=pltpu.VMEM)
         out_struct = jax.ShapeDtypeStruct((1, padded, io_len), dtype)
     else:
@@ -4305,8 +4539,12 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     const = lambda a: pl.BlockSpec(a.shape, lambda b: (0,) * a.ndim,
                                    memory_space=pltpu.VMEM)
     if rows > 1:
-        tab_spec = pl.BlockSpec((n, sb), lambda b: (0, b % (rows // sb)),
-                                memory_space=pltpu.VMEM)
+        if rows % gb == 0:
+            tab_spec = pl.BlockSpec((n, gb), lambda b: (0, b % (rows // gb)),
+                                    memory_space=pltpu.VMEM)
+        else:   # gb % rows == 0: whole table resident, slab offsets static
+            tab_spec = pl.BlockSpec((n, rows), lambda b: (0, 0),
+                                    memory_space=pltpu.VMEM)
     elif m > 1:
         tab_spec = pl.BlockSpec((n, m * m), lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)
@@ -4331,7 +4569,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     if not interpret:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
-        kernel, grid=(padded // sb,),
+        kernel, grid=(padded // gb,),
         in_specs=in_specs, out_specs=[spec, spec],
         out_shape=[out_struct] * 2,
         interpret=interpret,
