@@ -129,3 +129,101 @@ def test_long_path_oracle_2e20():
         x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
         y = np.asarray(vt.fft(x, engine="jnp"))
         assert rel_err(y, np.fft.fft(x)) < 1e-10, k
+
+
+def test_zeropad_output_pair_route():
+    """Round 5 (verdict item 5): frequencyZeroPadding through the N-D pair
+    route — forward writes of the declared-zero spectrum region elided,
+    inverse reads skip it (``vkFFT_Structs.h:264-270`` applies per-axis to
+    all kernels)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vkfft_tpu import api
+    from vkfft_tpu.config import FFTConfig
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar, to_numpy
+    pe.set_interpret(True)
+    try:
+        shape = (64, 128, 128)
+        app = api.FFTApplication(
+            FFTConfig(shape=shape, normalize=True,
+                      zeropad_output=((32, 64), (64, 128), (64, 128))),
+            engine="pallas")
+        assert app.zeropad_mode == "elided-pair-output"
+        rng = np.random.default_rng(11)
+        x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        f = app.forward(p)
+        ref = np.fft.fftn(x)
+        ref[32:] = 0
+        ref[:, 64:] = 0
+        ref[:, :, 64:] = 0
+        err = np.max(np.abs(to_numpy(f) - ref)) / np.max(np.abs(ref))
+        assert err < 5e-6, err
+        b = app.inverse(f)
+        refb = np.fft.ifftn(ref)
+        err = np.max(np.abs(to_numpy(b) - refb)) / np.max(np.abs(refb))
+        assert err < 5e-6, err
+    finally:
+        pe.set_interpret(False)
+
+
+def test_zeropad_interior_inverse_restore():
+    """Round 5: the inverse of an interior-window plan restores the
+    declared-zero interior IN-KERNEL (no XLA mask pass)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vkfft_tpu import api
+    from vkfft_tpu.config import FFTConfig
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar, to_numpy
+    pe.set_interpret(True)
+    try:
+        n = 1024
+        app = api.FFTApplication(
+            FFTConfig(shape=(n,), normalize=True,
+                      zeropad_input=((256, 768),)), engine="pallas")
+        assert "inverse in-kernel restore" in app.zeropad_mode
+        rng = np.random.default_rng(13)
+        x = rng.standard_normal((32, n)) + 1j * rng.standard_normal((32, n))
+        x[:, 256:768] = 0
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        b = app.inverse(app.forward(p))
+        got = to_numpy(b)
+        assert np.max(np.abs(got - x)) / np.max(np.abs(x)) < 5e-6
+        assert np.abs(got[:, 256:768]).max() == 0.0
+    finally:
+        pe.set_interpret(False)
+
+
+def test_zeropad_bluestein_prefix_elision():
+    """Round 5: a declared-zero input tail on a Bluestein plan narrows the
+    fused kernel's read window (non-DIRECT elision — the reference's
+    zero-pad guards are generic across kernels, vkFFT_Zeropad.h:28-182)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vkfft_tpu import api
+    from vkfft_tpu.config import FFTConfig
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar, to_numpy
+    pe.set_interpret(True)
+    try:
+        n = 10007
+        app = api.FFTApplication(
+            FFTConfig(shape=(n,), normalize=True,
+                      zeropad_input=((3000, n),)), engine="pallas")
+        assert app.zeropad_mode.startswith("elided-prefix (bluestein")
+        rng = np.random.default_rng(17)
+        x = rng.standard_normal((2, n)) + 1j * rng.standard_normal((2, n))
+        x[:, 3000:] = 0
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        f = app.forward(p)
+        ref = np.fft.fft(x)
+        assert np.max(np.abs(to_numpy(f) - ref)) / np.max(np.abs(ref)) < 5e-5
+        b = app.inverse(f)
+        assert np.max(np.abs(to_numpy(b) - x)) / np.max(np.abs(x)) < 5e-5
+    finally:
+        pe.set_interpret(False)

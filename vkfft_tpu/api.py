@@ -188,18 +188,38 @@ class FFTApplication:
                     if (out_h == 0 and in_h and _pe._use_v2(n)
                             and _pe.zeropad_rows(n, in_h)):
                         return {"kind": "v2", "in_h": in_h}
+            elif plan.algorithm is _Alg.BLUESTEIN:
+                # round 5 (non-DIRECT elision, vkFFT_Zeropad.h is generic
+                # across the reference's Rader/Bluestein kernels): a
+                # declared-zero input tail narrows the fused Bluestein
+                # kernel's read window and deepens its stage-1 prune
+                in_h = prefix(cfg.zeropad_input)
+                out_h = prefix(cfg.zeropad_output)
+                m = plan.decomp.bluestein_size
+                if (in_h > 0 and out_h == 0
+                        and (_pe._use_v3(m) or _pe._long_conv_ok(m))):
+                    return {"kind": "blu", "in_h": in_h}
             return {"kind": "masked"}
-        if len(cfg.axes) >= 2 and cfg.zeropad_output is None \
-                and cfg.zeropad_input is not None:
+        if len(cfg.axes) >= 2 and (cfg.zeropad_input is None) != \
+                (cfg.zeropad_output is None):
             ay, az = ndim - 2, ndim - 1
             if (ay in cfg.axes and az in cfg.axes
                     and self.axis_plans[ay].algorithm is _Alg.DIRECT
                     and self.axis_plans[az].algorithm is _Alg.DIRECT
                     and _pe.pair_available(cfg.shape[ay], cfg.shape[az])):
-                keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
-                if keeps is not None:
-                    return {"kind": "pair", "minor": keeps[0],
-                            "outer": keeps[1]}
+                if cfg.zeropad_input is not None:
+                    keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
+                    if keeps is not None:
+                        return {"kind": "pair", "minor": keeps[0],
+                                "outer": keeps[1]}
+                else:
+                    # frequencyZeroPadding (vkFFT_Structs.h:264) on an N-D
+                    # pair plan (round 5): forward writes of the declared-
+                    # zero spectrum region are elided, inverse reads skip it
+                    keeps = _prefix_keep_all(cfg.zeropad_output, cfg.shape)
+                    if keeps is not None:
+                        return {"kind": "pair_out", "minor": keeps[0],
+                                "outer": keeps[1]}
         return {"kind": "masked"}
 
     @property
@@ -222,11 +242,15 @@ class FFTApplication:
         if kind == "masked":
             return "masked"
         if kind == "interior":
-            return "elided-interior (forward reads; inverse masked)"
+            return "elided-interior (forward reads; inverse in-kernel restore)"
         if kind == "pair":
             return "elided-pair"
+        if kind == "pair_out":
+            return "elided-pair-output"
         if kind == "v2":
             return "elided-prefix"
+        if kind == "blu":
+            return "elided-prefix (bluestein: forward reads; inverse masked)"
         if r["in_h"] and r["out_h"]:
             return "elided-prefix+output"
         return "elided-output" if r["out_h"] else "elided-prefix"
@@ -437,6 +461,19 @@ class FFTApplication:
         # fraction instead of paying an extra masking pass.  Routing comes
         # from the SAME resolver `zeropad_mode` reports.
         route = self._zp_route
+        if planar and route["kind"] == "blu" and not inverse:
+            from vkfft_tpu.ops import pallas_engine as _pe
+            n = cfg.shape[-1]
+            lead = x.shape[:-1]
+            flat = x.reshape(-1, n)
+            m = self.axis_plans[cfg.axes[0]].decomp.bluestein_size
+            if _pe._use_v3(m):
+                y = _pe.bluestein_fused_v3(flat, n, m, False,
+                                           in_keep=route["in_h"])
+            else:
+                y = _pe._bluestein_long_fused_p(flat, n, m, False,
+                                                in_keep=route["in_h"])
+            return y.reshape(*lead, n)
         if planar and route["kind"] in ("v3", "v2", "interior"):
             from vkfft_tpu.ops import pallas_engine as _pe
             n = cfg.shape[-1]
@@ -445,6 +482,17 @@ class FFTApplication:
                 flat = x.reshape(-1, n)
                 rr, ii = _pe.core_fft_planar_v3(flat.re, flat.im, n, False,
                                                 in_window=route["window"])
+                return Planar(rr, ii).reshape(*lead, n)
+            if route["kind"] == "interior" and inverse:
+                # the declared-zero interior of the RESULT is restored by
+                # the kernel's own store (round 5) — no separate XLA mask
+                # pass (reference write-side zero-pad guards,
+                # ``vkFFT_Zeropad.h``)
+                flat = x.reshape(-1, n)
+                s = (1.0 / n) if cfg.normalize else 1.0
+                rr, ii = _pe.core_fft_planar_v3(
+                    flat.re, flat.im, n, True, scale=s,
+                    out_zero_window=route["window"])
                 return Planar(rr, ii).reshape(*lead, n)
             if route["kind"] == "v3":
                 flat = x.reshape(-1, n)
@@ -505,6 +553,7 @@ class FFTApplication:
         outer_in = {}
         outer_out = {}
         elide_in = False
+        elide_out = False
         if pair is not None and route["kind"] == "pair":
             minor_keep, outer_keeps = route["minor"], route["outer"]
             elide_in = True
@@ -514,6 +563,19 @@ class FFTApplication:
             else:
                 pair_out = minor_keep
                 outer_out = outer_keeps
+        elif pair is not None and route["kind"] == "pair_out":
+            # frequencyZeroPadding through the pair route (round 5): the
+            # forward ELIDES WRITES of the declared-zero spectrum region
+            # (zeros restored once at the end), the inverse ELIDES READS of
+            # it (corner-first, like the forward input elision)
+            minor_keep, outer_keeps = route["minor"], route["outer"]
+            elide_out = True
+            if not inverse:
+                pair_out = minor_keep
+                outer_out = outer_keeps
+            else:
+                pair_in = minor_keep
+                outer_in = outer_keeps
         if not inverse and not elide_in:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         if pair is not None:
@@ -521,42 +583,36 @@ class FFTApplication:
             rest = [ax for ax in axes if ax < ndim - 2]
             ky = pair_in[0] or ny_
             kz = pair_in[1] or nz_
-            # Outer-first corner elision (forward): when the minor axes
-            # carry declared-zero windows, the outer strided passes run
-            # FIRST on the nonzero (ky, kz) corner — zero minor lines are
-            # never transformed at all, so the work elision COMPOUNDS
-            # across axes (the reference's N-D zero-pad economy,
-            # README.md:14 "up to 2x"; its sample 4 is exactly this 3-D
-            # case).  The pair kernel then consumes the corner directly.
-            corner = (not inverse and elide_in and bool(rest)
-                      and (ky < ny_ or kz < nz_))
-            if not inverse:
-                if corner:
-                    x = x[..., :ky, :kz]
-                    for ax in rest:
-                        x = fft_axis(x, x.ndim - ndim + ax,
-                                     self.axis_plans[ax], False, scale=1.0,
-                                     in_keep=outer_in.get(ax, 0))
-                    x = eng.fft_pair_p(x, ny_, nz_, False, in_keep=pair_in)
-                else:
-                    x = eng.fft_pair_p(x, ny_, nz_, False, in_keep=pair_in)
-                    for ax in rest:
-                        # intermediates are provably dead: donate so the
-                        # strided kernels run in place (round 4: the 3-D
-                        # round trip carried 0.52 ms/iter of XLA copies)
-                        x = fft_axis(x, x.ndim - ndim + ax,
-                                     self.axis_plans[ax], False, scale=1.0,
-                                     in_keep=outer_in.get(ax, 0),
-                                     donate=True)
-            elif elide_in and pair_out != (0, 0) and rest:
-                # inverse mirror: pair first (cropping to the corner), the
-                # outer passes then run on the corner only, zeros restored
-                # once at the end
-                x = eng.fft_pair_p(x, ny_, nz_, True,
-                                   scale=norm_scale, out_keep=pair_out)
+            reads = pair_in != (0, 0) or bool(outer_in)
+            writes = pair_out != (0, 0) or bool(outer_out)
+            # Outer-first corner elision (reads): when the minor axes carry
+            # declared-zero windows, the outer strided passes run FIRST on
+            # the nonzero (ky, kz) corner — zero minor lines are never
+            # transformed at all, so the work elision COMPOUNDS across axes
+            # (the reference's N-D zero-pad economy, README.md:14 "up to
+            # 2x"; its sample 4 is exactly this 3-D case).  The pair kernel
+            # then consumes the corner directly.  The same geometry serves
+            # both directions: forward input windows and (round 5) inverse
+            # reads of a windowed spectrum (frequencyZeroPadding).
+            corner = reads and bool(rest) and (ky < ny_ or kz < nz_)
+            pscale = norm_scale if inverse else 1.0
+            if reads and corner:
+                x = x[..., :ky, :kz]
+                for ax in rest:
+                    x = fft_axis(x, x.ndim - ndim + ax,
+                                 self.axis_plans[ax], inverse, scale=1.0,
+                                 in_keep=outer_in.get(ax, 0))
+                x = eng.fft_pair_p(x, ny_, nz_, inverse, scale=pscale,
+                                   in_keep=pair_in)
+            elif writes and rest:
+                # write elision: pair first (cropping to the kept corner),
+                # the outer passes then run on the corner only, zeros
+                # restored once at the end
+                x = eng.fft_pair_p(x, ny_, nz_, inverse,
+                                   scale=pscale, out_keep=pair_out)
                 for ax in rest:
                     x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
-                                 True, scale=1.0,
+                                 inverse, scale=1.0,
                                  out_keep=outer_out.get(ax, 0))
                 keeps = []
                 for ax in range(ndim):
@@ -566,16 +622,34 @@ class FFTApplication:
                     else:
                         keeps.append((outer_out.get(ax, 0), cfg.shape[ax]))
                 x = _pad_planar_tail(x, tuple(keeps))
+            elif not inverse:
+                x = eng.fft_pair_p(x, ny_, nz_, False, in_keep=pair_in,
+                                   out_keep=pair_out)
+                for ax in rest:
+                    # intermediates are provably dead: donate so the
+                    # strided kernels run in place (round 4: the 3-D
+                    # round trip carried 0.52 ms/iter of XLA copies)
+                    x = fft_axis(x, x.ndim - ndim + ax,
+                                 self.axis_plans[ax], False, scale=1.0,
+                                 in_keep=outer_in.get(ax, 0),
+                                 donate=True)
+                if writes:
+                    keeps = [(0, cfg.shape[ax]) for ax in range(ndim - 2)]
+                    keeps += [(pair_out[0], cfg.shape[ndim - 2]),
+                              (pair_out[1], cfg.shape[ndim - 1])]
+                    x = _pad_planar_tail(x, tuple(keeps))
             else:
                 for j, ax in enumerate(rest):
                     # later passes consume dead intermediates: in place
                     x = fft_axis(x, x.ndim - ndim + ax, self.axis_plans[ax],
                                  True, scale=1.0,
+                                 in_keep=outer_in.get(ax, 0),
                                  out_keep=outer_out.get(ax, 0),
                                  donate=j > 0)
                 x = eng.fft_pair_p(x, ny_, nz_, True,
-                                   scale=norm_scale, out_keep=pair_out)
-                if pair_out != (0, 0) or outer_out:
+                                   scale=norm_scale, in_keep=pair_in,
+                                   out_keep=pair_out)
+                if writes:
                     keeps = []
                     for ax in range(ndim):
                         if ax >= ndim - 2:
@@ -602,7 +676,7 @@ class FFTApplication:
                 x = x * np.asarray(1.0 / total, dtype=x.dtype)
             if not elide_in:
                 x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
-        else:
+        elif not elide_out:
             x = self._apply_zeropad(x, cfg.zeropad_output, ndim)
         return x
 

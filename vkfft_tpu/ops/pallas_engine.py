@@ -449,7 +449,7 @@ def _long_conv_ok(m: int) -> bool:
 
 
 def _bluestein_long_fused_p(x: Planar, n: int, m: int, inverse: bool,
-                            scale: float = 1.0) -> Planar:
+                            scale: float = 1.0, in_keep: int = 0) -> Planar:
     """Long-tier Bluestein with the chirp pre/post multiplies FUSED into the
     strided kernels as separable factor tables (round 5; the reference fuses
     them into every kernel's read/write — ``appendBluesteinMultiplication``,
@@ -466,13 +466,21 @@ def _bluestein_long_fused_p(x: Planar, n: int, m: int, inverse: bool,
       -> crop to n."""
     nc, ns = split_long(m)
     B = x.shape[0]
-    rows = -(-n // ns)            # live kc rows of the (nc, ns) view
+    live = in_keep if 0 < in_keep < n else n   # declared-zero input tail
+    rows = -(-live // ns)         # live kc rows of the (nc, ns) view
+    out_rows = -(-n // ns)        # output crop still needs all n
     # the input buffer carries an 8-multiple of rows (Mosaic second-minor
     # window legality; the extra declared-zero rows are never live)
     rows_buf = min(nc, -(-rows // 8) * 8)
     padded = rows_buf * ns
     _, b_fft = luts.bluestein_chirp(n, m, inverse)
-    y = _pad_tail_p(x, padded - n) if padded > n else x
+    if padded > n:
+        y = _pad_tail_p(x, padded - n)
+    elif padded < n:
+        # the sliced-off tail [padded, n) is declared zero
+        y = x[:, :padded]
+    else:
+        y = x
 
     def planes(t):
         return (jnp.asarray(np.ascontiguousarray(np.real(t), np.float32)),
@@ -503,11 +511,11 @@ def _bluestein_long_fused_p(x: Planar, n: int, m: int, inverse: bool,
     run = _build_strided_call(
         nc, True, B, ns, _INTERPRET, str(x.dtype),
         factors_pre=(("rows", nc),), factors_post=(("rows", nc),),
-        out_keep=rows)
+        out_keep=out_rows)
     orr, oi = run(mid.re.reshape(B, nc, ns), mid.im.reshape(B, nc, ns),
                   tw[0], tw[1], ch[0], ch[1])
-    return Planar(orr.reshape(B, rows * ns)[:, :n],
-                  oi.reshape(B, rows * ns)[:, :n])
+    return Planar(orr.reshape(B, out_rows * ns)[:, :n],
+                  oi.reshape(B, out_rows * ns)[:, :n])
 
 
 def _tiny_dft_p(x: Planar, n: int, inverse: bool, scale: float) -> Planar:
@@ -1418,7 +1426,8 @@ def _v3_apply_stages(xr, xi, S, table_refs, vpu_tabs, mxu_tabs, prec,
 
 
 def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
-                   win, in_tl, out_tl, in_rows, qrows, out_fill, *refs):
+                   win, in_tl, out_tl, in_rows, qrows, out_fill,
+                   out_zero_win, *refs):
     if win is not None:
         # interior zero window [left, right): prefix + tail read as two
         # separately-DMA'd operands; the zero middle never leaves HBM
@@ -1477,9 +1486,22 @@ def _fft_kernel_v3(n, sb, il, inverse, out_dtype, prec, vpu_tabs, mxu_tabs,
             or_ref[0, :, i * sb:(i + 1) * sb] = xr.reshape(n, sb).astype(out_dtype)
             oi_ref[0, :, i * sb:(i + 1) * sb] = xi.reshape(n, sb).astype(out_dtype)
             continue
+        xr = xr.reshape(n, sb)
+        xi = xi.reshape(n, sb)
+        if out_zero_win is not None:
+            # interior declared-zero OUTPUT window restored in-kernel by the
+            # same store (round 5 — replaces the XLA mask pass the inverse
+            # of an interior-window plan paid; the reference's write-side
+            # zero-pad guard, ``vkFFT_Zeropad.h`` write path)
+            lw, rw = out_zero_win
+            rows_ = jax.lax.broadcasted_iota(jnp.int32, (n, sb), 0)
+            live = (rows_ < lw) | (rows_ >= rw)
+            zero = jnp.float32(0)
+            xr = jnp.where(live, xr, zero)
+            xi = jnp.where(live, xi, zero)
         keep = out_fill or or_ref.shape[2]  # < n: discarded tail elided
-        xr = xr.reshape(n, sb)[:keep]
-        xi = xi.reshape(n, sb)[:keep]
+        xr = xr[:keep]
+        xi = xi[:keep]
         if out_fill and keep < or_ref.shape[2]:
             # declared-zero tail restored IN-KERNEL (literal zeros written
             # with the same store) — no separate XLA pad pass
@@ -1497,7 +1519,8 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
                        in_keep: int = 0, out_keep: int = 0,
                        scale: float = 1.0, in_window=None,
                        in_tl: bool = False, out_tl: bool = False,
-                       force_il: int = 0, out_fill: bool = False):
+                       force_il: int = 0, out_fill: bool = False,
+                       out_zero_win=None):
     """``in_keep`` (forward): read only the first in_keep entries of each
     line — the declared-zero tail is never DMA'd.  ``out_keep`` (inverse):
     write only the first out_keep entries (the returned planes have that
@@ -1580,10 +1603,13 @@ def _build_fft_call_v3(n: int, inverse: bool, batch: int, interpret: bool,
     if in_window is not None and not inverse:
         win = (int(in_window[0]), int(in_window[1]))
         in_len = win[0]
+    if out_zero_win is not None:
+        out_zero_win = (int(out_zero_win[0]), int(out_zero_win[1]))
+        assert not (out_tl or out_keep or out_fill)
     kernel = functools.partial(_fft_kernel_v3, n, sb, il, inverse, dtype,
                                prec, vpu_tabs, mxu_tabs, win, in_tl, out_tl,
                                in_rows_eff, qrows,
-                               out_keep if out_fill else 0)
+                               out_keep if out_fill else 0, out_zero_win)
     if in_tl:
         spec = pl.BlockSpec((1, n, gb), lambda b: (b, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -1706,7 +1732,7 @@ def v3_interior_window_ok(n: int, left: int, right: int) -> bool:
 def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
                        in_nonzero: int = 0, out_keep: int = 0,
                        scale: float = 1.0, in_window=None,
-                       out_fill: bool = False):
+                       out_fill: bool = False, out_zero_window=None):
     """v3 core: natural order in, natural order out, both directions.
 
     ``in_nonzero``: the tail [in_nonzero, n) of each input line is declared
@@ -1728,9 +1754,12 @@ def core_fft_planar_v3(xr, xi, n: int, inverse: bool, donate: bool = False,
     run = _build_fft_call_v3(n, inverse, xr.shape[0], _INTERPRET,
                              str(xr.dtype),
                              donate and (out_fill or not out_keep)
+                             and out_zero_window is None
                              and xr.shape[-1] == n,
                              in_keep=in_nonzero, out_keep=out_keep,
-                             scale=scale, out_fill=out_fill)
+                             scale=scale, out_fill=out_fill,
+                             out_zero_win=(tuple(out_zero_window)
+                                           if out_zero_window else None))
     # full-width planes welcome; the BlockSpec window DMAs only the prefix
     return run(xr, xi)
 
@@ -4352,7 +4381,7 @@ def conv_fused_planar(x: Planar, n: int, table: np.ndarray,
 
 def _conv_v3_kernel(n, sb, m, il, rows, out_dtype, prec, conj_data, xpow,
                     post_scale, fwd_tabs, inv_tabs, n_fwd, n_inv, blu,
-                    qrows, *refs):
+                    blu_live, qrows, *refs):
     xr_ref, xi_ref = refs[0], refs[1]
     fwd_refs = refs[2:2 + n_fwd]
     inv_refs = refs[2 + n_fwd:2 + n_fwd + n_inv]
@@ -4384,16 +4413,23 @@ def _conv_v3_kernel(n, sb, m, il, rows, out_dtype, prec, conj_data, xpow,
                 # vkFFT_Bluestein.h:32): chirp pre-multiply on the read
                 # path; the chirp-pad region [blu, n) never leaves HBM and
                 # only the q live stage-1 chunks materialize (pruned first
-                # stage)
+                # stage).  A declared-zero input tail [blu_live, blu)
+                # (round 5, zeropad_input through a Bluestein plan) narrows
+                # the read window and deepens the prune.
                 ar = ar_ref[...].astype(jnp.float32)          # (blu, 1)
                 ai = ai_ref[...].astype(jnp.float32)
-                xr, xi = xr * ar - xi * ai, xr * ai + xi * ar
-                if qrows > blu:
-                    pads = ((0, qrows - blu), (0, 0))
+                rin = xr.shape[0]
+                xr, xi = xr * ar[:rin] - xi * ai[:rin], \
+                    xr * ai[:rin] + xi * ar[:rin]
+                if rin > qrows:
+                    xr, xi = xr[:qrows], xi[:qrows]
+                elif rin < qrows:
+                    pads = ((0, qrows - rin), (0, 0))
                     xr = jnp.pad(xr, pads)
                     xi = jnp.pad(xi, pads)
             fr, fi = _v3_apply_stages(xr, xi, sb, fwd_refs, fwd_vpu,
-                                      fwd_mxu, prec, False, in_rows=blu)
+                                      fwd_mxu, prec, False,
+                                      in_rows=blu_live)
             fr = fr.reshape(n, sb)
             fi = fi.reshape(n, sb)
             if conj_data:
@@ -4458,7 +4494,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
                         dtype_name: str = "float32", m: int = 1,
                         rows: int = 1, conj_data: bool = False,
                         xpow: bool = False, post_scale: float = 1.0,
-                        blu: int = 0):
+                        blu: int = 0, blu_in: int = 0):
     """One-kernel circular convolution of ``batch`` lines of length n.
 
     ``m`` > 1: matrix convolution — operands are (batch, m, n) planes and
@@ -4480,10 +4516,11 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     _i8 = _V3_MXU_INT8 and dtype == jnp.float32
     if blu:
         assert m == 1 and rows == 1, (m, rows)
-        q1 = _v3_prune_q(n, blu)
+        live = blu_in or blu   # declared-zero tail narrows the live prefix
+        q1 = _v3_prune_q(n, live)
         r1, mp1 = _v3_first_stage(n)
         qrows = q1 * mp1 if q1 < r1 else n
-        in_rows = blu if q1 < r1 else 0
+        in_rows = live if q1 < r1 else 0
     else:
         qrows, in_rows = n, 0
     fwd_tabs = _v3_tables(n, False, int8=_i8, in_rows=in_rows)
@@ -4525,10 +4562,17 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     kernel = functools.partial(_conv_v3_kernel, n, sb, m, il, rows, dtype,
                                prec, conj_data, xpow, post_scale,
                                fwd_tabs, inv_tabs, len(fwd_np), len(inv_np),
-                               blu if in_rows or blu else 0, qrows)
+                               blu if in_rows or blu else 0, in_rows, qrows)
 
     io_len = blu or n
+    # read window: the declared-zero tail [blu_in, blu) is never DMA'd
+    # (lane-tile legality: round up; the extra columns are declared zeros)
+    in_l = io_len
+    if blu and blu_in and blu_in < blu:
+        in_l = min(blu, -(-blu_in // 128) * 128)
     if m == 1:
+        spec_in_m1 = pl.BlockSpec((1, gb, in_l), lambda b: (0, b, 0),
+                                  memory_space=pltpu.VMEM)
         spec = pl.BlockSpec((1, gb, io_len), lambda b: (0, b, 0),
                             memory_space=pltpu.VMEM)
         out_struct = jax.ShapeDtypeStruct((1, padded, io_len), dtype)
@@ -4551,7 +4595,8 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     else:
         tab_spec = pl.BlockSpec((n, 1), lambda b: (0, 0),
                                 memory_space=pltpu.VMEM)
-    in_specs = ([spec, spec] + [const(t) for t in fwd_np]
+    sp_in = spec_in_m1 if (m == 1 and in_l != io_len) else spec
+    in_specs = ([sp_in, sp_in] + [const(t) for t in fwd_np]
                 + [const(t) for t in inv_np] + [tab_spec, tab_spec])
     if blu:
         chirp_spec = pl.BlockSpec((blu, 1), lambda b: (0, 0),
@@ -4566,7 +4611,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
             transcendentals=0,
             bytes_accessed=dtype.itemsize * 2 * m * padded * io_len * 2),
     }
-    if not interpret:
+    if not interpret and in_l == io_len:
         kw["input_output_aliases"] = {0: 0, 1: 1}
     call = pl.pallas_call(
         kernel, grid=(padded // gb,),
@@ -4602,7 +4647,7 @@ def use_conv_v3(n: int) -> bool:
 
 
 def bluestein_fused_v3(x: Planar, n: int, m: int, inverse: bool,
-                       scale: float = 1.0) -> Planar:
+                       scale: float = 1.0, in_keep: int = 0) -> Planar:
     """ONE-kernel Bluestein transform of (B, n) planar lines: chirp
     pre-multiply on the kernel's read path, padded m-point forward stages
     (pruned first stage — the [n, m) chirp pad never exists in HBM or
@@ -4615,7 +4660,8 @@ def bluestein_fused_v3(x: Planar, n: int, m: int, inverse: bool,
     a_t, b_t = luts.bluestein_chirp(n, m, inverse)
     B = x.shape[0]
     run = _build_conv_v3_call(m, B, _INTERPRET, str(x.dtype), 1, 1,
-                              False, False, 1.0, blu=n)
+                              False, False, 1.0, blu=n,
+                              blu_in=in_keep if 0 < in_keep < n else 0)
     tab = b_t * (scale / m)     # 1/m + caller normalization ride the table
     cr = jnp.asarray(np.real(tab).astype(np.float32).reshape(m, 1))
     ci = jnp.asarray(np.imag(tab).astype(np.float32).reshape(m, 1))
