@@ -94,12 +94,16 @@ def main():
     def blue_fwd(m):
         return lambda p, n: pe._bluestein_long_fused_p(p, n, m, False)
 
+    import os
     smooth = bench("smooth 10240 (long path)", 10240, prod_rt, prod_fwd)
     p7 = bench("7919 production (Rader)", 7919, prod_rt, prod_fwd)
     p7b = bench("7919 fused-long Bluestein m=16384", 7919,
                 blue_rt(16384), blue_fwd(16384))
     p10 = bench("10007 fused-long Bluestein (prod)", 10007, prod_rt, prod_fwd)
-    p6 = bench("10006 production (SPLIT)", 10006, prod_rt, prod_fwd)
+    if os.environ.get("E44_RUN_10006") == "1":
+        # long compile chain (SPLIT: 2 x 5003-bluestein constituents);
+        # sample 7 is the artifact home for this row
+        p6 = bench("10006 production (SPLIT)", 10006, prod_rt, prod_fwd)
 
     print(f"\nper-point ratios vs smooth 10240:", flush=True)
     for tag, n, dt, per in rows[1:]:

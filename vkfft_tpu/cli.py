@@ -663,24 +663,63 @@ def sample_4(ctx):
     import jax.numpy as jnp
     from vkfft_tpu.pcomplex import from_complex
 
-    # -- 3-D: the reference's sample-4 geometry (half-pad every axis) --
-    for shape in ((128, 128, 128), (256, 256, 256)):
+    # The reference's FULL 39-system table (2-D rows + 3-D cubes,
+    # ``sample_4...zeropadding.cpp:69-78``; its size[0] is the contiguous
+    # dim -> reversed into our row-major shape).  The full sweep runs on
+    # the CPU/jnp engine or with --full; hardware defaults to a
+    # representative subset (one tunneled chip; compiles dominate).
+    ref_2d = [(1024, 1024), (720, 480), (1280, 720), (1920, 1080),
+              (2560, 1440), (3840, 2160), (7680, 4320)]
+    ref_2d += [(1 << a, 1 << b) for a, b in
+               ((6, 6), (7, 6), (7, 7), (8, 7), (8, 8), (9, 8), (9, 9),
+                (10, 9), (10, 10), (11, 10), (11, 11), (12, 11), (12, 12),
+                (13, 12), (13, 13), (14, 13))]
+    ref_3d = [(1 << a, 1 << b, 1 << c) for a, b, c in
+              ((4, 4, 4), (5, 4, 4), (5, 5, 4), (5, 5, 5), (6, 5, 5),
+               (6, 6, 5), (6, 6, 6), (7, 6, 6), (7, 7, 6), (7, 7, 7),
+               (8, 7, 7), (8, 8, 7), (8, 8, 8), (9, 8, 8), (9, 9, 8),
+               (9, 9, 9))]
+    full_sweep = ctx.engine == "jnp" or getattr(ctx.args, "full", False)
+    if full_sweep:
+        systems = ([tuple(reversed(d)) for d in ref_2d]
+                   + [tuple(reversed(d)) for d in ref_3d])
+        target = 8 * 1024 * 1024 if ctx.engine == "jnp" else 64 * 1024 * 1024
+    else:
+        systems = [(1080, 1920), (2160, 3840), (128, 128, 128),
+                   (256, 256, 256), (512, 512, 512)]
+        target = 128 * 1024 * 1024
+    score_f = score_p = 0.0
+    rated = 0
+    for shape in systems:
         n_el = int(np.prod(shape))
-        batch = max(1, 128 * 1024 * 1024 // (8 * n_el))
+        batch = max(1, target // (8 * n_el))
         x = from_complex(_rand_complex((batch,) + shape, seed=n_el))
-        full = vt.get_application(vt.FFTConfig(shape=shape), ctx.engine)
-        pad = vt.get_application(
-            vt.FFTConfig(shape=shape,
-                         zeropad_input=tuple((d // 2, d) for d in shape)),
-            ctx.engine)
-        dt_f = _time_chain_fn(full._fwd, x)
-        dt_p = _time_chain_fn(pad._fwd, x)
-        if min(dt_f, dt_p) < 50e-6:
-            ctx.log(f"  {shape}: below timing noise floor; see bench.py")
+        # reference pad window: [ceil(size/2), size) per axis
+        zp = tuple((-(-d // 2), d) for d in shape)
+        try:
+            full = vt.get_application(vt.FFTConfig(shape=shape), ctx.engine)
+            pad = vt.get_application(
+                vt.FFTConfig(shape=shape, zeropad_input=zp), ctx.engine)
+            dt_f = _time_chain_fn(full._fwd, x)
+            dt_p = _time_chain_fn(pad._fwd, x)
+        except Exception as e:
+            ctx.log(f"  {'x'.join(map(str, shape))}: FAILED "
+                    f"{repr(e)[:90]}")
             continue
-        ctx.log(f"  {'x'.join(map(str, shape))} batch {batch} fwd: "
-                f"full {dt_f*1e3:8.3f} ms  half-pad^3 {dt_p*1e3:8.3f} ms "
+        if min(dt_f, dt_p) < 50e-6:
+            ctx.log(f"  {'x'.join(map(str, shape))}: below timing noise "
+                    f"floor; see bench.py")
+            continue
+        kb = batch * n_el * 8 / 1024.0
+        score_f += kb / (dt_f * 1e3)
+        score_p += kb / (dt_p * 1e3)
+        rated += 1
+        ctx.log(f"  {'x'.join(map(str, shape)):>14s} batch {batch:4d} fwd: "
+                f"full {dt_f*1e3:8.3f} ms  half-pad {dt_p*1e3:8.3f} ms "
                 f"({dt_f/dt_p:.2f}x, mode: {pad.zeropad_mode})")
+    if rated:
+        ctx.log(f"  benchmark score (sum KB/ms / {rated}): "
+                f"full {score_f/rated:.0f}  half-pad {score_p/rated:.0f}")
 
     # -- 1-D: round trips + donated per-kernel forward --
     from vkfft_tpu.ops import pallas_engine as _pe
@@ -967,6 +1006,9 @@ def main(argv=None):
     ap.add_argument("--engine", default=None, choices=["jnp", "pallas"],
                     help="execution engine (default: auto)")
     ap.add_argument("--cpu", action="store_true", help="force CPU platform")
+    ap.add_argument("--full", action="store_true",
+                    help="sample 4: run the reference's full 39-system "
+                         "table (default on the jnp engine)")
     ap.add_argument("-X", type=int, default=1024)
     ap.add_argument("-Y", type=int, default=1)
     ap.add_argument("-Z", type=int, default=1)

@@ -4534,7 +4534,10 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     if m == 1 and _V3_IL_OVERRIDE:
         il = _V3_IL_OVERRIDE   # tests / experiments (works under interpret)
     elif m == 1 and not interpret:
-        while (il < 8 and io_len_ * (2 * il) * sb * 4 < (8 << 20)
+        # cap 4 (not the FFT kernels' 8): each conv slab unrolls TWO stage
+        # sets, and an il=8 conv kernel (16 staged pipelines) blows up the
+        # Mosaic compile (round 5: a 10006-constituent compile ran >30 min)
+        while (il < 4 and io_len_ * (2 * il) * sb * 4 < (8 << 20)
                and batch >= 2 * il * sb
                and (rows == 1 or rows % (sb * il * 2) == 0
                     or (sb * il * 2) % rows == 0)):
