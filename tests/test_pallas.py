@@ -1083,3 +1083,31 @@ def test_strided_ilp_interleave():
         pallas_engine._build_strided_call.cache_clear()
     ref = np.fft.fft(x, axis=1)
     assert rel_err(np.asarray(fr) + 1j * np.asarray(fi), ref) < 5e-6
+
+
+def test_bluestein_pair_kernel():
+    """Round 5: the ONE-kernel long-tier Bluestein (conv-pair form) — the
+    (Nc, Ns) four-step plane with chirps, inter-pass twiddles and the
+    spectrum multiply all inside one kernel (vkFFT_Bluestein.h:32,201)."""
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar
+    for (n, m) in ((10007, 32768), (460, 16384)):
+        rng = np.random.default_rng(n)
+        x = rng.standard_normal((3, n)) + 1j * rng.standard_normal((3, n))
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        f = pallas_engine._bluestein_pair_p(p, n, m, False)
+        ref = np.fft.fft(x, axis=1)
+        assert rel_err(np.asarray(f.re) + 1j * np.asarray(f.im), ref) < 5e-5
+        z = pallas_engine._bluestein_pair_p(f, n, m, True, scale=1.0 / n)
+        assert rel_err(np.asarray(z.re) + 1j * np.asarray(z.im), x) < 5e-5
+        # declared-zero input tail narrows the read window
+        x2 = np.array(x)
+        x2[:, n // 3:] = 0
+        p2 = Planar(jnp.asarray(x2.real.astype(np.float32)),
+                    jnp.asarray(x2.imag.astype(np.float32)))
+        f2 = pallas_engine._bluestein_pair_p(p2, n, m, False,
+                                             in_keep=n // 3)
+        ref2 = np.fft.fft(x2, axis=1)
+        assert rel_err(np.asarray(f2.re) + 1j * np.asarray(f2.im),
+                       ref2) < 5e-5

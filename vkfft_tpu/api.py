@@ -471,8 +471,13 @@ class FFTApplication:
                 y = _pe.bluestein_fused_v3(flat, n, m, False,
                                            in_keep=route["in_h"])
             else:
-                y = _pe._bluestein_long_fused_p(flat, n, m, False,
-                                                in_keep=route["in_h"])
+                nc_, ns_ = _pe.split_long(m)
+                if nc_ * ns_ <= _pe._CONV_PAIR_MAX_PTS:
+                    y = _pe._bluestein_pair_p(flat, n, m, False,
+                                              in_keep=route["in_h"])
+                else:
+                    y = _pe._bluestein_long_fused_p(flat, n, m, False,
+                                                    in_keep=route["in_h"])
             return y.reshape(*lead, n)
         if planar and route["kind"] in ("v3", "v2", "interior"):
             from vkfft_tpu.ops import pallas_engine as _pe

@@ -383,15 +383,11 @@ def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
     if _use_v3(m):
         return conv_fused_v3(y, m, b_table)
     if _use_v2(m):
-        n1, n2 = split_lane_major(m)
-        b_sw = np.ascontiguousarray(b_table.reshape(n1, n2).T).reshape(-1)
-        bp = planar_table(b_sw, y.dtype)
-        fr, fi = core_fft_planar_v2(y.re, y.im, m, False, order="swapped",
-                                    donate=True)
-        F = Planar(fr, fi) * bp[None, :]
-        ir, ii = core_fft_planar_v2(F.re, F.im, m, True, order="swapped",
-                                    donate=True)
-        return Planar(ir, ii)
+        # 2-kernel fused form (round 5): forward-swapped kernel + one
+        # multiply+inverse kernel — the spectrum multiply and its XLA glue
+        # (lane pads, reshapes) measured ~40% of the Rader round trip
+        # (e46 profile of p=7919)
+        return conv_fused_planar(y, m, b_table, normalize=False)
     long_ok = split_long(m)
     if (long_ok is not None and long_ok[0] % _V3_SB == 0
             and _use_v3(long_ok[1])):
@@ -518,6 +514,58 @@ def _bluestein_long_fused_p(x: Planar, n: int, m: int, inverse: bool,
                   oi.reshape(B, out_rows * ns)[:, :n])
 
 
+def _bluestein_pair_p(x: Planar, n: int, m: int, inverse: bool,
+                      scale: float = 1.0, in_keep: int = 0) -> Planar:
+    """ONE-kernel long-tier Bluestein (round 5): the padded m = Nc*Ns line
+    is the four-step (Nc, Ns) plane of the conv-pair kernel — chirp
+    pre-multiply on read, Nc stages, inter-pass twiddle, Ns stages,
+    spectrum multiply in the swapped (ks, kc) layout, inline inverse,
+    conjugate twiddle, crop + chirp post-multiply on write.  The whole
+    m-point convolution costs ONE HBM read+write per direction of ~n-sized
+    data (the reference's in-kernel Bluestein at every size,
+    ``vkFFT_Bluestein.h:32,201``); the 3-kernel tier paid ~4 m-passes."""
+    nc, ns = split_long(m)
+    B = x.shape[0]
+    live = in_keep if 0 < in_keep < n else n
+    rows = -(-live // ns)
+    rows_buf = min(nc, -(-rows // 8) * 8)
+    padded = rows_buf * ns
+    out_rows = min(nc, -(-(-(-n // ns)) // 8) * 8)
+    _, b_fft = luts.bluestein_chirp(n, m, inverse)
+    if padded > n:
+        y = _pad_tail_p(x, padded - n)
+    elif padded < n:
+        y = x[:, :padded]     # the sliced-off tail is declared zero
+    else:
+        y = x
+
+    def planes(t):
+        return (jnp.asarray(np.ascontiguousarray(np.real(t), np.float32)),
+                jnp.asarray(np.ascontiguousarray(np.imag(t), np.float32)))
+
+    ch_in = planes(luts.bluestein_chirp_rows(n, nc, ns, inverse))
+    twf = planes(luts.fourstep_twiddle_full(nc, ns, False))
+    twn = planes(luts.fourstep_twiddle_full(nc, ns, True))
+    ch_out = planes(luts.bluestein_chirp_rows(n, nc, ns, inverse,
+                                              scale=scale))
+    # swapped-layout spectrum: position (ks, kc) holds b_fft[ks*nc + kc]
+    # (the four-step output digit order — same convention as
+    # `_conv_roundtrip_long_p`'s middle kernel)
+    Ht = (b_fft * (1.0 / m)).reshape(ns, nc)     # (ns, nc) = (ks, kc)
+    hr = jnp.asarray(np.ascontiguousarray(np.real(Ht), np.float32))[None]
+    hi = jnp.asarray(np.ascontiguousarray(np.imag(Ht), np.float32))[None]
+    run = _build_conv_pair_call(nc, ns, B, 1, _INTERPRET, str(x.dtype),
+                                1.0, False, False,
+                                in_keep=(rows_buf, 0),
+                                out_keep=(out_rows, 0), blu=True)
+    orr, oi = run(y.re.reshape(B, rows_buf, ns),
+                  y.im.reshape(B, rows_buf, ns), hr, hi,
+                  ch_in[0], ch_in[1], twf[0], twf[1],
+                  twn[0], twn[1], ch_out[0], ch_out[1])
+    return Planar(orr.reshape(B, out_rows * ns)[:, :n],
+                  oi.reshape(B, out_rows * ns)[:, :n])
+
+
 def _tiny_dft_p(x: Planar, n: int, inverse: bool, scale: float) -> Planar:
     """n <= 4 DFT as inline VPU elementwise ops on (B, n) planes — a kernel
     launch here would pad the 2-4 lane dim to a full 128-lane tile (64x
@@ -590,6 +638,14 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
             # single fused kernel: chirp mults + pad + crop all in-kernel
             return bluestein_fused_v3(x, n, m, inverse, scale=scale)
         if _long_conv_ok(m):
+            nc_, ns_ = split_long(m)
+            if nc_ * ns_ <= _CONV_PAIR_MAX_PTS:
+                # ONE-kernel tier (round 5): the (Nc, Ns) four-step plane
+                # runs inside the conv-pair kernel — chirps, twiddles,
+                # spectrum multiply and both transforms in a single HBM
+                # round trip (10007: 9.2 ms vs 11.5 three-kernel vs 17.6
+                # round-4, e47)
+                return _bluestein_pair_p(x, n, m, inverse, scale=scale)
             # 3-kernel long tier with the chirp mults fused into the strided
             # kernels (round 5) — no m-sized XLA passes
             return _bluestein_long_fused_p(x, n, m, inverse, scale=scale)
@@ -2068,11 +2124,23 @@ def use_conv_pair(ny: int, nz: int) -> bool:
 
 
 def _conv_pair_kernel(ny, nz, il, out_dtype, prec, conj_data, xpow, counts,
-                      stage_sets, qy, izp, xr_ref, xi_ref, hr_ref, hi_ref,
-                      *refs):
+                      stage_sets, qy, izp, blu, xr_ref, xi_ref, hr_ref,
+                      hi_ref, *refs):
     (vy_f, my_f), (vz_f, mz_f), (vz_i, mz_i), (vy_i, my_i) = stage_sets
     or_ref, oi_ref = refs[-2:]
-    tabs = refs[:-2]
+    if blu:
+        # Bluestein-pair mode (round 5): the (ny, nz) plane is the FOUR-STEP
+        # view of ONE m = ny*nz padded line — chirp pre/post tables on
+        # read/write, the inter-pass twiddle w_m^(kc*js) between the stage
+        # sets, spectrum multiply in the (ks, kc) swapped layout.  The whole
+        # m-point Bluestein convolution costs ONE HBM read+write per
+        # direction (the reference's in-kernel structure at EVERY size,
+        # ``vkFFT_Bluestein.h:32,201``).
+        (ar_ref, ai_ref, twf_r, twf_i, twn_r, twn_i,
+         br_ref, bi_ref) = refs[:8]
+        tabs = refs[8:-2]
+    else:
+        tabs = refs[:-2]
     c1, c2, c3 = counts
     # il interleaved plane pipelines per grid step (round 3 — the same
     # Mosaic-overlap rationale as the pair kernel; il=1 when per-slice
@@ -2089,10 +2157,21 @@ def _conv_pair_kernel(ny, nz, il, out_dtype, prec, conj_data, xpow, counts,
                               xi_ref[i].astype(jnp.float32),
                               qy or ny, izp or nz)
         Sy = izp or nz
+        if blu:
+            rows_, cols_ = xr.shape
+            ar = ar_ref[:rows_, :cols_]
+            ai = ai_ref[:rows_, :cols_]
+            xr, xi = xr * ar - xi * ai, xr * ai + xi * ar
         xr, xi = _v3_apply_stages(xr, xi, Sy, tabs[:c1], vy_f, my_f,
                                   prec, False, in_rows=iy_rows)
-        xr = jnp.swapaxes(xr.reshape(ny, Sy), 0, 1)
-        xi = jnp.swapaxes(xi.reshape(ny, Sy), 0, 1)
+        xr = xr.reshape(ny, Sy)
+        xi = xi.reshape(ny, Sy)
+        if blu:
+            fr = twf_r[:, :Sy]
+            fi = twf_i[:, :Sy]
+            xr, xi = xr * fr - xi * fi, xr * fi + xi * fr
+        xr = jnp.swapaxes(xr, 0, 1)
+        xi = jnp.swapaxes(xi, 0, 1)
         xr, xi = _v3_apply_stages(xr, xi, ny, tabs[c1:c2], vz_f, mz_f,
                                   prec, False, in_rows=izp)
         xr = xr.reshape(nz, ny)
@@ -2112,18 +2191,28 @@ def _conv_pair_kernel(ny, nz, il, out_dtype, prec, conj_data, xpow, counts,
                                   prec, True)
         yr = jnp.swapaxes(yr.reshape(nz, ny), 0, 1)
         yi = jnp.swapaxes(yi.reshape(nz, ny), 0, 1)
+        if blu:
+            fr = twn_r[...]
+            fi = twn_i[...]
+            yr, yi = yr * fr - yi * fi, yr * fi + yi * fr
         yr, yi = _v3_apply_stages(yr, yi, nz, tabs[c3:], vy_i, my_i,
                                   prec, True)
         oy, oz = or_ref.shape[1:]  # < (ny, nz): discarded-tail writes elided
-        or_ref[i] = yr.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
-        oi_ref[i] = yi.reshape(ny, nz)[:oy, :oz].astype(out_dtype)
+        yr = yr.reshape(ny, nz)[:oy, :oz]
+        yi = yi.reshape(ny, nz)[:oy, :oz]
+        if blu:
+            br = br_ref[:oy, :oz]
+            bi = bi_ref[:oy, :oz]
+            yr, yi = yr * br - yi * bi, yr * bi + yi * br
+        or_ref[i] = yr.astype(out_dtype)
+        oi_ref[i] = yi.astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=128)
 def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
                           dtype_name: str, scale: float, conj_data: bool,
                           xpow: bool, in_keep: tuple = (0, 0),
-                          out_keep: tuple = (0, 0)):
+                          out_keep: tuple = (0, 0), blu: bool = False):
     """``hp``: leading dim of the (hp, nz, ny) spectrum operand — 1 for a
     shared 2-D kernel, the outer-axis length for per-slice 3-D spectra.
     ``in_keep``/``out_keep``: zero-pad read/write elision windows (linear
@@ -2174,7 +2263,7 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
     il = 1
     kernel = functools.partial(
         _conv_pair_kernel, ny, nz, il, dtype, prec, conj_data, xpow,
-        tuple(counts[:3]), tuple(sets), qy, izp)
+        tuple(counts[:3]), tuple(sets), qy, izp, blu)
     oy = out_keep[0] or ny
     oz = out_keep[1] or nz
     pad = (-b) % il
@@ -2190,9 +2279,16 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
     passes = _mxu_passes(prec)
     macs = 2 * (sum(r for *_, r, _, _ in sets[0][1]) * nz
                 + sum(r for *_, r, _, _ in sets[1][1]) * ny)
+    blu_specs = []
+    if blu:
+        # chirp-in, mid twiddle fwd, mid twiddle conj, chirp-out — four
+        # full (ny, nz) complex tables as plane pairs
+        plane = pl.BlockSpec((ny, nz), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)
+        blu_specs = [plane] * 8
     call = pl.pallas_call(
         kernel, grid=(padded // il,),
-        in_specs=[spec_in, spec_in, h_spec, h_spec] + tab_specs,
+        in_specs=[spec_in, spec_in, h_spec, h_spec] + blu_specs + tab_specs,
         out_specs=[spec_out, spec_out],
         out_shape=[jax.ShapeDtypeStruct((padded, oy, oz), dtype)] * 2,
         interpret=interpret,
@@ -2202,12 +2298,13 @@ def _build_conv_pair_call(ny: int, nz: int, b: int, hp: int, interpret: bool,
             transcendentals=0,
             bytes_accessed=dtype.itemsize * 2 * padded * (iy * iz + oy * oz)))
 
-    def run(xr, xi, hr, hi):
+    def run(xr, xi, hr, hi, *blu_tabs):
         if pad:
             zp = ((0, pad), (0, 0), (0, 0))
             xr = jnp.pad(xr, zp)
             xi = jnp.pad(xi, zp)
-        a, c = call(xr, xi, hr, hi, *(jnp.asarray(t) for t in np_tables))
+        a, c = call(xr, xi, hr, hi, *blu_tabs,
+                    *(jnp.asarray(t) for t in np_tables))
         return (a[:b], c[:b]) if pad else (a, c)
 
     return run
