@@ -382,10 +382,15 @@ def _conv_roundtrip_p(y: Planar, m: int, b_table: np.ndarray) -> Planar:
     pairs with a host-permuted table."""
     if _use_v3(m):
         return conv_fused_v3(y, m, b_table)
+    # NOT routed: `_v3_wide_plan` (radices up to 127, e.g. 7918 = 107*74 in
+    # one fused kernel) is mathematically sound (interpret-verified) but its
+    # (214, 214)-packed 6-pass contraction blew past 25 minutes of Mosaic
+    # compile on hardware (e48) — same compile-explosion class as the il=8
+    # conv kernels.  The v2 two-factor form stays the production route.
     if _use_v2(m):
         # 2-kernel fused form (round 5): forward-swapped kernel + one
         # multiply+inverse kernel — the spectrum multiply and its XLA glue
-        # (lane pads, reshapes) measured ~40% of the Rader round trip
+        # (lane pads, reshapes) measured ~40%% of the Rader round trip
         # (e46 profile of p=7919)
         return conv_fused_planar(y, m, b_table, normalize=False)
     long_ok = split_long(m)
@@ -1241,6 +1246,28 @@ def _v3_plan(n: int) -> Optional[tuple[tuple[int, ...], tuple[int, ...]]]:
 
 def _use_v3(n: int) -> bool:
     return _v3_plan(n) is not None
+
+
+@functools.lru_cache(maxsize=1024)
+def _v3_wide_plan(n: int) -> Optional[tuple[tuple[int, ...],
+                                            tuple[int, ...]]]:
+    """Greedy MXU plan with radices up to 127 (packed tables up to
+    (254, 254) — 2x2 MXU tile groups at ~85-99%% K utilization).  Round 5:
+    lets the single-kernel fused conv run sizes like the Rader p-1 = 7918
+    = 107*74 whose factors exceed the standard 64-cap (the v2 two-factor
+    fallback paid 4 kernels + XLA glue, e46)."""
+    if n < 2 or n > _V3_MAX_N:
+        return None
+    if _use_v3(n):
+        return _v3_plan(n)
+    mxu, m = [], n
+    while m > 1:
+        r = next((r for r in range(min(127, m), 1, -1) if m % r == 0), None)
+        if r is None:
+            return None
+        mxu.append(r)
+        m //= r
+    return (), tuple(mxu)
 
 
 def _v3_tables(n: int, inverse: bool, plan=None, scale: float = 1.0,
@@ -4591,7 +4618,7 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
                         dtype_name: str = "float32", m: int = 1,
                         rows: int = 1, conj_data: bool = False,
                         xpow: bool = False, post_scale: float = 1.0,
-                        blu: int = 0, blu_in: int = 0):
+                        blu: int = 0, blu_in: int = 0, plan=None):
     """One-kernel circular convolution of ``batch`` lines of length n.
 
     ``m`` > 1: matrix convolution — operands are (batch, m, n) planes and
@@ -4614,14 +4641,14 @@ def _build_conv_v3_call(n: int, batch: int, interpret: bool,
     if blu:
         assert m == 1 and rows == 1, (m, rows)
         live = blu_in or blu   # declared-zero tail narrows the live prefix
-        q1 = _v3_prune_q(n, live)
-        r1, mp1 = _v3_first_stage(n)
+        q1 = _v3_prune_q(n, live, plan)
+        r1, mp1 = _v3_first_stage(n, plan)
         qrows = q1 * mp1 if q1 < r1 else n
         in_rows = live if q1 < r1 else 0
     else:
         qrows, in_rows = n, 0
-    fwd_tabs = _v3_tables(n, False, int8=_i8, in_rows=in_rows)
-    inv_tabs = _v3_tables(n, True, int8=_i8)
+    fwd_tabs = _v3_tables(n, False, plan=plan, int8=_i8, in_rows=in_rows)
+    inv_tabs = _v3_tables(n, True, plan=plan, int8=_i8)
     sb = _V3_SB
     # il interleaved sb-line pipelines per step (round 5 — the v3 kernel's
     # MXU/VPU-overlap rule; 8MB in-kernel f32 state budget).  rows > 1
@@ -4772,7 +4799,8 @@ def bluestein_fused_v3(x: Planar, n: int, m: int, inverse: bool,
 
 
 def conv_fused_v3(x: Planar, n: int, table, scale: float = 1.0,
-                  conj_data: bool = False, xpow: bool = False) -> Planar:
+                  conj_data: bool = False, xpow: bool = False,
+                  plan=None) -> Planar:
     """Single-kernel circular convolution of (B, n) planar lines with a
     fixed kernel whose natural-order spectrum is ``table`` (n,) complex.
     ``scale``: normalization constant (e.g. 1/n) — baked into the table,
@@ -4780,7 +4808,7 @@ def conv_fused_v3(x: Planar, n: int, table, scale: float = 1.0,
     B = x.shape[0]
     run = _build_conv_v3_call(n, B, _INTERPRET, str(x.dtype), 1, 1,
                               conj_data, xpow,
-                              post_scale=scale if xpow else 1.0)
+                              post_scale=scale if xpow else 1.0, plan=plan)
     tab = np.asarray(table) * (1.0 if xpow else scale)
     cr = jnp.asarray(np.real(tab).astype(np.float32).reshape(n, 1))
     ci = jnp.asarray(np.imag(tab).astype(np.float32).reshape(n, 1))
