@@ -218,9 +218,14 @@ def sample_1(ctx):
         ctx.log("  (fp64 path on TPU = double-double; see sample 9)")
 
 
-@sample(3, "benchmark 3D C2C FP32")
+@sample(3, "benchmark 3D C2C FP32 (cube sweep, sample_3/1003 analog)")
 def sample_3(ctx):
-    _bench_systems(ctx, [(32, 32, 32), (64, 64, 64), (128, 128, 128)], target_mb=128)
+    """Reference sample_3 + the 3-D benchmark sweep of
+    ``sample_1003_benchmark_VkFFT_single_3d_2_512.cpp``: pow-2 cubes to
+    512^3 plus a non-pow-2 row (96 = 2^5*3, per-axis route)."""
+    _bench_systems(ctx, [(32, 32, 32), (64, 64, 64), (96, 96, 96),
+                         (128, 128, 128), (256, 256, 256),
+                         (512, 512, 512)], target_mb=128)
 
 
 @sample(6, "benchmark R2C/C2R FP32")
@@ -245,11 +250,12 @@ def sample_6(ctx):
 
 @sample(7, "benchmark Bluestein (primes) FP32")
 def sample_7(ctx):
-    """Primes vs the smooth neighbor: 10007 (Bluestein, structured m=20480
-    3-kernel long conv), 7919 (Rader, p-1 = 2*37*107), 10006 (SPLIT with a
-    5003 Bluestein factor), and 10240 = 2^11*5 (the smooth long-path
-    neighbor the prime rows are judged against — same nominal-bytes
-    formula, so the GB/s ratio IS the time-per-point ratio)."""
+    """Primes vs the smooth neighbor: 10007 (Bluestein, m=32768 ONE-kernel
+    conv-pair tier — round 5), 7919 (Rader, p-1 = 2*37*107 fused v2 conv),
+    10006 (SPLIT with a 5003 Bluestein factor), and 10240 = 2^11*5 (the
+    smooth long-path neighbor the prime rows are judged against — same
+    nominal-bytes formula, so the GB/s ratio IS the time-per-point
+    ratio)."""
     _bench_systems(ctx, [(10007,), (7919,), (2 * 5003,), (10240,)],
                    target_mb=64)
 
