@@ -533,9 +533,15 @@ def _bluestein_pair_p(x: Planar, n: int, m: int, inverse: bool,
     B = x.shape[0]
     live = in_keep if 0 < in_keep < n else n
     rows = -(-live // ns)
-    rows_buf = min(nc, -(-rows // 8) * 8)
+    # windows align to the Nc stage-1 chunk (mp1): a sub-chunk window makes
+    # the kernel pad rows in-VMEM before the pruned stage, and THAT kernel
+    # form Mosaic-compiles in ~216 s vs ~3 s chunk-aligned (e49/e49b);
+    # the extra declared-zero rows cost only DMA (compute prunes by chunk
+    # anyway)
+    _, mp1c = _v3_first_stage(nc)
+    rows_buf = min(nc, -(-rows // mp1c) * mp1c)
     padded = rows_buf * ns
-    out_rows = min(nc, -(-(-(-n // ns)) // 8) * 8)
+    out_rows = min(nc, -(-(-(-n // ns)) // mp1c) * mp1c)
     _, b_fft = luts.bluestein_chirp(n, m, inverse)
     if padded > n:
         y = _pad_tail_p(x, padded - n)
