@@ -900,6 +900,51 @@ def sample_51(ctx):
     ctx.log(f"  3D zero-padded matrix conv rel err: {err:.3e} "
             f"({'PASS' if err < 1e-4 else 'FAIL'})")
 
+    # -- benchmark: the zero-pad elision factor on the fused conv route
+    # (round 5; reference sample 51 is the marquee conv+zeropad demo).
+    # 2-D scalar kernels ride the single-kernel conv-pair with pruned
+    # forward stage sets when the data sits in a declared corner.
+    import jax.numpy as jnp
+    from vkfft_tpu.pcomplex import Planar, from_complex
+    shape2 = (256, 256)
+    batch = max(1, 128 * 1024 * 1024 // (8 * int(np.prod(shape2))))
+    kern2 = rng.standard_normal(shape2) + 1j * rng.standard_normal(shape2)
+    xfull = rng.standard_normal((batch,) + shape2) \
+        + 1j * rng.standard_normal((batch,) + shape2)
+    xpad = np.array(xfull)
+    xpad[:, shape2[0] // 2:, :] = 0
+    xpad[:, :, shape2[1] // 2:] = 0
+    dense = vt.ConvolutionApplication(
+        vt.FFTConfig(shape=shape2, convolution=True), kern2,
+        engine=ctx.engine)
+    padded = vt.ConvolutionApplication(
+        vt.FFTConfig(shape=shape2, convolution=True,
+                     zeropad_input=tuple((d // 2, d) for d in shape2)),
+        kern2, engine=ctx.engine)
+    from vkfft_tpu import api as _api
+
+    def _chainable(app_):
+        # fori_loop bodies must be type-preserving: normalize the conv
+        # output back to the input's planar f32 planes
+        def fn(v):
+            y = app_._call(v)
+            return Planar(y.re.astype(jnp.float32), y.im.astype(jnp.float32))
+        return fn
+
+    xd = from_complex(xfull.astype(np.complex64))
+    xp = from_complex(xpad.astype(np.complex64))
+    xd = Planar(jnp.asarray(xd.re), jnp.asarray(xd.im))
+    xp = Planar(jnp.asarray(xp.re), jnp.asarray(xp.im))
+    dt_d = _time_chain_fn(_chainable(dense), xd)
+    dt_p = _time_chain_fn(_chainable(padded), xp)
+    if min(dt_d, dt_p) >= 50e-6:
+        ctx.log(f"  2D {shape2} scalar conv batch {batch}: dense "
+                f"{dt_d*1e3:8.3f} ms  half-pad^2 {dt_p*1e3:8.3f} ms "
+                f"({dt_d/dt_p:.2f}x; modes {dense.fusion_mode} / "
+                f"{padded.fusion_mode})")
+    else:
+        ctx.log("  conv elision bench: below timing noise floor")
+
 
 @sample(101, "benchmark multidim DCT FP64 (CPU) / FP32 (TPU)")
 def sample_101(ctx):

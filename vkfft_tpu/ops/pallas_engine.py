@@ -533,15 +533,17 @@ def _bluestein_pair_p(x: Planar, n: int, m: int, inverse: bool,
     B = x.shape[0]
     live = in_keep if 0 < in_keep < n else n
     rows = -(-live // ns)
-    # windows align to the Nc stage-1 chunk (mp1): a sub-chunk window makes
-    # the kernel pad rows in-VMEM before the pruned stage, and THAT kernel
-    # form Mosaic-compiles in ~216 s vs ~3 s chunk-aligned (e49/e49b);
-    # the extra declared-zero rows cost only DMA (compute prunes by chunk
-    # anyway)
+    # the INPUT window aligns to the Nc stage-1 chunk (mp1): a sub-chunk
+    # window makes the kernel pad rows in-VMEM before the pruned stage, and
+    # THAT kernel form Mosaic-compiles in ~216 s vs ~3-7 s chunk-aligned
+    # (e49/e49b/e49c); the extra declared-zero rows cost only DMA (compute
+    # prunes by chunk anyway).  The OUTPUT window is innocent — it stays at
+    # sublane (8-row) granularity (e49c: compile 6.8 s, rt 9.46 vs 9.59 ms
+    # symmetric at n=10007).
     _, mp1c = _v3_first_stage(nc)
     rows_buf = min(nc, -(-rows // mp1c) * mp1c)
     padded = rows_buf * ns
-    out_rows = min(nc, -(-(-(-n // ns)) // mp1c) * mp1c)
+    out_rows = min(nc, -(-(-(-n // ns)) // 8) * 8)
     _, b_fft = luts.bluestein_chirp(n, m, inverse)
     if padded > n:
         y = _pad_tail_p(x, padded - n)
