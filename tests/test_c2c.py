@@ -227,3 +227,36 @@ def test_zeropad_bluestein_prefix_elision():
         assert np.max(np.abs(to_numpy(b) - x)) / np.max(np.abs(x)) < 5e-5
     finally:
         pe.set_interpret(False)
+
+
+def test_zeropad_axes_route():
+    """Round 5: general N-D per-axis prefix elision for shapes the pair
+    kernel cannot take (each pass elides its own axis window; reference
+    per-axis zero-pad guards are kernel-generic, vkFFT_Zeropad.h)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from vkfft_tpu import api
+    from vkfft_tpu.config import FFTConfig
+    from vkfft_tpu.ops import pallas_engine as pe
+    from vkfft_tpu.pcomplex import Planar, to_numpy
+    pe.set_interpret(True)
+    try:
+        shape = (512, 512)   # ny*nz > _PAIR_MAX_PTS: no pair route
+        app = api.FFTApplication(
+            FFTConfig(shape=shape, normalize=True,
+                      zeropad_input=tuple((d // 2, d) for d in shape)),
+            engine="pallas")
+        assert app.zeropad_mode == "elided-axes"
+        rng = np.random.default_rng(19)
+        x = rng.standard_normal(shape) + 1j * rng.standard_normal(shape)
+        x[256:] = 0
+        x[:, 256:] = 0
+        p = Planar(jnp.asarray(x.real.astype(np.float32)),
+                   jnp.asarray(x.imag.astype(np.float32)))
+        f = app.forward(p)
+        ref = np.fft.fftn(x)
+        assert np.max(np.abs(to_numpy(f) - ref)) / np.max(np.abs(ref)) < 5e-6
+        b = app.inverse(f)
+        assert np.max(np.abs(to_numpy(b) - x)) / np.max(np.abs(x)) < 5e-6
+    finally:
+        pe.set_interpret(False)

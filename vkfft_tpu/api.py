@@ -220,6 +220,25 @@ class FFTApplication:
                     if keeps is not None:
                         return {"kind": "pair_out", "minor": keeps[0],
                                 "outer": keeps[1]}
+        if (len(cfg.axes) >= 2 and cfg.zeropad_output is None
+                and cfg.zeropad_input is not None
+                and set(cfg.axes) == set(range(ndim))
+                and all(self.axis_plans[a].algorithm is _Alg.DIRECT
+                        for a in cfg.axes)):
+            # general N-D per-axis prefix elision (round 5): shapes the
+            # pair kernel cannot take (e.g. 2-D pow-2 rows, 512^3) still
+            # walk outer-first on the nonzero corner, each pass eliding its
+            # own axis window (the reference's per-axis zero-pad guards are
+            # kernel-generic, vkFFT_Zeropad.h:28-182)
+            keeps = _prefix_keep_all(cfg.zeropad_input, cfg.shape)
+            if keeps is not None:
+                minor, outer = keeps
+                kd = dict(outer)
+                if minor[0]:
+                    kd[ndim - 2] = minor[0]
+                if minor[1]:
+                    kd[ndim - 1] = minor[1]
+                return {"kind": "axes", "keeps": kd}
         return {"kind": "masked"}
 
     @property
@@ -247,6 +266,8 @@ class FFTApplication:
             return "elided-pair"
         if kind == "pair_out":
             return "elided-pair-output"
+        if kind == "axes":
+            return "elided-axes"
         if kind == "v2":
             return "elided-prefix"
         if kind == "blu":
@@ -581,6 +602,8 @@ class FFTApplication:
             else:
                 pair_in = minor_keep
                 outer_in = outer_keeps
+        if planar and route.get("kind") == "axes":
+            elide_in = True   # every axis pass elides its own window
         if not inverse and not elide_in:
             x = self._apply_zeropad(x, cfg.zeropad_input, ndim)
         if pair is not None:
@@ -665,14 +688,28 @@ class FFTApplication:
                                           cfg.shape[ax]))
                     x = _pad_planar_tail(x, tuple(keeps))
         else:
+            # general N-D per-axis elision (round 5, route 'axes'): each
+            # pass elides its OWN axis window — forward reads only the
+            # declared prefix (with stage-1 pruning), inverse writes only
+            # the kept prefix (zeros restored once at the end)
+            ax_keeps = route["keeps"] if (planar and route.get("kind") ==
+                                          "axes") else {}
             for i, ax in enumerate(axes):
                 plan = self.axis_plans[ax]
                 if planar:
                     s = norm_scale if i == len(axes) - 1 else 1.0
                     x = fft_axis(x, x.ndim - ndim + ax, plan, inverse,
-                                 scale=s, donate=i > 0)
+                                 scale=s, donate=i > 0 and not ax_keeps,
+                                 in_keep=(ax_keeps.get(ax, 0)
+                                          if not inverse else 0),
+                                 out_keep=(ax_keeps.get(ax, 0)
+                                           if inverse else 0))
                 else:
                     x = fft_axis(x, x.ndim - ndim + ax, plan, inverse)
+            if ax_keeps and inverse:
+                x = _pad_planar_tail(
+                    x, tuple((ax_keeps.get(a, 0), cfg.shape[a])
+                             for a in range(ndim)))
         if inverse:
             if cfg.normalize and not planar:
                 total = 1

@@ -691,7 +691,10 @@ def sample_4(ctx):
                    + [tuple(reversed(d)) for d in ref_3d])
         target = 8 * 1024 * 1024 if ctx.engine == "jnp" else 64 * 1024 * 1024
     else:
-        systems = [(1080, 1920), (2160, 3840), (128, 128, 128),
+        # pow-2 2-D rows + the 3-D cubes: the HD-geometry rows (1080p
+        # class) hit a slow-Mosaic-compile kernel class (small-K MXU
+        # tails) and live in the CPU 39-system table instead
+        systems = [(1024, 2048), (2048, 4096), (128, 128, 128),
                    (256, 256, 256), (512, 512, 512)]
         target = 128 * 1024 * 1024
     score_f = score_p = 0.0

@@ -770,6 +770,18 @@ def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
                                          in_keep=in_keep, out_keep=out_keep)
             out_shape = shape[:axis] + (orr.shape[1],) + shape[axis + 1:]
             return Planar(orr.reshape(out_shape), oi.reshape(out_shape))
+    if (axis == ndim - 1 and (in_keep or out_keep)
+            and plan.algorithm is Algorithm.DIRECT and _use_v3(plan.n)
+            and x.shape[-1] == plan.n):
+        # minor-axis prefix elision inside an N-D walk (round 5): the v3
+        # kernel skips the declared-zero tail reads / discarded-tail writes
+        # — the same elision the 1-D api route uses, now reachable per-axis
+        lead = x.shape[:-1]
+        flat = x.reshape(-1, x.shape[-1])
+        rr, ii = core_fft_planar_v3(flat.re, flat.im, plan.n, inverse,
+                                    donate=donate, in_nonzero=in_keep,
+                                    out_keep=out_keep, scale=scale)
+        return Planar(rr, ii).reshape(*lead, rr.shape[-1])
     if in_keep:
         x = _mask_axis_tail(x, axis, in_keep)
     moved = axis != ndim - 1
