@@ -341,6 +341,56 @@ def main() -> int:
     got = to_numpy(got) if isinstance(got, Planar) else np.asarray(got)
     check("fftn 64^3", got, np.fft.fftn(x3), tol=2e-4)
 
+    # --- round 5: outer-axis kernel, one-kernel Bluestein, elision routes
+    print("round-5 kernels:")
+    from vkfft_tpu.pcomplex import Planar as _P
+    xo = rng.standard_normal((1, 256, 16, 128)) + 1j * rng.standard_normal(
+        (1, 256, 16, 128))
+    orr, oi = pe.outer_fft_planar(
+        jnp.asarray(xo.real.astype(np.float32)),
+        jnp.asarray(xo.imag.astype(np.float32)), 256, False)
+    check("outer-axis kernel n=256", np.asarray(orr) + 1j * np.asarray(oi),
+          np.fft.fft(xo, axis=1))
+    xo60 = rng.standard_normal((1, 60, 8, 128)) + 1j * rng.standard_normal(
+        (1, 60, 8, 128))
+    orr, oi = pe.outer_fft_planar(
+        jnp.asarray(xo60.real.astype(np.float32)),
+        jnp.asarray(xo60.imag.astype(np.float32)), 60, False)
+    check("outer-axis generic radices n=60",
+          np.asarray(orr) + 1j * np.asarray(oi), np.fft.fft(xo60, axis=1))
+    xb = rng.standard_normal((8, 10007)) + 1j * rng.standard_normal((8, 10007))
+    pb = _P(jnp.asarray(xb.real.astype(np.float32)),
+            jnp.asarray(xb.imag.astype(np.float32)))
+    yb = pe._bluestein_pair_p(pb, 10007, 32768, False)
+    check("bluestein-pair n=10007",
+          np.asarray(yb.re) + 1j * np.asarray(yb.im), np.fft.fft(xb, axis=1))
+    # elision routes through the application
+    from vkfft_tpu import api as _api
+    from vkfft_tpu.config import FFTConfig as _C
+    sh = (64, 128, 128)
+    app = _api.FFTApplication(_C(shape=sh, normalize=True,
+                                 zeropad_output=(None, (64, 128), (64, 128))),
+                              engine="pallas")
+    x5 = rng.standard_normal(sh) + 1j * rng.standard_normal(sh)
+    p5 = _P(jnp.asarray(x5.real.astype(np.float32)),
+            jnp.asarray(x5.imag.astype(np.float32)))
+    r5 = np.fft.fftn(x5)
+    r5[:, 64:] = 0
+    r5[:, :, 64:] = 0
+    check("pair_out route (frequencyZeroPadding)", to_numpy(app.forward(p5)),
+          r5, tol=2e-4)
+    sh6 = (256, 512)
+    app6 = _api.FFTApplication(_C(shape=sh6, normalize=True,
+                                  zeropad_input=((128, 256), (256, 512))),
+                               engine="pallas")
+    x6 = rng.standard_normal(sh6) + 1j * rng.standard_normal(sh6)
+    x6[128:] = 0
+    x6[:, 256:] = 0
+    p6 = _P(jnp.asarray(x6.real.astype(np.float32)),
+            jnp.asarray(x6.imag.astype(np.float32)))
+    check(f"2-D elision route ({app6.zeropad_mode})",
+          to_numpy(app6.forward(p6)), np.fft.fftn(x6), tol=2e-4)
+
     print(f"\n{'PASS' if not failures else 'FAIL'}: "
           f"{len(failures)} failure(s) {failures or ''}")
     return 1 if failures else 0

@@ -269,13 +269,27 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
 
 
 def fft_axis_p(x: Planar, axis: int, plan: AxisPlan, inverse: bool = False,
-               scale: float = 1.0, donate: bool = False) -> Planar:
+               scale: float = 1.0, donate: bool = False, in_keep: int = 0,
+               out_keep: int = 0) -> Planar:
     """Planar DFT along ``axis`` of N-D planes, scaled by ``scale``.
     ``donate`` is accepted for engine-interface parity (XLA manages the
-    reference path's buffers; nothing to alias here)."""
+    reference path's buffers; nothing to alias here).  ``in_keep`` /
+    ``out_keep`` honor the declared-zero window contract as a mask / output
+    slice (the pallas engine elides; this reference path stays correct)."""
     axis = axis % x.ndim
     if x.shape[axis] != plan.n:
         raise ValueError(f"axis {axis} has length {x.shape[axis]}, plan is for {plan.n}")
+    if in_keep:
+        n_ = x.shape[axis]
+        shp = [1] * x.ndim
+        shp[axis] = n_
+        m = (jnp.arange(n_) < in_keep).reshape(shp)
+        z = jnp.zeros((), x.re.dtype)
+        x = Planar(jnp.where(m, x.re, z), jnp.where(m, x.im, z))
+    if out_keep:
+        y = fft_axis_p(x, axis, plan, inverse, scale=scale)
+        return Planar(jax.lax.slice_in_dim(y.re, 0, out_keep, axis=axis),
+                      jax.lax.slice_in_dim(y.im, 0, out_keep, axis=axis))
     moved = axis != x.ndim - 1
     if moved:
         x = Planar(jnp.moveaxis(x.re, axis, -1), jnp.moveaxis(x.im, axis, -1))
