@@ -694,10 +694,30 @@ class FFTApplication:
             # the kept prefix (zeros restored once at the end)
             ax_keeps = route["keeps"] if (planar and route.get("kind") ==
                                           "axes") else {}
-            for i, ax in enumerate(axes):
+            # Corner-first compounding (round 5): when the non-minor keeps
+            # are sublane-clean, slice the declared-zero region off ALL
+            # non-minor axes up front and run passes minor-first — each
+            # pass then transforms only the lines the axes processed after
+            # it still keep sliced (the same economy the pair route gets;
+            # each pass re-expands its own axis to full on output).
+            corner = (ax_keeps and not inverse
+                      and all(k % 8 == 0 for a, k in ax_keeps.items()
+                              if a != ndim - 1 and k))
+            axes_iter = axes
+            if ax_keeps:
+                # elision order: minor-first forward, outer-first inverse —
+                # the pass order with the fewest total lines transformed
+                axes_iter = tuple(reversed(axes))
+            if corner:
+                sl = [slice(None)] * x.ndim
+                for a, k in ax_keeps.items():
+                    if a != ndim - 1 and k:
+                        sl[x.ndim - ndim + a] = slice(0, k)
+                x = Planar(x.re[tuple(sl)], x.im[tuple(sl)])
+            for i, ax in enumerate(axes_iter):
                 plan = self.axis_plans[ax]
                 if planar:
-                    s = norm_scale if i == len(axes) - 1 else 1.0
+                    s = norm_scale if i == len(axes_iter) - 1 else 1.0
                     x = fft_axis(x, x.ndim - ndim + ax, plan, inverse,
                                  scale=s, donate=i > 0 and not ax_keeps,
                                  in_keep=(ax_keeps.get(ax, 0)
