@@ -675,20 +675,52 @@ def fft_lines_p(x: Planar, plan: AxisPlan, inverse: bool = False,
     p = plan.n
     perm, inv_perm, b_t = luts.rader_tables(p)
     x0 = x[:, :1]
-    X0 = Planar(jnp.sum(x.re, axis=1, keepdims=True),
-                jnp.sum(x.im, axis=1, keepdims=True))
-    # 1/(p-1) and the caller's scale fold into the Rader kernel spectrum;
-    # the DC terms (B, 1) are scaled individually (negligible traffic)
-    c = _conv_roundtrip_p(x[:, perm], p - 1, b_t * (scale / (p - 1)))
     s = np.asarray(scale, x.dtype)
-    val = (x0 * s if scale != 1.0 else x0) + c
-    X0s = X0 * s if scale != 1.0 else X0
     # output as GATHER + concat, never scatter: XLA scatters with arbitrary
     # indices serialize on TPU (round 4: sample 7 measured the .at[].set
     # form pathologically slow) — out[:, inv_perm[k]] = val[:, k] is
     # out[:, 1:] = val[:, argsort(inv_perm)] since inv_perm hits every
     # position 1..p-1 exactly once
     order = np.argsort(inv_perm)
+    m = p - 1
+    if not _use_v3(m) and _use_v2(m):
+        # fused DC handling (round 5, e46: the Rader glue — sum-reduce,
+        # x0-add, spectrum-mult passes — cost more than the gathers):
+        # X0 = x0 + F[0] rides the forward kernel's k=0 bin, and the x0
+        # broadcast-add is fused into the conv-inverse kernel's store
+        B = x.shape[0]
+        n1, n2 = split_lane_major(m)
+        xg = x[:, perm]
+        fr, fi = core_fft_planar_v2(xg.re, xg.im, m, False, order="swapped",
+                                    donate=True)
+        sum_r, sum_i = fr[:, :1], fi[:, :1]   # swapped flat 0 == k=0 bin
+        run, lane, _, _, _ = _build_conv_inv_call(m, B, _INTERPRET,
+                                                  str(x.dtype), with_dc=True)
+        tab_sw = np.ascontiguousarray(
+            (b_t * (scale / m)).reshape(n1, n2).T)            # (n2, n1)
+        if lane != n1:
+            tab_sw = np.pad(tab_sw, ((0, 0), (0, lane - n1)))
+        cr = jnp.asarray(np.real(tab_sw).astype(np.float32))
+        ci = jnp.asarray(np.imag(tab_sw).astype(np.float32))
+        fr = fr.reshape(B, n2, n1)
+        fi = fi.reshape(B, n2, n1)
+        if lane != n1:
+            fr = jnp.pad(fr, ((0, 0), (0, 0), (0, lane - n1)))
+            fi = jnp.pad(fi, ((0, 0), (0, 0), (0, lane - n1)))
+        dcr = x0.re * s if scale != 1.0 else x0.re
+        dci = x0.im * s if scale != 1.0 else x0.im
+        vr, vi = run(fr, fi, cr, ci, dcr, dci)          # (B, m) = x0*s + c
+        X0r = (x0.re + sum_r) * s if scale != 1.0 else x0.re + sum_r
+        X0i = (x0.im + sum_i) * s if scale != 1.0 else x0.im + sum_i
+        return Planar(jnp.concatenate([X0r, vr[:, order]], axis=1),
+                      jnp.concatenate([X0i, vi[:, order]], axis=1))
+    X0 = Planar(jnp.sum(x.re, axis=1, keepdims=True),
+                jnp.sum(x.im, axis=1, keepdims=True))
+    # 1/(p-1) and the caller's scale fold into the Rader kernel spectrum;
+    # the DC terms (B, 1) are scaled individually (negligible traffic)
+    c = _conv_roundtrip_p(x[:, perm], p - 1, b_t * (scale / (p - 1)))
+    val = (x0 * s if scale != 1.0 else x0) + c
+    X0s = X0 * s if scale != 1.0 else X0
     return Planar(jnp.concatenate([X0s.re, val.re[:, order]], axis=1),
                   jnp.concatenate([X0s.im, val.im[:, order]], axis=1))
 
@@ -4386,9 +4418,13 @@ def _fft_long3_planar(xr, xi, n: int, inverse: bool, order: str = "natural",
 # ---------------------------------------------------------------------------
 
 
-def _conv_inv_kernel(n1, n2, tb, out_dtype, prec,
-                     xr_ref, xi_ref, cr_ref, ci_ref,
-                     rsub_ref, mlane_ref, twr_ref, twi_ref, or_ref, oi_ref):
+def _conv_inv_kernel(n1, n2, tb, out_dtype, prec, has_dc, *refs):
+    if has_dc:
+        (xr_ref, xi_ref, cr_ref, ci_ref, dcr_ref, dci_ref,
+         rsub_ref, mlane_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
+    else:
+        (xr_ref, xi_ref, cr_ref, ci_ref,
+         rsub_ref, mlane_ref, twr_ref, twi_ref, or_ref, oi_ref) = refs
     cr = cr_ref[:]
     ci = ci_ref[:]
     xr0 = xr_ref[:].astype(jnp.float32)
@@ -4417,13 +4453,18 @@ def _conv_inv_kernel(n1, n2, tb, out_dtype, prec,
         outi = jnp.swapaxes(y[n2:], 0, 1)
     else:
         outr, outi = tr, ti
+    if has_dc:
+        # per-line additive constant fused into the store (the Rader x0
+        # term, round 5 — kills the separate XLA add pass)
+        outr = outr + dcr_ref[:].astype(jnp.float32)[:, :, None]
+        outi = outi + dci_ref[:].astype(jnp.float32)[:, :, None]
     or_ref[:] = outr.astype(out_dtype)
     oi_ref[:] = outi.astype(out_dtype)
 
 
 @functools.lru_cache(maxsize=256)
 def _build_conv_inv_call(n: int, batch: int, interpret: bool,
-                         dtype_name: str = "float32"):
+                         dtype_name: str = "float32", with_dc: bool = False):
     dtype = jnp.dtype(dtype_name)
     n1, n2 = split_lane_major(n)
     rsub, mlane, twr, twi = _v2_tables(n, True)
@@ -4442,18 +4483,24 @@ def _build_conv_inv_call(n: int, batch: int, interpret: bool,
         twi = np.pad(twi, ((0, 0), (0, lane - n1)))
 
     prec = _PRECISION if dtype == jnp.float32 else jax.lax.Precision.DEFAULT
-    kernel = functools.partial(_conv_inv_kernel, lane, n2, tb, dtype, prec)
+    kernel = functools.partial(_conv_inv_kernel, lane, n2, tb, dtype, prec,
+                               with_dc)
     spec = pl.BlockSpec((tb, n2, lane), lambda b: (b, 0, 0),
                         memory_space=pltpu.VMEM)
     const = lambda shape: pl.BlockSpec(shape, lambda b: (0,) * len(shape),
                                        memory_space=pltpu.VMEM)
+    dc_spec = pl.BlockSpec((tb, 1), lambda b: (b, 0),
+                           memory_space=pltpu.VMEM)
     kw = {} if interpret else {"input_output_aliases": {0: 0, 1: 1}}
+    in_specs = [spec, spec, const((n2, lane)), const((n2, lane))]
+    if with_dc:
+        in_specs += [dc_spec, dc_spec]
+    in_specs += [const(rsub.shape), const(mlane.shape),
+                 const(twr.shape), const(twi.shape)]
     call = pl.pallas_call(
         kernel,
         grid=(padded // tb,),
-        in_specs=[spec, spec, const((n2, lane)), const((n2, lane)),
-                  const(rsub.shape), const(mlane.shape),
-                  const(twr.shape), const(twi.shape)],
+        in_specs=in_specs,
         out_specs=[spec, spec],
         out_shape=[jax.ShapeDtypeStruct((padded, n2, lane), dtype)] * 2,
         interpret=interpret,
@@ -4461,12 +4508,18 @@ def _build_conv_inv_call(n: int, batch: int, interpret: bool,
         **kw,
     )
 
-    def run(xr, xi, cr, ci):
+    def run(xr, xi, cr, ci, dcr=None, dci=None):
         # x arrives in swapped (B, n2, lane) layout from the forward kernel
         if pad:
             xr = jnp.pad(xr, ((0, pad), (0, 0), (0, 0)))
             xi = jnp.pad(xi, ((0, pad), (0, 0), (0, 0)))
-        orr, oi = call(xr, xi, cr, ci, jnp.asarray(rsub), jnp.asarray(mlane),
+        args = [xr, xi, cr, ci]
+        if with_dc:
+            if pad:
+                dcr = jnp.pad(dcr, ((0, pad), (0, 0)))
+                dci = jnp.pad(dci, ((0, pad), (0, 0)))
+            args += [dcr, dci]
+        orr, oi = call(*args, jnp.asarray(rsub), jnp.asarray(mlane),
                        jnp.asarray(twr), jnp.asarray(twi))
         if lane != n1:
             orr = orr[..., :n1]
